@@ -1,13 +1,621 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Exact, Relational, Time}
+import graft.ops.Exact.{cents, davg, dsum}
+
+/** Driver contract: one named query (+ DuckDB oracle SQL) per operator row
+  * of SURVEY.md §2. Query names carry the inventory id (`j1_`, `w1_`, …) so
+  * coverage is auditable line by line; COVERAGE.md maps rows → queries.
+  *
+  * Conventions shared by every query/oracle pair (driver hash-compares
+  * column-sorted values):
+  *   - identical column aliases on both sides;
+  *   - a total ORDER BY on a unique key;
+  *   - no raw timestamps in output (epoch-second bigints or formatted
+  *     strings instead — avoids TIMESTAMP vs TIMESTAMPTZ schema drift);
+  *   - double aggregation via exact decimal/integer arithmetic
+  *     ([[graft.ops.Exact]]), rounded to 6 dp where division is involved;
+  *   - predicates that bound output size with fixed constants (not scale
+  *     factors), so the same query is correct at sf0.001 and cheap at
+  *     sf0.1+ (pair joins never grow quadratically with SF).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(s, dir, name)
+
+  /** Epoch seconds of an ISO local datetime interpreted as UTC (matches the
+    * session timezone and DuckDB's naive timestamps).
+    */
+  private def sec(iso: String): Long =
+    java.time.LocalDateTime.parse(iso).toEpochSecond(java.time.ZoneOffset.UTC)
+
+  private val jan1 = sec("2024-01-01T00:00:00")
+  private val jan2 = sec("2024-01-02T00:00:00")
+  private val jan3 = sec("2024-01-03T00:00:00")
+  private val jan5 = sec("2024-01-05T00:00:00")
+  private val jan8 = sec("2024-01-08T00:00:00")
+  private val jan15 = sec("2024-01-15T00:00:00")
+  private val jan31 = sec("2024-01-31T00:00:00")
+
+  private def tsLit(epochSec: Long): Column = timestamp_seconds(lit(epochSec))
+  /** DuckDB naive-timestamp literal for the same epoch second. */
+  private def tsSql(epochSec: Long): String =
+    "TIMESTAMP '" + java.time.LocalDateTime
+      .ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
+      .toString.replace('T', ' ') + "'"
+
+  /** DuckDB epoch-seconds of a naive timestamp (floor, integer math). */
+  private val EP = "(epoch_ms(ts)//1000)"
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  // ---------------------------------------------------------------- scans /
+  // projections / filters (S1, P1-P10)
+
+  private val qS1 = Q("s1_scan_project",
+    (s, d) => T(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_name").as("supplier_name"),
+        col("s_acctbal"))
+      .orderBy("s_suppkey"),
+    Some("""SELECT s_suppkey, s_name AS supplier_name, s_acctbal
+      FROM supplier ORDER BY s_suppkey"""))
+
+  private val qP3 = Q("p3_date_range",
+    (s, d) => T(s, d, "lineitem")
+      .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+             col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  private val qP4 = Q("p4_time_of_day",
+    (s, d) => T(s, d, "events")
+      .where(date_format(col("ts"), "HH:mm:ss")
+        .between("09:30:00", "16:00:00"))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+      WHERE strftime(ts, '%H:%M:%S') BETWEEN '09:30:00' AND '16:00:00'
+      ORDER BY event_id"""))
+
+  private val qP5 = Q("p5_p8_inlist_prefix",
+    (s, d) => T(s, d, "part")
+      .where(substring(col("p_type"), 1, 1) === "E" &&
+             col("p_brand").isin("Brand#13", "Brand#5", "Brand#21"))
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part
+      WHERE substr(p_type, 1, 1) = 'E'
+        AND p_brand IN ('Brand#13', 'Brand#5', 'Brand#21')
+      ORDER BY p_partkey"""))
+
+  // Dynamic disjunction-of-conjunctions with null-normalized compare
+  // (reference correlation_matrix_exporter.py:78-85 builds exactly this
+  // OR-of-ANDs predicate from the ticker lookup; coalesce ≈ fillna('')).
+  private val qP6 = Q("p6_null_disjunction",
+    (s, d) => T(s, d, "events")
+      .where((col("user_id") === 1 &&
+                coalesce(col("event_type"), lit("")) === "click") ||
+             (col("user_id") === 2 &&
+                coalesce(col("event_type"), lit("")) === "view") ||
+             (col("user_id") === 3 &&
+                coalesce(col("event_type"), lit("")) === ""))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+      WHERE (user_id = 1 AND coalesce(event_type, '') = 'click')
+         OR (user_id = 2 AND coalesce(event_type, '') = 'view')
+         OR (user_id = 3 AND coalesce(event_type, '') = '')
+      ORDER BY event_id"""))
+
+  // Point-in-time universe snapshot: distinct ids active in a window (P10)
+  private val qP10 = Q("p10_snapshot_distinct",
+    (s, d) => T(s, d, "events")
+      .where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
+      .select("user_id").distinct()
+      .orderBy("user_id"),
+    Some(s"""SELECT DISTINCT user_id FROM events
+      WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan8)}
+      ORDER BY user_id"""))
+
+  // ----------------------------------------------------------------- joins
+
+  // J1/J2/P9: inner equi+interval join — validity spells built per customer
+  // from 'F' orders; 'O' orders are the dated facts falling inside them.
+  private val qJ1 = Q("j1_interval_join",
+    (s, d) => {
+      val orders = T(s, d, "orders")
+      val dim = orders.where(col("o_orderstatus") === "F")
+        .groupBy("o_custkey")
+        .agg(min("o_orderdate").as("start_dt"),
+             max("o_orderdate").as("end_dt"))
+      val fact = orders.where(col("o_orderstatus") === "O")
+      Relational.joinValid(fact, dim, "o_custkey",
+          "o_orderdate", "start_dt", "end_dt")
+        .groupBy(fact("o_custkey").as("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             dsum(fact("o_totalprice")).as("spend"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH dim AS (
+        SELECT o_custkey, min(o_orderdate) AS start_dt,
+               max(o_orderdate) AS end_dt
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+      SELECT f.o_custkey AS o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS spend
+      FROM orders f JOIN dim d ON f.o_custkey = d.o_custkey
+        AND f.o_orderdate BETWEEN d.start_dt AND d.end_dt
+      WHERE f.o_orderstatus = 'O'
+      GROUP BY f.o_custkey ORDER BY o_custkey"""))
+
+  // J3: fact × small dims, broadcast both dims (the ≤500-row ticker lookup
+  // shape). Revenue in exact integer cents² to dodge double-sum drift.
+  private val qJ3 = Q("j3_broadcast_lookup",
+    (s, d) => {
+      val li = T(s, d, "lineitem")
+      val supp = T(s, d, "supplier")
+      val nat = T(s, d, "nation")
+      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice")) *
+               (lit(100L) - cents(col("l_discount")))) / 10000.0)
+            .as("revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_items,
+        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+                 (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+             AS BIGINT) / 10000.0 AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  // J5: backward as-of join — for each purchase, the latest click value at
+  // or before it for the same user (scalable union-sort form, no N+1).
+  private val qJ5 = Q("j5_asof_join",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_seq"),
+          col("value").as("last_click_value"))
+      Relational.asofBackward(purchases, clicks, "user_id", "ts",
+          "click_seq", "last_click_value")
+        .select("event_id", "user_id", "value", "last_click_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, p.value,
+        (SELECT c.value FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts <= p.ts
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+      FROM events p WHERE p.event_type = 'purchase'
+      ORDER BY p.event_id"""))
+
+  // J6: sequential lag + binary label (prev vs curr close,
+  // pyg_graphs.py:184-195)
+  private val qJ6 = Q("j6_lag_label",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, d, "events")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("prev_value"),
+          (col("value") > col("prev_value")).cast("int").as("up_label"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, value, prev_value,
+        CAST(value > prev_value AS INTEGER) AS up_label
+      FROM (SELECT event_id, user_id, value,
+              lag(value, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_value
+            FROM events)
+      ORDER BY event_id"""))
+
+  private val qJ7 = Q("j7_semi_join",
+    (s, d) => {
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders").where(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey"""))
+
+  private val qJ8 = Q("j8_anti_join",
+    (s, d) => {
+      val c = T(s, d, "customer")
+      val o = T(s, d, "orders").where(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------- aggregations
+
+  // A1: collapse simultaneous ticks to a per-bucket mean (hash agg with
+  // map-side partials — correlation_matrix_exporter.py:109)
+  private val qA1 = Q("a1_group_mean",
+    (s, d) => T(s, d, "events")
+      .where(col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan3))
+      .groupBy(Time.bucketSec(col("ts"), 60).as("bucket"), col("user_id"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .orderBy("bucket", "user_id"),
+    Some(s"""SELECT $EP - $EP % 60 AS bucket, user_id, count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM events
+      WHERE ts >= ${tsSql(jan2)} AND ts < ${tsSql(jan3)}
+      GROUP BY 1, 2 ORDER BY bucket, user_id"""))
+
+  // A2: pandas drop_duplicates(keep='first') under an explicit order
+  private val qA2 = Q("a2_keep_first",
+    (s, d) => Relational.keepFirst(
+        T(s, d, "events"), Seq("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("value").as("first_value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, event_id AS first_event_id,
+        value AS first_value,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  // A6: long→wide pivot with a fixed key set (column names = event types)
+  private val qA6 = Q("a6_pivot_wide",
+    (s, d) => T(s, d, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(davg(col("value")))
+      .orderBy("user_id"),
+    Some {
+      val cell = (t: String) =>
+        s"""round(CAST(sum(CASE WHEN event_type = '$t'
+             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+           / count(CASE WHEN event_type = '$t' THEN value END), 6)
+           AS "$t""""
+      s"""SELECT user_id, ${Seq("click", "error", "purchase", "signup", "view")
+            .map(cell).mkString(", ")}
+        FROM events GROUP BY user_id ORDER BY user_id"""
+    })
+
+  // A7: keys present in every day of the window (column-set intersection
+  // across groups, correlation_matrix_exporter.py:200-207)
+  private val qA7 = Q("a7_presence_all_days",
+    (s, d) => {
+      val ev = T(s, d, "events")
+        .where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
+        .withColumn("day", Time.bucketSec(col("ts"), 86400))
+      val full = ev.groupBy("user_id")
+        .agg(countDistinct("day").as("nd"))
+        .where(col("nd") === 7)
+        .select("user_id")
+      ev.join(broadcast(full), Seq("user_id"), "left_semi")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), davg(col("value")).as("avg_value"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH w AS (
+        SELECT user_id, $EP - $EP % 86400 AS day, value FROM events
+        WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan8)}),
+      full_users AS (
+        SELECT user_id FROM w GROUP BY user_id
+        HAVING count(DISTINCT day) = 7)
+      SELECT w.user_id, count(*) AS n_events,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM w WHERE w.user_id IN (SELECT user_id FROM full_users)
+      GROUP BY w.user_id ORDER BY user_id"""))
+
+  // ------------------------------------------------------- sorts / set ops
+
+  private val qO2 = Q("o2_topk",
+    (s, d) => T(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  private val qU1 = Q("u1_union_all",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val a = ev.where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan3) &&
+        col("event_type") === "click")
+      val b = ev.where(col("ts") >= tsLit(jan5) && col("ts") < tsLit(jan8) &&
+        col("event_type") === "view")
+      a.unionByName(b)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type")
+    },
+    Some(s"""SELECT user_id, event_type, count(*) AS n FROM (
+        SELECT user_id, event_type FROM events
+        WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan3)}
+          AND event_type = 'click'
+        UNION ALL
+        SELECT user_id, event_type FROM events
+        WHERE ts >= ${tsSql(jan5)} AND ts < ${tsSql(jan8)}
+          AND event_type = 'view')
+      GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
+
+  private val qU3 = Q("u3_set_ops",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val first = ev.where(col("ts") < tsLit(jan15)).select("user_id")
+      val second = ev.where(col("ts") >= tsLit(jan15)).select("user_id")
+      first.intersect(second).withColumn("tag", lit("both"))
+        .unionByName(first.except(second).withColumn("tag", lit("first_only")))
+        .orderBy("tag", "user_id")
+    },
+    Some(s"""SELECT user_id, 'both' AS tag FROM (
+        SELECT user_id FROM events WHERE ts < ${tsSql(jan15)}
+        INTERSECT
+        SELECT user_id FROM events WHERE ts >= ${tsSql(jan15)})
+      UNION ALL
+      SELECT user_id, 'first_only' AS tag FROM (
+        SELECT user_id FROM events WHERE ts < ${tsSql(jan15)}
+        EXCEPT
+        SELECT user_id FROM events WHERE ts >= ${tsSql(jan15)})
+      ORDER BY tag, user_id"""))
+
+  // ------------------------------------------------------ scalar functions
+
+  // F2: split + element pick with null-when-absent semantics
+  private val qF2 = Q("f2_string_split",
+    (s, d) => T(s, d, "part")
+      .select(col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("tok1"),
+        element_at(split(col("p_name"), " "), 2).as("tok2"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, split_part(p_name, ' ', 1) AS tok1,
+        nullif(split_part(p_name, ' ', 2), '') AS tok2
+      FROM part ORDER BY p_partkey"""))
+
+  // F4/F5: format → string → reparse round-trip (to_timestamp with
+  // coerce-to-null ≈ pandas errors='coerce')
+  private val qF4 = Q("f4_f5_ts_roundtrip",
+    (s, d) => T(s, d, "events")
+      .where(col("ts") < tsLit(jan2))
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("fmt"),
+        unix_timestamp(
+          to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")))
+          .as("reparsed_epoch"))
+      .orderBy("event_id"),
+    Some(s"""SELECT event_id,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
+        epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                          '%Y-%m-%d %H:%M:%S'))//1000 AS reparsed_epoch
+      FROM events WHERE ts < ${tsSql(jan2)} ORDER BY event_id"""))
+
+  // F7/F8: generated business-day calendar (pd.bdate_range analog)
+  private val qF8 = Q("f8_business_days",
+    (s, d) => s.range(1)
+      .select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1995-12-31")),
+        expr("interval 1 day"))).as("d"))
+      .withColumn("dow", expr("weekday(d)"))
+      .where(col("dow") < 5)
+      .orderBy("d"),
+    Some("""SELECT CAST(gs.g AS DATE) AS d, isodow(gs.g) - 1 AS dow
+      FROM generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                           INTERVAL 1 DAY) gs(g)
+      WHERE isodow(gs.g) - 1 < 5 ORDER BY d"""))
+
+  // F12: wide→long melt (matrix stack, pyg_graphs.py:92-94): pivot the
+  // per-user type means wide, then unpivot back to long
+  private val qF12 = Q("f12_unpivot_melt",
+    (s, d) => {
+      val types = Seq("click", "view")
+      val wide = T(s, d, "events")
+        .groupBy("user_id").pivot("event_type", types)
+        .agg(davg(col("value")))
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "avg_value")
+        .where(col("avg_value").isNotNull)
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
+
+  // F14: JSON scalar extraction on events.props
+  private val qF14 = Q("f14_json_extract",
+    (s, d) => T(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("ts") < tsLit(jan3))
+      .orderBy("event_id"),
+    Some(s"""SELECT event_id,
+        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+      FROM events WHERE ts < ${tsSql(jan3)} ORDER BY event_id"""))
+
+  // ----------------------------------------- resampling / windows (W1-W4)
+
+  /** DuckDB mirror of [[Time.resampleFfill]] over events for users < nUsers
+    * in [a,b) at stepSec, as a WITH-clause prefix defining `filled`.
+    */
+  private def ffillSqlCte(nUsers: Int, a: Long, b: Long, step: Long): String =
+    s"""WITH b AS (
+        SELECT $EP - $EP % $step AS bucket, user_id,
+          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                / count(value), 6) AS v
+        FROM events
+        WHERE user_id < $nUsers AND ts >= ${tsSql(a)} AND ts < ${tsSql(b)}
+        GROUP BY 1, 2),
+      g AS (
+        SELECT r.range AS bucket, k.user_id
+        FROM range($a, $b, $step) r CROSS JOIN
+             (SELECT DISTINCT user_id FROM b) k),
+      filled AS (
+        SELECT g.bucket, g.user_id,
+          last_value(b.v IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+        FROM g LEFT JOIN b ON g.bucket = b.bucket AND g.user_id = b.user_id)"""
+
+  private def resampled(s: SparkSession, d: String, nUsers: Int,
+                        a: Long, b: Long, step: Long): DataFrame =
+    Time.resampleFfill(s,
+      T(s, d, "events").where(col("user_id") < nUsers),
+      "user_id", "ts", "value", a, b, step,
+      davg(col("value")))
+
+  // W1: resample to a 1-minute grid with forward fill (flagship #2 —
+  // correlation_matrix_exporter.py:111-116)
+  private val qW1 = Q("w1_resample_ffill",
+    (s, d) => resampled(s, d, 5, jan2, jan3, 60)
+      .select(col("bucket"), col("user_id"), col("value").as("price"))
+      .orderBy("user_id", "bucket"),
+    Some(ffillSqlCte(5, jan2, jan3, 60) +
+      " SELECT bucket, user_id, price FROM filled ORDER BY user_id, bucket"))
+
+  // W2: backward-fill variant (notebook cell 15)
+  private val qW2 = Q("w2_resample_bfill",
+    (s, d) => {
+      val ev = T(s, d, "events").where(col("user_id") < 5)
+      val bucketed = ev
+        .where(col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan3))
+        .groupBy(Time.bucketSec(col("ts"), 60).as("bucket"), col("user_id"))
+        .agg(davg(col("value")).as("value"))
+      val g = Time.grid(s, jan2, jan3, 60, bucketed.select("user_id").distinct())
+      Time.bfill(g.join(bucketed, Seq("bucket", "user_id"), "left"),
+          "user_id", "bucket", "value")
+        .select(col("bucket"), col("user_id"), col("value").as("next_price"))
+        .orderBy("user_id", "bucket")
+    },
+    Some(s"""WITH b AS (
+        SELECT $EP - $EP % 60 AS bucket, user_id,
+          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                / count(value), 6) AS v
+        FROM events
+        WHERE user_id < 5 AND ts >= ${tsSql(jan2)} AND ts < ${tsSql(jan3)}
+        GROUP BY 1, 2),
+      g AS (
+        SELECT r.range AS bucket, k.user_id
+        FROM range($jan2, $jan3, 60) r CROSS JOIN
+             (SELECT DISTINCT user_id FROM b) k)
+      SELECT g.bucket, g.user_id,
+        first_value(b.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_price
+      FROM g LEFT JOIN b ON g.bucket = b.bucket AND g.user_id = b.user_id
+      ORDER BY user_id, bucket"""))
+
+  // W3: epoch-anchored tumbling 4h windows over the month
+  private val qW3 = Q("w3_tumbling_4h",
+    (s, d) => T(s, d, "events")
+      .where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan31))
+      .groupBy(Time.bucketSec(col("ts"), 14400).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .orderBy("bucket", "event_type"),
+    Some(s"""SELECT $EP - $EP % 14400 AS bucket, event_type, count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM events
+      WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan31)}
+      GROUP BY 1, 2 ORDER BY bucket, event_type"""))
+
+  // W4: multi-day tumbling chunks with the reference's drop-incomplete-tail
+  // semantic (correlation_matrix_exporter.py:176): only chunks fully inside
+  // the observed day span survive.
+  private val qW4 = Q("w4_multiday_chunks",
+    (s, d) => {
+      val dayStart = jan1 / 86400 // epoch day of the anchor
+      val ev = T(s, d, "events")
+        .withColumn("day_index",
+          expr(s"unix_timestamp(ts) div 86400 - $dayStart"))
+      val withChunk = ev.withColumn("chunk", expr("day_index div 7"))
+      val nChunks = ev.agg(
+        expr("(max(day_index) + 1) div 7").as("n_chunks"))
+      withChunk.crossJoin(broadcast(nChunks))
+        .where(col("chunk") < col("n_chunks"))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          davg(col("value")).as("avg_value"))
+        .orderBy("chunk")
+    },
+    Some(s"""WITH d AS (
+        SELECT user_id, value,
+          $EP//86400 - ${jan1 / 86400} AS day_index
+        FROM events),
+      t AS (SELECT (max(day_index) + 1)//7 AS n_chunks FROM d)
+      SELECT day_index//7 AS chunk, count(*) AS n_events,
+        count(DISTINCT user_id) AS n_users,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM d, t WHERE day_index//7 < t.n_chunks
+      GROUP BY 1 ORDER BY chunk"""))
+
+  // A3 (flagship): pairwise Pearson correlation matrix in long form over
+  // the resampled, forward-filled panel — pairwise-complete semantics (a
+  // pair's rows are skipped only where either side is null, exactly
+  // pandas DataFrame.corr / SQL corr()).
+  private val qA3 = Q("a3_corr_matrix",
+    (s, d) => {
+      val filled = resampled(s, d, 10, jan1, jan8, 300)
+      val a = filled.select(col("bucket"), col("user_id").as("i"),
+        col("value").as("va"))
+      val b = filled.select(col("bucket"), col("user_id").as("j"),
+        col("value").as("vb"))
+      a.join(b, Seq("bucket")).where(col("i") < col("j"))
+        .groupBy("i", "j")
+        .agg(round(corr(col("va"), col("vb")), 6).as("rho"))
+        .orderBy("i", "j")
+    },
+    Some(ffillSqlCte(10, jan1, jan8, 300) +
+      """ SELECT a.user_id AS i, b.user_id AS j,
+          round(corr(a.price, b.price), 6) AS rho
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2 ORDER BY i, j"""))
+
+  // --------------------------------------------------------------- wiring
+
+  private val all: Seq[Q] = Seq(
+    qS1, qP3, qP4, qP5, qP6, qP10,
+    qJ1, qJ3, qJ5, qJ6, qJ7, qJ8,
+    qA1, qA2, qA6, qA7,
+    qO2, qU1, qU3,
+    qF2, qF4, qF8, qF12, qF14,
+    qW1, qW2, qW3, qW4, qA3)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qA3.fn(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

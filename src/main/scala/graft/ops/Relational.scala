@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational helpers: validity-interval joins, as-of joins, keep-first
+  * dedup — the join/dedup shapes the reference implements with pandas
+  * merge+query chains.
+  */
+object Relational {
+
+  /** Inner equi + interval (theta) join: fact rows where `factDate` falls
+    * inside the dimension's validity window `[fromCol, toCol]`.
+    *
+    * The reference does this twice per universe build — once as SQL
+    * (`JOIN ... WHERE b.date BETWEEN a.start AND a.ending`,
+    * reference TAQpipeline/correlation_matrix_exporter.py:12-18) and once as
+    * pandas left-merge followed by `.query('date >= namedt and date <=
+    * nameendt')` (:31-35), which is semantically an INNER interval join
+    * because the filter drops null-extended rows. We reproduce it as a
+    * single inner join with a compound condition: Catalyst extracts the
+    * equi key for the shuffle/broadcast and keeps the BETWEEN as a residual
+    * predicate, so at scale this is one hash join, not a range scan.
+    */
+  def joinValid(fact: DataFrame, dim: DataFrame, key: String,
+                factDate: String, fromCol: String, toCol: String): DataFrame =
+    fact.join(dim,
+      fact(key) === dim(key) &&
+        fact(factDate) >= dim(fromCol) && fact(factDate) <= dim(toCol),
+      "inner")
+
+  /** Backward as-of join, scalable form (union + sort + last-ignore-nulls):
+    * for each left row, the latest right row with rightOrd <= leftOrd within
+    * the same key. One shuffle by key, no per-row subquery — the reference's
+    * per-ticker "pull a window then head(1)" (pyg_graphs.py:172-179) is an
+    * N+1 anti-pattern this replaces.
+    *
+    * left must have (key, ord, ...); right must have (key, ord, payload).
+    * Tie-break: at equal `ord`, right rows are considered visible to left
+    * rows (<=), and among equal-ord right rows the one with the largest
+    * `seqCol` wins. Returns left columns + `payload`.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   ord: String, seq: String, payload: String): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+      .withColumn(payload, lit(null).cast(right.schema(payload).dataType))
+    val r = right.select(col(key), col(ord), col(seq), col(payload))
+      .withColumn("__side", lit(0))
+    val unioned = l.select((left.columns.map(col) :+ col(payload) :+
+      col("__side")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // right rows (__side=0) sort before left rows at equal ord, so a right
+    // row at exactly ord is visible; among equal-ord rights, larger seq wins.
+    val w = Window.partitionBy(key).orderBy(col(ord), col("__side"), col(seq))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col(payload), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop(payload, "__side")
+      .withColumnRenamed("__asof", payload)
+  }
+
+  /** pandas `drop_duplicates(keep='first')` with an explicit order: the
+    * first row per key under (orderCols) — deterministic, unlike Spark's
+    * `dropDuplicates` which keeps an arbitrary row.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String],
+                order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series primitives: epoch-anchored bucketing, regular-grid
+  * generation, forward/backward fill.
+  *
+  * Mirrors the reference's pandas `resample(freq).ffill()` chain
+  * (reference TAQpipeline/correlation_matrix_exporter.py:111-116,
+  * cloud_TAQ/taq_chunks.py:86-91) as two relational steps: bucket-aggregate,
+  * then grid-join + gap-fill window. All bucket math is pure integer
+  * arithmetic on epoch seconds so the Spark plan and the DuckDB oracle
+  * agree bit-for-bit (pandas resample bins are epoch-anchored; so are
+  * these).
+  *
+  * Scale notes: the ffill window partitions by series key (`user_id` ≈
+  * permno) — at 100 TB that is a single shuffle by key, each partition
+  * sorted by bucket; no driver-side loop, no per-series collect. The grid
+  * is generated with `explode(sequence(...))` sized by the window span,
+  * not by the data, so its cost is O(grid × keys) regardless of tick
+  * volume.
+  */
+object Time {
+
+  /** Epoch-anchored tumbling bucket start, in epoch seconds (integer math:
+    * `unix_timestamp` truncates toward 0, valid for post-1970 data).
+    */
+  def bucketSec(ts: Column, widthSec: Long): Column = {
+    val s = unix_timestamp(ts)
+    s - pmod(s, lit(widthSec))
+  }
+
+  /** Regular grid of bucket-start epoch seconds [startSec, endSec) crossed
+    * with the distinct series keys of `keys` (a one-column DataFrame).
+    */
+  def grid(spark: SparkSession, startSec: Long, endSec: Long,
+           stepSec: Long, keys: DataFrame): DataFrame = {
+    val buckets = spark.range(1)
+      .select(explode(sequence(lit(startSec), lit(endSec - stepSec),
+        lit(stepSec))).as("bucket"))
+    // keys is small (distinct series ids); broadcast the cross product side
+    buckets.crossJoin(broadcast(keys))
+  }
+
+  /** Forward-fill `valueCol` within each series ordered by `orderCol`
+    * (pandas `ffill`): last non-null value at or before the current row.
+    */
+  def ffill(df: DataFrame, keyCol: String, orderCol: String,
+            valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Backward-fill (pandas `bfill`, reference notebook cell 15). */
+  def bfill(df: DataFrame, keyCol: String, orderCol: String,
+            valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Bucket + mean (the reference's dedup-mean of simultaneous ticks, A1:
+    * correlation_matrix_exporter.py:109) then grid-join + ffill — the full
+    * `resample(freq).ffill()` equivalent over [startSec, endSec).
+    *
+    * Input: (ts: timestamp, key, value). Output: (bucket: long epoch sec,
+    * key, value: double ffilled, may be null before first observation).
+    */
+  def resampleFfill(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                    tsCol: String, valueCol: String,
+                    startSec: Long, endSec: Long, stepSec: Long,
+                    agg: Column): DataFrame = {
+    val bucketed = ticks
+      .where(col(tsCol) >= timestamp_seconds(lit(startSec)) &&
+             col(tsCol) < timestamp_seconds(lit(endSec)))
+      .groupBy(bucketSec(col(tsCol), stepSec).as("bucket"), col(keyCol))
+      .agg(agg.as(valueCol))
+    val keys = bucketed.select(keyCol).distinct()
+    val g = grid(spark, startSec, endSec, stepSec, keys)
+    val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
+    ffill(joined, keyCol, "bucket", valueCol)
+  }
+}

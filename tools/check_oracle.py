@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Registers each fixture parquet as a DuckDB view, runs every SQL in
+oracle_sql.json, loads the corresponding Spark parquet result, sorts
+columns by name, and compares shape + values (exact for non-floats,
+reporting max abs diff for floats). This is dev tooling only — the
+shipped Scala library has no Python dependency.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    sort_cols = list(df.columns)
+    df = df.sort_values(by=sort_cols, kind="mergesort",
+                        na_position="last").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_ok = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            want = con.execute(oracle[name]).df()
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        want, got = norm(want), norm(got)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns want={list(want.columns)} "
+                  f"got={list(got.columns)}")
+            n_fail += 1
+            continue
+        if want.shape != got.shape:
+            print(f"FAIL {name}: shape want={want.shape} got={got.shape}")
+            n_fail += 1
+            continue
+        bad = None
+        max_f = 0.0
+        for c in want.columns:
+            w, g = want[c], got[c]
+            if w.dtype.kind == "f" or g.dtype.kind == "f":
+                for i, (a, b) in enumerate(zip(w, g)):
+                    an, bn = (isinstance(a, float) and math.isnan(a)), \
+                             (isinstance(b, float) and math.isnan(b))
+                    if an != bn:
+                        bad = (c, i, a, b)
+                        break
+                    if not an and a != b:
+                        max_f = max(max_f, abs(a - b))
+                        if abs(a - b) > 0:
+                            bad = bad or (c, i, a, b)
+            else:
+                neq = (w.astype(object) != g.astype(object)) & ~(
+                    w.isna() & g.isna())
+                if neq.any():
+                    i = int(neq.idxmax())
+                    bad = (c, i, w[i], g[i])
+            if bad and max_f == 0:
+                break
+        if bad and max_f > 0:
+            print(f"FAIL {name}: float diff col={bad[0]} row={bad[1]} "
+                  f"want={bad[2]!r} got={bad[3]!r} maxabs={max_f:g}")
+            n_fail += 1
+        elif bad:
+            print(f"FAIL {name}: col={bad[0]} row={bad[1]} "
+                  f"want={bad[2]!r} got={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"OK   {name} ({want.shape[0]} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
