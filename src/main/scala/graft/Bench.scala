@@ -1,24 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at the env-selected scale
+  * factor and emits ONE JSON line on stdout (plus a copy at
+  * `$SPARK_GRAFT_BENCH_OUT` if set, so the result survives stdout noise).
+  *
+  * Methodology: each query is fully materialized through a `noop`-format
+  * write — unlike `.count()`, the noop sink cannot let Catalyst drop sorts
+  * or prune the output projection, so the measured time is the real cost of
+  * producing every output row. A failing query is reported loudly on stderr
+  * and recorded as -1 so a time-to-crash never pollutes the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.build("graft-bench")
+    var failures = 0
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failures += 1
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val good = results.filter(_._2 >= 0)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = good.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .foreach(p => Files.writeString(Paths.get(p), line + "\n"))
     spark.stop()
   }
 }

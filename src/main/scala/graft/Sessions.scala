@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place to build the engine's SparkSession so every entry point
+  * (Verify, Bench, tests) agrees on the session-level contracts:
+  *
+  *   - UTC session timezone (the DuckDB oracle uses naive timestamps);
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the `events` fixture
+  *     stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4's vectorized
+  *     reader refuses to widen to TimestampType; reading it as a long and
+  *     deriving the timestamp in [[Catalog.load]] keeps the scan vectorized;
+  *   - shuffle partitions sized to the local core count (not the 200
+  *     default) — on a real cluster this is instead sized to input volume
+  *     (or left to AQE coalescing).
+  */
+object Sessions {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def build(appName: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -42,11 +42,15 @@ object SparkEntry {
   private val jan31 = sec("2024-01-31T00:00:00")
 
   private def tsLit(epochSec: Long): Column = timestamp_seconds(lit(epochSec))
-  /** DuckDB naive-timestamp literal for the same epoch second. */
+  /** DuckDB naive-timestamp literal for the same epoch second. Explicit
+    * second-resolution pattern: LocalDateTime.toString drops ":00" seconds,
+    * which DuckDB's timestamp parser rejects.
+    */
   private def tsSql(epochSec: Long): String =
     "TIMESTAMP '" + java.time.LocalDateTime
       .ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
-      .toString.replace('T', ' ') + "'"
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")) + "'"
 
   /** DuckDB epoch-seconds of a naive timestamp (floor, integer math). */
   private val EP = "(epoch_ms(ts)//1000)"
@@ -527,7 +531,7 @@ object SparkEntry {
           PARTITION BY g.user_id ORDER BY g.bucket
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_price
       FROM g LEFT JOIN b ON g.bucket = b.bucket AND g.user_id = b.user_id
-      ORDER BY user_id, bucket"""))
+      ORDER BY g.user_id, g.bucket"""))
 
   // W3: epoch-anchored tumbling 4h windows over the month
   private val qW3 = Q("w3_tumbling_4h",

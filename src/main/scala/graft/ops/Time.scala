@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   * Scale notes: the ffill window partitions by series key (`user_id` ≈
   * permno) — at 100 TB that is a single shuffle by key, each partition
   * sorted by bucket; no driver-side loop, no per-series collect. The grid
-  * is generated with `explode(sequence(...))` sized by the window span,
+  * is generated with a distributed `spark.range` sized by the window span,
   * not by the data, so its cost is O(grid × keys) regardless of tick
-  * volume.
+  * volume, and it parallelizes across all cores.
   */
 object Time {
 
@@ -34,13 +34,17 @@ object Time {
 
   /** Regular grid of bucket-start epoch seconds [startSec, endSec) crossed
     * with the distinct series keys of `keys` (a one-column DataFrame).
+    *
+    * `spark.range` is a distributed leaf (one slice per core), so a year of
+    * 250 ms buckets (~126 M rows) is generated in parallel — unlike an
+    * `explode(sequence(...))` over a single row, which would funnel the
+    * whole grid through one task. The key set (≤ a few thousand series ids)
+    * is broadcast onto it.
     */
   def grid(spark: SparkSession, startSec: Long, endSec: Long,
            stepSec: Long, keys: DataFrame): DataFrame = {
-    val buckets = spark.range(1)
-      .select(explode(sequence(lit(startSec), lit(endSec - stepSec),
-        lit(stepSec))).as("bucket"))
-    // keys is small (distinct series ids); broadcast the cross product side
+    val buckets = spark.range(startSec, endSec, stepSec)
+      .select(col("id").as("bucket"))
     buckets.crossJoin(broadcast(keys))
   }
 
