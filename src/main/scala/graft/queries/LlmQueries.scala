@@ -1,0 +1,459 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Catalog
+import graft.ops.{Similarity, Text}
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), text analysis (stats/quality, language heuristic,
+  * fingerprinting), similarity search (brute-force cosine top-k and a
+  * sign-LSH bucketed variant), and the multimodal binary-column plumbing.
+  *
+  * These go beyond the reference's own operator set (the BASELINE north
+  * star): at 100 TB these are the ops a training-data curation pass runs
+  * over a document lake. Every query's plan avoids all-pairs comparison —
+  * near-dup candidates come from band-bucket joins (shuffle by band key),
+  * similarity probes prune by bucket before any join.
+  */
+object LlmQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(s, dir, name)
+
+  // ------------------------------------------------------------------ dedup
+
+  // d1: exact + normalized content dedup with deterministic keep-first.
+  // exact_dupes counts byte-identical texts (md5 of the raw text);
+  // canonical_id/group_size dedup on the sorted-distinct-word signature
+  // (the "normalize then hash" pass real pipelines run first). One
+  // hash-shuffle per signature; keep-first = min(doc_id) per group.
+  private val qD1 = Q("d1_exact_dedup",
+    (s, d) => {
+      val sig = T(s, d, "documents").select(col("doc_id"),
+        md5(col("text")).as("exact_sig"),
+        md5(array_join(array_sort(array_distinct(Text.words(col("text")))),
+          "|")).as("norm_sig"))
+      val wN = Window.partitionBy("norm_sig")
+      val wE = Window.partitionBy("exact_sig")
+      sig.withColumn("canonical_id", min("doc_id").over(wN))
+        .withColumn("group_size", count(lit(1)).over(wN))
+        .withColumn("exact_dupes", count(lit(1)).over(wE))
+        .select(col("doc_id"), col("canonical_id"), col("group_size"),
+          (col("doc_id") === col("canonical_id")).cast("int")
+            .as("is_canonical"),
+          col("exact_dupes"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sig AS (
+        SELECT doc_id, md5(text) AS exact_sig,
+          md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+              '|')) AS norm_sig
+        FROM documents)
+      SELECT doc_id,
+        min(doc_id) OVER (PARTITION BY norm_sig) AS canonical_id,
+        count(*) OVER (PARTITION BY norm_sig) AS group_size,
+        CAST(doc_id = min(doc_id) OVER (PARTITION BY norm_sig) AS INT)
+          AS is_canonical,
+        count(*) OVER (PARTITION BY exact_sig) AS exact_dupes
+      FROM sig ORDER BY doc_id"""))
+
+  // d2: MinHash + LSH near-dedup. 12 minhashes over unigram shingles,
+  // 2 bands × 6 rows (tuned for the J≈0.95 near-identical target);
+  // candidates share a band key (the join shuffles by (band, key) — never
+  // all-pairs), then exact Jaccard verification keeps J >= 0.95.
+  private val d2MinSql: Int => String = n =>
+    (0 until n).map(s => s"min(CASE WHEN seed=$s THEN h END)").mkString(", ")
+  private val qD2 = Q("d2_minhash_lsh",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val sh = Text.explodeShingles(docs, "doc_id", "text", 1)
+      val sig = Text.minhashSignature(sh, "doc_id", 12)
+      val bands = Text.bandKeys(sig, "doc_id", 2, 6)
+      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
+      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("j"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // Size-ratio prefilter: jac <= min(|A|,|B|)/max(|A|,|B|), so pairs
+      // whose sizes differ by more than the threshold can never verify.
+      // Margin 0.949999 (not 0.95) keeps pairs whose exact jac rounds up
+      // to the 6-dp threshold, so the output is provably unchanged.
+      val cand = a
+        .join(broadcast(sizes.select(col("doc_id").as("i"),
+          col("sz").as("sa"))), Seq("i"))
+        .join(b.join(broadcast(sizes.select(col("doc_id").as("j"),
+          col("sz").as("sb"))), Seq("j")), Seq("band", "bkey"))
+        .where(col("i") < col("j") &&
+          least(col("sa"), col("sb")) * 1000000L >=
+            greatest(col("sa"), col("sb")) * 949999L)
+        .select("i", "j", "sa", "sb").distinct()
+      // Verify via inverted-index count-join, not per-pair array
+      // intersection: candidate × left-shingles, equi-join against right
+      // shingles on (j, shingle), hash-count per pair. Intersection sizes
+      // arrive from a map-side-combined aggregation instead of O(|A|·|B|)
+      // set ops per pair — the shape that survives millions of candidates.
+      cand
+        .join(sh.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
+        .join(sh.select(col("doc_id").as("j"), col("shingle")),
+          Seq("j", "shingle"))
+        .groupBy("i", "j", "sa", "sb").agg(count(lit(1)).as("inter"))
+        .withColumn("jac", round(col("inter") /
+          (col("sa") + col("sb") - col("inter")), 6))
+        .where(col("jac") >= 0.95)
+        .select("i", "j", "jac").orderBy("i", "j")
+    },
+    Some(s"""WITH ex AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
+        FROM documents),
+      mh AS (
+        SELECT doc_id, seed, min(md5(concat(seed, '|', s))) AS h
+        FROM ex CROSS JOIN (SELECT unnest(range(12)) AS seed) t
+        GROUP BY doc_id, seed),
+      sig AS (
+        SELECT doc_id, md5(concat_ws('|', ${d2MinSql(6)})) AS k0,
+          md5(concat_ws('|', ${(6 until 12).map(x =>
+            s"min(CASE WHEN seed=$x THEN h END)").mkString(", ")})) AS k1
+        FROM mh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, k0 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1, k1 FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+        FROM documents)
+      SELECT i, j, jac FROM (
+        SELECT c.i, c.j,
+          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+            AS jac
+        FROM cand c JOIN sets a ON c.i = a.doc_id
+                    JOIN sets b ON c.j = b.doc_id)
+      WHERE jac >= 0.95 ORDER BY i, j"""))
+
+  // d3: SimHash near-dedup. 60-bit weighted simhash per doc; candidate
+  // pairs share one of four 15-bit pieces (piece-equality bucket join —
+  // the standard "hamming distance via piecewise exact match" trick);
+  // verified at hamming <= 6.
+  private val qD3 = Q("d3_simhash",
+    (s, d) => {
+      val sh = Text.simhash(T(s, d, "documents"), "doc_id", "text")
+      val pieces = sh.select(col("doc_id"), col("simhash"),
+          explode(typedLit(Seq(0, 1, 2, 3))).as("p"))
+        .withColumn("piece", expr("shiftright(simhash, 15 * p) & 32767"))
+      val a = pieces.select(col("p"), col("piece"), col("doc_id").as("i"),
+        col("simhash").as("sa"))
+      val b = pieces.select(col("p"), col("piece"), col("doc_id").as("j"),
+        col("simhash").as("sb"))
+      a.join(b, Seq("p", "piece")).where(col("i") < col("j"))
+        .select("i", "j", "sa", "sb").distinct()
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .where(col("hamming") <= 6)
+        .select("i", "j", "hamming").orderBy("i", "j")
+    },
+    Some("""WITH tf AS (
+        SELECT doc_id, w, count(*) AS cnt,
+          CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w),
+      bits AS (
+        SELECT doc_id, b, sum(cnt * (2 * ((h >> b) & 1) - 1)) AS s
+        FROM tf CROSS JOIN (SELECT unnest(range(60)) AS b) t
+        GROUP BY doc_id, b),
+      sh AS (
+        SELECT doc_id,
+          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS simhash
+        FROM bits GROUP BY doc_id),
+      pieces AS (
+        SELECT doc_id, simhash, p, (simhash >> (15 * p)) & 32767 AS piece
+        FROM sh CROSS JOIN (SELECT unnest(range(4)) AS p) t),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+          a.simhash AS sa, b.simhash AS sb
+        FROM pieces a JOIN pieces b
+          ON a.p = b.p AND a.piece = b.piece AND a.doc_id < b.doc_id)
+      SELECT i, j, bit_count(xor(sa, sb)) AS hamming FROM cand
+      WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY i, j"""))
+
+  // d4: exact bigram-shingle Jaccard similarity join, blocked by language
+  // (at scale the block key would be d2's LSH bands; lang blocking keeps
+  // this an exact-Jaccard demonstration with a non-quadratic join).
+  private val qD4 = Q("d4_ngram_jaccard",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      // Inverted-index form: explode distinct bigrams once per doc, then
+      // pairs materialize only through shared (lang, shingle) postings and
+      // intersection sizes come from a hash-count — never an all-pairs
+      // block join carrying shingle arrays.
+      val ex = docs.select(col("lang"), col("doc_id"),
+        explode(Text.shingles(col("text"), 2)).as("sh"))
+      val sizes = docs.select(col("doc_id"),
+        size(Text.shingles(col("text"), 2)).as("sz"))
+      val inter = ex.select(col("lang"), col("doc_id").as("i"), col("sh"))
+        .join(ex.select(col("lang"), col("doc_id").as("j"), col("sh")),
+          Seq("lang", "sh"))
+        .where(col("i") < col("j"))
+        .groupBy("lang", "i", "j").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("i"),
+          col("sz").as("sa"))), Seq("i"))
+        .join(broadcast(sizes.select(col("doc_id").as("j"),
+          col("sz").as("sb"))), Seq("j"))
+        .withColumn("jac", round(col("inter") /
+          (col("sa") + col("sb") - col("inter")), 6))
+        .where(col("jac") >= 0.10)
+        .select("lang", "i", "j", "jac").orderBy("i", "j")
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, lang,
+          list_distinct([array_to_string(w[i:i+1], ' ')
+                         for i in range(1, len(w))]) AS s
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+              FROM documents))
+      SELECT lang, i, j, jac FROM (
+        SELECT a.lang, a.doc_id AS i, b.doc_id AS j,
+          round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jac
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      WHERE jac >= 0.10 ORDER BY i, j"""))
+
+  // ---------------------------------------------------------- text analysis
+
+  // t1: per-document statistics + quality score (length, type-token ratio,
+  // stopword ratio, vowel/consonant-run "BPE-ish" subtoken count). Pure
+  // projection — no shuffle at all; at 100 TB this is a map-only pass.
+  private val qT1 = Q("t1_text_stats",
+    (s, d) => {
+      val w = Text.words(col("text"))
+      val nTok = size(w)
+      val nUniq = size(array_distinct(w))
+      val nStop = size(filter(w, x => x.isin(Text.stopwords: _*)))
+      T(s, d, "documents").select(col("doc_id"),
+          nTok.as("n_tokens"), nUniq.as("n_uniq"), nStop.as("n_stop"),
+          size(regexp_extract_all(col("text"),
+            lit("[aeiou]+|[^aeiou ]+"), lit(0))).as("n_subtokens"),
+          round((col("n_chars") - nTok + 1) / nTok, 6).as("avg_token_len"),
+          round(nUniq / nTok, 6).as("ttr"),
+          round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
+            lit(0.4) * (nUniq / nTok) +
+            lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_tokens, n_uniq, n_stop, n_subtokens,
+        round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
+          AS avg_token_len,
+        round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS ttr,
+        round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) +
+          0.4 * (CAST(n_uniq AS DOUBLE) / n_tokens) +
+          0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+      FROM (
+        SELECT doc_id, n_chars,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_uniq,
+          len(list_filter(string_split(text, ' '),
+              x -> x = 'a' OR x = 'the')) AS n_stop,
+          len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))
+            AS n_subtokens
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  // t2: language-ID heuristic — score each candidate language's
+  // function-word profile against the token list, argmax with
+  // lexicographic tie-break. Profile table is broadcast; one map-side
+  // scoring pass plus a per-doc top-1 window.
+  private val qT2 = Q("t2_lang_id",
+    (s, d) => {
+      import s.implicits._
+      val prof = Text.langProfiles.toDF("cand_lang", "profile")
+      val scored = T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), Text.words(col("text")).as("w"))
+        .crossJoin(broadcast(prof))
+        .withColumn("score", round(
+          size(filter(col("w"),
+            x => array_contains(col("profile"), x))) / size(col("w")), 6))
+      val top = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand_lang"))
+      scored.withColumn("rn", row_number().over(top)).where(col("rn") === 1)
+        .select(col("doc_id"), col("lang"),
+          col("cand_lang").as("pred_lang"), col("score"),
+          (col("cand_lang") === col("lang")).cast("int").as("correct"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val values = Text.langProfiles.map { case (l, ws) =>
+        s"('$l', [${ws.map(w => s"'$w'").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH prof(cand_lang, profile) AS (VALUES $values),
+        sc AS (
+          SELECT doc_id, lang, cand_lang,
+            round(CAST(len(list_filter(w, x -> list_contains(profile, x)))
+                AS DOUBLE) / len(w), 6) AS score
+          FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+                FROM documents)
+          CROSS JOIN prof)
+        SELECT doc_id, lang, cand_lang AS pred_lang, score,
+          CAST(cand_lang = lang AS INT) AS correct
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, cand_lang) AS rn FROM sc)
+        WHERE rn = 1 ORDER BY doc_id"""
+    })
+
+  // t3: winnowing fingerprint — min rolling-hash over 5-word windows
+  // (B=131, M=1e9+7, word value = 60-bit md5 hash mod M).
+  private val qT3 = Q("t3_fingerprint",
+    (s, d) => Text.fingerprint(T(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      e AS (SELECT doc_id, unnest(range(len(w))) AS pos, w FROM d),
+      wpos AS (
+        SELECT doc_id, pos,
+          CAST(concat('0x', substr(md5(w[pos + 1]), 1, 15)) AS BIGINT)
+            % 1000000007 AS wh
+        FROM e),
+      terms AS (
+        SELECT doc_id, pos - j AS i,
+          wh * ([294499921, 2248091, 17161, 131, 1][j + 1]) % 1000000007
+            AS term
+        FROM wpos CROSS JOIN (SELECT unnest(range(5)) AS j) ofs
+        WHERE pos - j >= 0),
+      h AS (SELECT doc_id, i, sum(term) AS hsum, count(*) AS n
+            FROM terms GROUP BY doc_id, i)
+      SELECT doc_id, min(hsum % 1000000007) AS fingerprint
+      FROM h WHERE n = 5 GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------------ similarity search
+
+  private def embExploded(s: SparkSession, d: String): DataFrame =
+    Similarity.exploded(T(s, d, "embeddings"), "vec_id")
+
+  /** DuckDB CTE prefix shared by e1/e2: exploded (vec_id, pos, x) and
+    * exact decimal squared norms.
+    */
+  private val embSqlPrefix =
+    """x AS (
+        SELECT vec_id, pos, CAST(emb[pos] AS DOUBLE) AS x FROM (
+          SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+            embedding AS emb
+          FROM embeddings)),
+      n AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(38,20))) AS sq
+            FROM x GROUP BY vec_id)"""
+
+  // e1: brute-force cosine top-3 for probe vectors vec_id < 5 — the exact
+  // baseline every ANN variant is measured against. Probe side is
+  // broadcast; dot products shuffle by (qid, tid); decimal sums keep the
+  // result engine-exact (see Similarity's determinism contract).
+  private val qE1 = Q("e1_cosine_topk",
+    (s, d) => {
+      val ex = embExploded(s, d)
+      val norms = Similarity.sqNorms(ex, "vec_id")
+      val cos = Similarity.cosine(ex.where(col("vec_id") < 5), ex,
+          norms.where(col("vec_id") < 5), norms)
+        .where(col("qid") =!= col("tid"))
+      Similarity.topK(cos, 3)
+        .select(col("qid"), col("tid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $embSqlPrefix,
+      d AS (
+        SELECT q.vec_id AS qid, t.vec_id AS tid,
+          sum(CAST(t.x * q.x AS DECIMAL(38,20))) AS dot
+        FROM x t JOIN x q ON t.pos = q.pos
+          AND q.vec_id < 5 AND t.vec_id != q.vec_id
+        GROUP BY 1, 2),
+      c AS (
+        SELECT qid, tid, CAST(dot AS DOUBLE) /
+          sqrt(CAST(qn.sq AS DOUBLE) * CAST(tn.sq AS DOUBLE)) AS cosine
+        FROM d JOIN n qn ON qn.vec_id = qid JOIN n tn ON tn.vec_id = tid)
+      SELECT qid, tid, rank, round(cosine, 6) AS cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, tid) AS rank FROM c)
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  // e2: sign-LSH bucketed ANN — probes search only their own 4-bit sign
+  // bucket (~1/16 of the lake), the scale path that replaces e1's full
+  // scan. Same exact-cosine machinery on the pruned candidate set.
+  private val qE2 = Q("e2_ann_lsh",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+        .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+      val probes = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("bucket"))
+      val cand = emb.select(col("vec_id").as("tid"), col("bucket"))
+        .join(broadcast(probes), Seq("bucket"))
+        .where(col("tid") =!= col("qid"))
+        .select("qid", "tid")
+      val ex = embExploded(s, d)
+      val norms = Similarity.sqNorms(ex, "vec_id")
+      val tx = ex.select(col("vec_id").as("tid"), col("pos"), col("x"))
+        .join(cand, Seq("tid"))
+      val qx = ex.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("pos"), col("x").as("qxv"))
+      val dots = tx.join(broadcast(qx), Seq("qid", "pos"))
+        .groupBy("qid", "tid")
+        .agg(sum((col("x") * col("qxv"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 20))).as("dot"))
+      val cos = dots
+        .join(broadcast(norms.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("sq").as("qsq"))), Seq("qid"))
+        .join(norms.select(col("vec_id").as("tid"), col("sq").as("tsq")),
+          Seq("tid"))
+        .select(col("qid"), col("tid"), (col("dot").cast("double") /
+          sqrt(col("qsq").cast("double") * col("tsq").cast("double")))
+          .as("cosine"))
+      Similarity.topK(cos, 3)
+        .select(col("qid"), col("tid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH b AS (
+        SELECT vec_id,
+          CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+          + 4 * CAST(embedding[3] > 0 AS INT)
+          + 8 * CAST(embedding[4] > 0 AS INT) AS bucket
+        FROM embeddings),
+      cand AS (
+        SELECT q.vec_id AS qid, t.vec_id AS tid
+        FROM b q JOIN b t ON q.bucket = t.bucket
+          AND q.vec_id < 5 AND t.vec_id != q.vec_id),
+      $embSqlPrefix,
+      d AS (
+        SELECT c.qid, c.tid, sum(CAST(t.x * q.x AS DECIMAL(38,20))) AS dot
+        FROM cand c JOIN x t ON t.vec_id = c.tid
+          JOIN x q ON q.vec_id = c.qid AND q.pos = t.pos
+        GROUP BY 1, 2),
+      c AS (
+        SELECT qid, tid, CAST(dot AS DOUBLE) /
+          sqrt(CAST(qn.sq AS DOUBLE) * CAST(tn.sq AS DOUBLE)) AS cosine
+        FROM d JOIN n qn ON qn.vec_id = qid JOIN n tn ON tn.vec_id = tid)
+      SELECT qid, tid, rank, round(cosine, 6) AS cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, tid) AS rank FROM c)
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  // ------------------------------------------------------------- multimodal
+
+  // m1: multimodal binary-column plumbing. The fixture has no real media,
+  // so the payload is the utf-8 text bytes and the "decode" is the typed
+  // mapPartitions stub in [[graft.ops.Multimodal]] — the schema, batch
+  // shape, and partition-local decoder lifecycle are the real thing; only
+  // the codec is fake. The oracle mirrors the stub's deterministic
+  // arithmetic on the same bytes.
+  private val qM1 = Q("m1_multimodal_decode",
+    (s, d) => graft.ops.Multimodal.decodeStub(s,
+        T(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(strlen(text) AS INT) AS n_bytes,
+        CAST(strlen(text) // 16 AS INT) AS n_frames,
+        substr(md5(text), 1, 8) AS sample_hash
+      FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qD1, qD2, qD3, qD4, qT1, qT2, qT3, qE1, qE2, qM1)
+}
