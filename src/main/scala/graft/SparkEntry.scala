@@ -593,12 +593,45 @@ object SparkEntry {
         .agg(round(corr(col("va"), col("vb")), 6).as("rho"))
         .orderBy("i", "j")
     },
-    Some(ffillSqlCte(10, jan1, jan8, 300) +
-      """ SELECT a.user_id AS i, b.user_id AS j,
+    Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
+
+  /** Shared oracle tail for the corr-matrix tiers (pair-join form —
+    * DuckDB's `corr` is itself pairwise-complete, so it oracles both).
+    */
+  private def corrSqlTail: String =
+    """ SELECT a.user_id AS i, b.user_id AS j,
           round(corr(a.price, b.price), 6) AS rho
         FROM filled a JOIN filled b
           ON a.bucket = b.bucket AND a.user_id < b.user_id
-        GROUP BY 1, 2 ORDER BY i, j"""))
+        GROUP BY 1, 2 ORDER BY i, j"""
+
+  // A3 tier iii (SURVEY §2.9/§7): the one-pass pairwise-complete co-moment
+  // UDAF — co-moment state crosses the shuffle instead of k² rows per
+  // bucket (see [[graft.functions.CorrMatrixAgg]]). The tiny driver-side
+  // collect fetches only the k distinct series ids (dimension metadata,
+  // not data).
+  private val qA3b = Q("a3b_corr_onepass",
+    (s, d) => {
+      import s.implicits._
+      val filled = resampled(s, d, 10, jan1, jan8, 300)
+      val users: Seq[Long] = filled.select("user_id").distinct()
+        .orderBy("user_id").as[Long].collect().toSeq
+      val k = users.size
+      val panel = filled.groupBy("bucket").agg(
+        map_from_entries(collect_list(struct(col("user_id").cast("int"),
+          coalesce(col("value"), lit(Double.NaN))))).as("m"))
+        .select(array(users.map(u =>
+          coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
+          .as("vals"))
+      panel.agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+          .as("cells"))
+        .select(explode(col("cells")).as("c"))
+        .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
+          element_at(typedLit(users), col("c.j") + 1).as("j"),
+          round(col("c.rho"), 6).as("rho"))
+        .orderBy("i", "j")
+    },
+    Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
 
   // --------------------------------------------------------------- wiring
 
@@ -608,7 +641,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qA3) ++ LlmQueries.all
+    qW1, qW2, qW3, qW4, qA3, qA3b) ++ LlmQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

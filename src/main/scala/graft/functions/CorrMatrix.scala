@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** One cell of the correlation matrix in long form; `rho` is None where
+  * the pair has fewer than two complete observations or zero variance
+  * (pandas emits NaN there).
+  */
+case class CorrCell(i: Int, j: Int, rho: Option[Double])
+
+/** One-pass pairwise-complete Pearson correlation matrix aggregate — the
+  * engine's replacement for the O(k²)-shuffle self-join tier of the
+  * flagship query (reference `data.corr()`,
+  * TAQpipeline/correlation_matrix_exporter.py:163,209).
+  *
+  * Input: one `Seq[Double]` per time bucket — the k-wide panel row, with
+  * NaN marking missing observations. For every unordered pair (i, j) the
+  * buffer keeps six co-moments — n, Σx, Σy, Σx², Σy², Σxy — accumulated
+  * ONLY over rows where both sides are present: exactly pandas'
+  * pairwise-complete semantics, which row-complete one-pass methods (e.g.
+  * assembling vectors and dropping any row with a NaN) get wrong.
+  *
+  * Scale shape: the panel is shuffled once (groupBy bucket to form rows);
+  * the aggregate then runs as map-side partials + a merge of k(k-1)/2 × 6
+  * doubles per partition — co-moment state, not data, crosses the wire.
+  * At k=500 the buffer is ~6 MB; compare the self-join tier, which
+  * shuffles k² rows per bucket. Merge is element-wise addition —
+  * associative and commutative, so partial aggregation order cannot
+  * change the result (ScalaCheck-verified merge law in the test suite).
+  */
+class CorrMatrixAgg(k: Int)
+    extends Aggregator[Seq[Double], Array[Double], Seq[CorrCell]] {
+
+  private val nPairs = k * (k - 1) / 2
+  // layout: 6 slots per pair p=(i,j), i<j, p = i*k - i*(i+1)/2 + (j-i-1)
+  override def zero: Array[Double] = new Array[Double](6 * nPairs)
+
+  override def reduce(buf: Array[Double], row: Seq[Double]): Array[Double] = {
+    var i = 0
+    var p = 0
+    while (i < k) {
+      val x = row(i)
+      val xOk = !x.isNaN
+      var j = i + 1
+      while (j < k) {
+        if (xOk) {
+          val y = row(j)
+          if (!y.isNaN) {
+            val b = 6 * p
+            buf(b) += 1
+            buf(b + 1) += x
+            buf(b + 2) += y
+            buf(b + 3) += x * x
+            buf(b + 4) += y * y
+            buf(b + 5) += x * y
+          }
+        }
+        j += 1
+        p += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var t = 0
+    while (t < a.length) { a(t) += b(t); t += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Double]): Seq[CorrCell] = {
+    val out = new Array[CorrCell](nPairs)
+    var i = 0
+    var p = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val b = 6 * p
+        val n = buf(b)
+        val rho =
+          if (n < 2) None
+          else {
+            val vx = n * buf(b + 3) - buf(b + 1) * buf(b + 1)
+            val vy = n * buf(b + 4) - buf(b + 2) * buf(b + 2)
+            val cov = n * buf(b + 5) - buf(b + 1) * buf(b + 2)
+            if (vx <= 0 || vy <= 0) None
+            else Some(cov / math.sqrt(vx * vy))
+          }
+        out(p) = CorrCell(i, j, rho)
+        j += 1
+        p += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Seq[CorrCell]] =
+    ExpressionEncoder[Seq[CorrCell]]()
+}
+
+object CorrMatrix {
+  /** Column form: `corrMatrix(k)(panelRow)` aggregates panel rows (k-wide
+    * Seq[Double], NaN = missing) to the long-form correlation cells.
+    */
+  def corrMatrix(k: Int): Column => Column =
+    udaf(new CorrMatrixAgg(k), ExpressionEncoder[Seq[Double]]()).apply(_)
+}

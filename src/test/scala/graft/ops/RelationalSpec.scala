@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("joinValid keeps only facts inside the dimension validity window") {
+    val fact = Seq((1L, 5), (1L, 15), (2L, 5)).toDF("k", "d")
+    val dim = Seq((1L, 10, 20, "x")).toDF("k", "from", "to", "payload")
+    val got = Relational.joinValid(fact, dim, "k", "d", "from", "to")
+      .select(fact("k"), col("d")).as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 15)))
+  }
+
+  test("asofBackward: latest right row at or before left, per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1L, 100.0), (1L, 20L, 2L, 200.0),
+        (1L, 25L, 3L, 300.0))
+      .toDF("k", "t", "seq", "payload")
+    val got = Relational.asofBackward(left, right, "k", "t", "seq", "payload")
+      .orderBy("k", "t")
+      .select("tag", "payload").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    // t=10 sees the t=5 row; t=20 sees the equal-ts t=20 row (<= visible);
+    // key 2 has no right rows at all -> null
+    assert(got == Seq(("a", Some(100.0)), ("b", Some(200.0)), ("c", None)))
+  }
+
+  test("asofBackward tie-break: among equal-ord right rows, max seq wins") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1L, 111.0), (1L, 10L, 2L, 222.0))
+      .toDF("k", "t", "seq", "payload")
+    val got = Relational.asofBackward(left, right, "k", "t", "seq", "payload")
+      .select("payload").as[Double].head()
+    assert(got == 222.0)
+  }
+
+  test("keepFirst is deterministic under the given order") {
+    val df = Seq((1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"), (2L, 9L, "z"))
+      .toDF("k", "o", "v")
+    val got = Relational.keepFirst(df, Seq("k"), Seq(col("o"), col("v")))
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(got == Seq("a", "z"))
+  }
+}
