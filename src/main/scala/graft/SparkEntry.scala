@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Exact, Relational, Time}
 import graft.ops.Exact.{cents, davg, dsum}
-import graft.queries.{LlmQueries, Q}
+import graft.queries.{LlmQueries, PipelineQueries, Q}
 
 /** Driver contract: one named query (+ DuckDB oracle SQL) per operator row
   * of SURVEY.md §2. Query names carry the inventory id (`j1_`, `w1_`, …) so
@@ -31,30 +31,30 @@ object SparkEntry {
   /** Epoch seconds of an ISO local datetime interpreted as UTC (matches the
     * session timezone and DuckDB's naive timestamps).
     */
-  private def sec(iso: String): Long =
+  private[graft] def sec(iso: String): Long =
     java.time.LocalDateTime.parse(iso).toEpochSecond(java.time.ZoneOffset.UTC)
 
-  private val jan1 = sec("2024-01-01T00:00:00")
-  private val jan2 = sec("2024-01-02T00:00:00")
+  private[graft] val jan1 = sec("2024-01-01T00:00:00")
+  private[graft] val jan2 = sec("2024-01-02T00:00:00")
   private val jan3 = sec("2024-01-03T00:00:00")
-  private val jan5 = sec("2024-01-05T00:00:00")
-  private val jan8 = sec("2024-01-08T00:00:00")
+  private[graft] val jan5 = sec("2024-01-05T00:00:00")
+  private[graft] val jan8 = sec("2024-01-08T00:00:00")
   private val jan15 = sec("2024-01-15T00:00:00")
-  private val jan31 = sec("2024-01-31T00:00:00")
+  private[graft] val jan31 = sec("2024-01-31T00:00:00")
 
-  private def tsLit(epochSec: Long): Column = timestamp_seconds(lit(epochSec))
+  private[graft] def tsLit(epochSec: Long): Column = timestamp_seconds(lit(epochSec))
   /** DuckDB naive-timestamp literal for the same epoch second. Explicit
     * second-resolution pattern: LocalDateTime.toString drops ":00" seconds,
     * which DuckDB's timestamp parser rejects.
     */
-  private def tsSql(epochSec: Long): String =
+  private[graft] def tsSql(epochSec: Long): String =
     "TIMESTAMP '" + java.time.LocalDateTime
       .ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss")) + "'"
 
   /** DuckDB epoch-seconds of a naive timestamp (floor, integer math). */
-  private val EP = "(epoch_ms(ts)//1000)"
+  private[graft] val EP = "(epoch_ms(ts)//1000)"
 
   // ---------------------------------------------------------------- scans /
   // projections / filters (S1, P1-P10)
@@ -391,7 +391,9 @@ object SparkEntry {
     (s, d) => T(s, d, "part")
       .select(col("p_partkey"),
         split(col("p_name"), " ").getItem(0).as("tok1"),
-        element_at(split(col("p_name"), " "), 2).as("tok2"))
+        // try_element_at: null-when-absent even under ANSI mode (plain
+        // element_at throws on out-of-bounds since Spark 4)
+        try_element_at(split(col("p_name"), " "), lit(2)).as("tok2"))
       .orderBy("p_partkey"),
     Some("""SELECT p_partkey, split_part(p_name, ' ', 1) AS tok1,
         nullif(split_part(p_name, ' ', 2), '') AS tok2
@@ -463,7 +465,7 @@ object SparkEntry {
   /** DuckDB mirror of [[Time.resampleFfill]] over events for users < nUsers
     * in [a,b) at stepSec, as a WITH-clause prefix defining `filled`.
     */
-  private def ffillSqlCte(nUsers: Int, a: Long, b: Long, step: Long): String =
+  private[graft] def ffillSqlCte(nUsers: Int, a: Long, b: Long, step: Long): String =
     s"""WITH b AS (
         SELECT $EP - $EP % $step AS bucket, user_id,
           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -482,7 +484,7 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
         FROM g LEFT JOIN b ON g.bucket = b.bucket AND g.user_id = b.user_id)"""
 
-  private def resampled(s: SparkSession, d: String, nUsers: Int,
+  private[graft] def resampled(s: SparkSession, d: String, nUsers: Int,
                         a: Long, b: Long, step: Long): DataFrame =
     Time.resampleFfill(s,
       T(s, d, "events").where(col("user_id") < nUsers),
@@ -590,7 +592,7 @@ object SparkEntry {
         col("value").as("vb"))
       a.join(b, Seq("bucket")).where(col("i") < col("j"))
         .groupBy("i", "j")
-        .agg(round(corr(col("va"), col("vb")), 6).as("rho"))
+        .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("rho"))
         .orderBy("i", "j")
     },
     Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
@@ -641,7 +643,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qA3, qA3b) ++ LlmQueries.all
+    qW1, qW2, qW3, qW4, qA3, qA3b) ++ LlmQueries.all ++ PipelineQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

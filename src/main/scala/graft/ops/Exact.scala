@@ -18,8 +18,11 @@ object Exact {
   /** Exact sum of a money-like double column; result as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
-  /** Exact mean of a money-like double column, rounded to 6 dp. */
-  def davg(c: Column): Column = round(dsum(c) / count(c), 6)
+  /** Exact mean of a money-like double column, rounded to 6 dp.
+    * `try_divide` keeps the all-null group case NULL under ANSI mode
+    * (matching SQL sum/count semantics) instead of throwing.
+    */
+  def davg(c: Column): Column = round(try_divide(dsum(c), count(c)), 6)
 
   /** Integer cents (x*100 rounded) — exact revenue arithmetic without
     * double multiplication drift: round() collapses the ~1e-13 double

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregate expressions. */
+object Stats {
+
+  /** Pairwise-complete Pearson correlation as a null-safe aggregate
+    * expression over 6-dp-quantized inputs (everything the engine
+    * correlates is an [[Exact.davg]] output).
+    *
+    * Why not built-in `corr`: under ANSI mode (the Spark 4 default) it
+    * throws DIVIDE_BY_ZERO whenever a pair has zero variance — e.g. any
+    * forward-filled series that is constant inside a window — while SQL
+    * semantics (and the DuckDB oracle) yield NULL/NaN there.
+    *
+    * Why integer co-moments: with double sums, a constant series leaves a
+    * ~1e-9 cancellation residue in n·Σx²−(Σx)², so a `vx > 0` guard
+    * produces a garbage ±1 instead of NULL. Scaling the quantized inputs
+    * to exact integer micros (DECIMAL(38,0)) makes every co-moment exact:
+    * zero variance is exactly zero, the guard is sound, and the final
+    * ρ = cov/√(vx·vy) is one deterministic double expression. Bounds: for
+    * |x| ≤ 1e9 and n ≤ 1e6 rows per group, every intermediate stays well
+    * inside 38 digits.
+    *
+    * All sums are codegen'd built-ins — map-side partial aggregation and
+    * whole-stage codegen apply as usual.
+    */
+  def pearson(x: Column, y: Column): Column = {
+    val I = DecimalType(38, 0)
+    val both = x.isNotNull && y.isNotNull
+    val xi = when(both, round(x * 1e6, 0).cast(I))
+    val yi = when(both, round(y * 1e6, 0).cast(I))
+    val n = count(xi).cast(I)
+    val sx = sum(xi)
+    val sy = sum(yi)
+    val sxx = sum(xi * xi)
+    val syy = sum(yi * yi)
+    val sxy = sum(xi * yi)
+    val cov = (n * sxy - sx * sy).cast("double")
+    val vx = (n * sxx - sx * sx).cast("double")
+    val vy = (n * syy - sy * sy).cast("double")
+    when(n >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy))
+  }
+}

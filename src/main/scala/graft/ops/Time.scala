@@ -43,6 +43,11 @@ object Time {
     */
   def grid(spark: SparkSession, startSec: Long, endSec: Long,
            stepSec: Long, keys: DataFrame): DataFrame = {
+    // bucketSec() is epoch-anchored; a grid starting off a step multiple
+    // would silently miss every bucketed row. Fail fast instead.
+    require(startSec % stepSec == 0,
+      s"grid start $startSec is not aligned to step $stepSec — " +
+        "bucketSec() buckets are epoch-anchored multiples of the step")
     val buckets = spark.range(startSec, endSec, stepSec)
       .select(col("id").as("bucket"))
     buckets.crossJoin(broadcast(keys))

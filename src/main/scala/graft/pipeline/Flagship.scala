@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import java.time.{DayOfWeek, LocalDate}
+import scala.util.{Failure, Success, Try}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog
+import graft.ops.{Exact, Time}
+import graft.sources.Sinks
+
+/** One window's outcome in the export loop (reference exporter's
+  * per-window append, correlation_matrix_exporter.py:153-167).
+  */
+case class WindowResult(winStart: Long, winEnd: Long, ok: Boolean,
+                        rows: Long, path: String, error: String)
+
+/** The reference's flagship end-to-end pipeline (E1,
+  * TAQpipeline/correlation_matrix_exporter.py:128-235): universe snapshot →
+  * tick filter → resample+ffill → per-window correlation matrix → one CSV
+  * per window, with per-window failure tolerance (the reference swallows
+  * any window error and continues — bare except at :125-126,169-170).
+  *
+  * Spark-first shape: the day's panel is resampled and forward-filled
+  * ONCE as a lazy plan; each window is a bucket-range slice of it — the
+  * driver loop only steers window boundaries and sinks, all data movement
+  * stays in one cached plan. At 100 TB the windows would instead become a
+  * window-id column and one partitioned write (see the `e1_flagship`
+  * query, which is exactly that form); the loop here preserves the
+  * reference's one-file-per-window output contract.
+  */
+object Flagship {
+
+  /** F9: parse the reference's pandas-style interval literals ("4h",
+    * "3d", "250ms", "1s", "5min") to milliseconds
+    * (correlation_matrix_exporter.py:130,135 `pd.to_timedelta`).
+    */
+  def parseIntervalMs(s: String): Long = {
+    val m = "^(\\d+)\\s*(ms|s|sec|min|m|h|d)$".r
+      .findFirstMatchIn(s.trim.toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable interval literal: '$s'"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => n
+      case "s" | "sec" => n * 1000L
+      case "min" | "m" => n * 60000L
+      case "h" => n * 3600000L
+      case "d" => n * 86400000L
+    }
+  }
+
+  /** Intra-day session windows anchored at the open, last window clamped
+    * to the close (exporter:146-152: `next_dt = min(next_dt, end_dt)`).
+    */
+  def sessionWindows(openSec: Long, closeSec: Long,
+                     stepSec: Long): Seq[(Long, Long)] =
+    (openSec until closeSec by stepSec)
+      .map(ws => (ws, math.min(ws + stepSec, closeSec)))
+
+  /** Business days in [start, end], weekends skipped
+    * (pd.bdate_range, exporter:133).
+    */
+  def businessDays(start: LocalDate, end: LocalDate): Seq[LocalDate] =
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end))
+      .filterNot(d => d.getDayOfWeek == DayOfWeek.SATURDAY ||
+        d.getDayOfWeek == DayOfWeek.SUNDAY)
+      .toSeq
+
+  /** Multi-day chunks with the drop-incomplete-tail semantic
+    * (exporter:176: `while current_index + interval_days <= len`).
+    */
+  def chunksDropTail[T](xs: Seq[T], n: Int): Seq[Seq[T]] =
+    xs.grouped(n).filter(_.size == n).toSeq
+
+  /** Run the per-window correlation export over one trading session.
+    * Every window is wrapped in Try: a failing window is recorded and
+    * skipped, never failing the run (§2.11 of the survey — the
+    * reference's lenient per-window contract).
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          openSec: Long, closeSec: Long, windowSec: Long,
+          freqSec: Long, maxUsers: Int): Seq[WindowResult] = {
+    val ticks = Catalog.load(spark, sfDir, "events")
+      .where(col("user_id") < maxUsers)
+    val filled = Time.resampleFfill(spark, ticks, "user_id", "ts", "value",
+        openSec, closeSec, freqSec, Exact.davg(col("value")))
+      .cache()
+    try {
+      sessionWindows(openSec, closeSec, windowSec).map { case (ws, we) =>
+        Try {
+          val slice = filled.where(col("bucket") >= ws && col("bucket") < we)
+          val a = slice.select(col("bucket"), col("user_id").as("i"),
+            col("value").as("va"))
+          val b = slice.select(col("bucket"), col("user_id").as("j"),
+            col("value").as("vb"))
+          val m = a.join(b, Seq("bucket")).where(col("i") < col("j"))
+            .groupBy("i", "j")
+            .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("rho"))
+            .orderBy("i", "j")
+          val path = s"$outDir/corr_${ws}_$we"
+          val n = Sinks.writeWindowCsv(m, path)
+          WindowResult(ws, we, ok = true, n, path, "")
+        } match {
+          case Success(r) => r
+          case Failure(e) =>
+            WindowResult(ws, we, ok = false, 0, "",
+              String.valueOf(e.getMessage))
+        }
+      }
+    } finally filled.unpersist()
+  }
+}

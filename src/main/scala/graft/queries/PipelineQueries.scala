@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Catalog, SparkEntry}
+import graft.ops.Exact.davg
+import graft.sources.Sinks
+
+/** Pipeline-level queries: the flagship session-windowed correlation
+  * export (E1/W3), the partitioned CSV sink round-trip (S4/S6/S7), and
+  * the graph-construction operators (E4/F13/P11/S8).
+  */
+object PipelineQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(s, dir, name)
+
+  private val open930 = SparkEntry.sec("2024-01-02T09:30:00")
+  private val close1600 = SparkEntry.sec("2024-01-02T16:00:00")
+
+  // E1 (flagship pipeline as one declarative plan): market-session
+  // resample+ffill for one trading day, 2h tumbling windows anchored at
+  // the 09:30 open with the last window clamped to the 16:00 close
+  // (correlation_matrix_exporter.py:146-152), correlation matrix per
+  // window. The driver-loop/per-window-CSV form of the same computation
+  // is pipeline.Flagship.run (tested in FlagshipSpec); at scale THIS form
+  // wins — the windows are a derived column, one shuffle, one job.
+  private val qE1F = Q("e1_flagship",
+    (s, d) => {
+      val filled = SparkEntry.resampled(s, d, 8, open930, close1600, 300)
+      val a = filled.select(col("bucket"), col("user_id").as("i"),
+        col("value").as("va"))
+      val b = filled.select(col("bucket"), col("user_id").as("j"),
+        col("value").as("vb"))
+      a.join(b, Seq("bucket")).where(col("i") < col("j"))
+        .withColumn("win_start",
+          expr(s"$open930 + ((bucket - $open930) div 7200) * 7200"))
+        .withColumn("win_end",
+          least(col("win_start") + 7200, lit(close1600)))
+        .groupBy("win_start", "win_end", "i", "j")
+        .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("rho"))
+        .orderBy("win_start", "i", "j")
+    },
+    Some(SparkEntry.ffillSqlCte(8, open930, close1600, 300) +
+      s""" SELECT $open930 + ((a.bucket - $open930)//7200)*7200 AS win_start,
+          least($open930 + ((a.bucket - $open930)//7200)*7200 + 7200,
+                $close1600) AS win_end,
+          a.user_id AS i, b.user_id AS j,
+          round(corr(a.price, b.price), 6) AS rho
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2, 3, 4 ORDER BY win_start, i, j"""))
+
+  // W3 with the reference's true session semantics: 09:30-anchored
+  // tumbling 4h windows, per calendar day, clamped to 16:00 — unlike the
+  // epoch-anchored w3_tumbling_4h. Pure integer arithmetic on epoch
+  // seconds; one hash aggregate.
+  private val qW3b = Q("w3b_session_windows",
+    (s, d) => T(s, d, "events")
+      .where(col("ts") >= SparkEntry.tsLit(SparkEntry.jan1) &&
+             col("ts") < SparkEntry.tsLit(SparkEntry.jan31))
+      .withColumn("u", unix_timestamp(col("ts")))
+      .withColumn("sod", expr("u % 86400"))
+      .where(col("sod") >= 34200 && col("sod") < 57600)
+      .withColumn("day", expr("u div 86400 * 86400"))
+      .withColumn("win_start",
+        expr("day + 34200 + ((sod - 34200) div 14400) * 14400"))
+      .withColumn("win_end",
+        least(col("win_start") + 14400, col("day") + 57600))
+      .groupBy("day", "win_start", "win_end")
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .orderBy("win_start"),
+    Some(s"""SELECT day, win_start,
+        least(win_start + 14400, day + 57600) AS win_end,
+        count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM (
+        SELECT value, day, day + 34200 + ((sod - 34200)//14400)*14400
+            AS win_start
+        FROM (
+          SELECT value, ${SparkEntry.EP} % 86400 AS sod,
+            ${SparkEntry.EP}//86400*86400 AS day
+          FROM events
+          WHERE ts >= ${SparkEntry.tsSql(SparkEntry.jan1)}
+            AND ts < ${SparkEntry.tsSql(SparkEntry.jan31)})
+        WHERE sod >= 34200 AND sod < 57600)
+      GROUP BY day, win_start ORDER BY win_start"""))
+
+  // S7+S4: daily aggregate -> year/month-partitioned gzip CSV write ->
+  // schema'd read-back (partition columns recovered from the directory
+  // layout). The oracle computes the same aggregate straight from the
+  // source, so a green row proves the write+read path loses nothing
+  // (dates, longs, and round-tripped doubles all survive).
+  private val qS7 = Q("s7_csv_roundtrip",
+    (s, d) => {
+      val daily = T(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .withColumn("year", year(col("day")))
+        .withColumn("month", month(col("day")))
+      val out = java.nio.file.Files.createTempDirectory("graft_s7_")
+        .toString
+      Sinks.writePartitionedGzipCsv(daily, out)
+      val schema = StructType(Seq(
+        StructField("day", DateType), StructField("n", LongType),
+        StructField("avg_value", DoubleType),
+        StructField("year", IntegerType), StructField("month", IntegerType)))
+      Sinks.readCsv(s, out, schema)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("year"), col("month"), col("n"), col("avg_value"))
+        .orderBy("day")
+    },
+    Some("""SELECT strftime(dy, '%Y-%m-%d') AS day,
+        CAST(year(dy) AS INT) AS year, CAST(month(dy) AS INT) AS month,
+        n, avg_value
+      FROM (
+        SELECT CAST(ts AS DATE) AS dy, count(*) AS n,
+          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                / count(value), 6) AS avg_value
+        FROM events GROUP BY 1)
+      ORDER BY day"""))
+
+  // E4/F13/P11: graph edge construction — correlation matrix ->
+  // threshold rho > 0 -> label->index vertex join (row_number over the
+  // sorted vertex dimension) -> directed edge list both ways
+  // (pyg_graphs.py:90-94: edges from adj_df > 0, tickers.index(src)).
+  private val qG1 = Q("g1_edges",
+    (s, d) => {
+      val filled = SparkEntry.resampled(s, d, 10, SparkEntry.jan1,
+        SparkEntry.jan8, 300)
+      val a = filled.select(col("bucket"), col("user_id").as("ui"),
+        col("value").as("va"))
+      val b = filled.select(col("bucket"), col("user_id").as("uj"),
+        col("value").as("vb"))
+      val pairs = a.join(b, Seq("bucket")).where(col("ui") < col("uj"))
+        .groupBy("ui", "uj")
+        .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("weight"))
+        .where(col("weight") > 0)
+      val v = filled.select("user_id").distinct()
+        .withColumn("vid", row_number().over(Window.orderBy("user_id")) - 1)
+      val e = pairs
+        .join(broadcast(v.select(col("user_id").as("ui"),
+          col("vid").as("src"))), Seq("ui"))
+        .join(broadcast(v.select(col("user_id").as("uj"),
+          col("vid").as("dst"))), Seq("uj"))
+      e.select(col("src"), col("dst"), col("weight"))
+        .unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight")))
+        .orderBy("src", "dst")
+    },
+    Some(SparkEntry.ffillSqlCte(10, SparkEntry.jan1, SparkEntry.jan8, 300) +
+      """, pairs AS (
+        SELECT a.user_id AS ui, b.user_id AS uj,
+          round(corr(a.price, b.price), 6) AS weight
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING round(corr(a.price, b.price), 6) > 0),
+      v AS (
+        SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS vid
+        FROM (SELECT DISTINCT user_id FROM filled))
+      SELECT vs.vid AS src, vd.vid AS dst, weight
+      FROM pairs JOIN v vs ON vs.user_id = ui JOIN v vd ON vd.user_id = uj
+      UNION ALL
+      SELECT vd.vid AS src, vs.vid AS dst, weight
+      FROM pairs JOIN v vs ON vs.user_id = ui JOIN v vd ON vd.user_id = uj
+      ORDER BY src, dst"""))
+
+  // S8/E4: graph node-feature assembly — per-vertex feature vector (mean
+  // value per event type, missing -> 0.0) as a real ArrayType column plus
+  // the J6-style up/down label (pyg_graphs.py:180,194-201). The array is
+  // serialized to fixed %.6f CSV for the oracle hash (both engines format
+  // 6-dp-rounded doubles identically); the array column itself is the
+  // engine's graph-sample sink schema.
+  private val qG2 = Q("g2_features",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = T(s, d, "events")
+        .where(col("user_id") < 10 &&
+          col("ts") >= SparkEntry.tsLit(SparkEntry.jan1) &&
+          col("ts") < SparkEntry.tsLit(SparkEntry.jan8))
+      val byType = ev.groupBy("user_id")
+        .pivot("event_type", types).agg(davg(col("value")))
+      val halves = ev.groupBy("user_id").agg(
+        davg(when(col("ts") < SparkEntry.tsLit(SparkEntry.jan5),
+          col("value"))).as("h1"),
+        davg(when(col("ts") >= SparkEntry.tsLit(SparkEntry.jan5),
+          col("value"))).as("h2"))
+      byType.join(halves, Seq("user_id"))
+        .withColumn("features",
+          array(types.map(t => coalesce(col(t), lit(0.0))): _*))
+        .withColumn("vid", row_number().over(Window.orderBy("user_id")) - 1)
+        .select(col("vid"), col("user_id"),
+          array_join(transform(col("features"),
+            x => format_string("%.6f", x)), ",").as("features_csv"),
+          (coalesce(col("h2"), lit(0.0)) > coalesce(col("h1"), lit(0.0)))
+            .cast("int").as("label"))
+        .orderBy("vid")
+    },
+    Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val f = (t: String) =>
+        s"""coalesce(round(CAST(sum(CASE WHEN event_type = '$t'
+             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+           / count(CASE WHEN event_type = '$t' THEN value END), 6), 0.0)"""
+      val half = (cmp: String) =>
+        s"""round(CAST(sum(CASE WHEN ts $cmp ${SparkEntry.tsSql(
+          SparkEntry.jan5)}
+             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+           / count(CASE WHEN ts $cmp ${SparkEntry.tsSql(SparkEntry.jan5)}
+             THEN value END), 6)"""
+      s"""WITH ev AS (
+          SELECT user_id, event_type, value, ts FROM events
+          WHERE user_id < 10
+            AND ts >= ${SparkEntry.tsSql(SparkEntry.jan1)}
+            AND ts < ${SparkEntry.tsSql(SparkEntry.jan8)}),
+        agg AS (
+          SELECT user_id,
+            ${types.map(t => f(t) + s" AS f_$t").mkString(",\n            ")},
+            ${half("<")} AS h1, ${half(">=")} AS h2
+          FROM ev GROUP BY user_id)
+        SELECT row_number() OVER (ORDER BY user_id) - 1 AS vid, user_id,
+          concat_ws(',', ${types.map(t => s"printf('%.6f', f_$t)")
+            .mkString(", ")}) AS features_csv,
+          CAST(coalesce(h2, 0.0) > coalesce(h1, 0.0) AS INT) AS label
+        FROM agg ORDER BY vid"""
+    })
+
+  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qG1, qG2)
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Write-path operators (SURVEY §2.1 S4/S6/S7): the reference's
+  * year/month-partitioned gzip CSV layout and the one-CSV-per-window
+  * export, plus the schema'd CSV read that consumes them back.
+  */
+object Sinks {
+
+  /** S7: Hive-partitioned gzip CSV write — the engine equivalent of the
+    * reference's manual `data/{year}/{month:02d}/...csv.gz` layout
+    * (cloud_TAQ/taq_chunks.py:136-142). `df` must carry `year`/`month`
+    * columns; they become directory levels, so readers get partition
+    * pruning on them for free — the property the reference's layout was
+    * hand-building.
+    */
+  def writePartitionedGzipCsv(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("year", "month")
+      .option("header", "true")
+      .option("compression", "gzip")
+      .csv(dir)
+
+  /** S4: schema'd CSV(.gz) read. Partition columns listed in `schema`
+    * are recovered from the directory structure; column pruning against
+    * the declared schema is automatic.
+    */
+  def readCsv(spark: SparkSession, dir: String,
+              schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(dir)
+
+  /** S6: one CSV file per window, window encoded in the path
+    * (correlation_matrix_exporter.py:227-235). Single-file output is the
+    * contract (a downstream pandas consumer), hence the coalesce(1) —
+    * documented as a deliberately non-parallel sink for small matrices,
+    * not a pattern for bulk data. Returns the row count written.
+    */
+  def writeWindowCsv(df: DataFrame, path: String): Long = {
+    val cached = df.cache()
+    try {
+      val n = cached.count()
+      cached.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      n
+    } finally cached.unpersist()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import graft.SparkTestBase
+
+class FlagshipSpec extends SparkTestBase {
+
+  test("parseIntervalMs handles the reference's literal styles") {
+    assert(Flagship.parseIntervalMs("250ms") == 250L)
+    assert(Flagship.parseIntervalMs("1s") == 1000L)
+    assert(Flagship.parseIntervalMs("5min") == 300000L)
+    assert(Flagship.parseIntervalMs("4h") == 14400000L)
+    assert(Flagship.parseIntervalMs("3d") == 259200000L)
+    intercept[IllegalArgumentException](Flagship.parseIntervalMs("soon"))
+  }
+
+  test("sessionWindows clamps the last window to the close") {
+    // 09:30-16:00 in 2h steps: 4 windows, last one 15:30-16:00
+    val w = Flagship.sessionWindows(34200, 57600, 7200)
+    assert(w == Seq((34200L, 41400L), (41400L, 48600L), (48600L, 55800L),
+      (55800L, 57600L)))
+  }
+
+  test("businessDays skips weekends") {
+    // 2024-01-05 is a Friday; 06/07 weekend
+    val d = Flagship.businessDays(LocalDate.parse("2024-01-05"),
+      LocalDate.parse("2024-01-09"))
+    assert(d.map(_.toString) == Seq("2024-01-05", "2024-01-08",
+      "2024-01-09"))
+  }
+
+  test("chunksDropTail drops the incomplete tail chunk") {
+    assert(Flagship.chunksDropTail(1 to 7, 3) ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    assert(Flagship.chunksDropTail(Seq.empty[Int], 3).isEmpty)
+  }
+
+  test("run exports one CSV per window and tolerates empty windows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flag_")
+      .toString
+    val open = graft.SparkEntry.sec("2024-01-02T09:30:00")
+    val close = graft.SparkEntry.sec("2024-01-02T16:00:00")
+    val res = Flagship.run(spark, "/root/testdata/sf0.001", out,
+      open, close, windowSec = 7200, freqSec = 300, maxUsers = 5)
+    assert(res.length == 4)
+    assert(res.forall(_.ok), res.filterNot(_.ok).map(_.error).mkString("; "))
+    assert(res.forall(r => r.winEnd <= close))
+    res.foreach { r =>
+      val files = new java.io.File(r.path).listFiles()
+      assert(files != null && files.exists(_.getName.endsWith(".csv")),
+        s"no csv under ${r.path}")
+    }
+    // every window sees the same key set (the grid spans the session), so
+    // all windows export the same k*(k-1)/2 pair count, and at least one
+    // pair exists at sf0.001
+    assert(res.map(_.rows).distinct.size == 1)
+    assert(res.head.rows > 0)
+  }
+}
