@@ -16,7 +16,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
     var failures = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed warm pass: steady-state throughput is the comparable
+    // number — without it the alphabetically-first query absorbs all
+    // one-time cost (JIT, codegen compilation, parquet footers, OS page
+    // cache) and per-query times are incomparable across rounds.
+    sorted.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    // Queries that cache intermediates register plans in the
+    // CacheManager, which matches structurally — without clearing, the
+    // timed pass would silently reuse warm-pass caches and understate
+    // real query cost.
+    spark.catalog.clearCache()
+    val results = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

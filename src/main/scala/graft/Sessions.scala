@@ -26,6 +26,13 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Spark 4.1's checksummed checkpoint writer deadlocks on local-FS
+      // state-store delta files (tasks park forever in
+      // ChecksumCancellableFSDataOutputStream.close awaiting the checksum
+      // future — observed live under flatMapGroupsWithState). Checksums
+      // protect against checkpoint corruption on flaky object stores; on
+      // a reliable FS turning them off is the documented escape hatch.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

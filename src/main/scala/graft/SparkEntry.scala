@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Exact, Relational, Time}
 import graft.ops.Exact.{cents, davg, dsum}
-import graft.queries.{LlmQueries, PipelineQueries, Q}
+import graft.queries.{CoverageQueries, LlmQueries, PipelineQueries, Q}
 
 /** Driver contract: one named query (+ DuckDB oracle SQL) per operator row
   * of SURVEY.md §2. Query names carry the inventory id (`j1_`, `w1_`, …) so
@@ -643,7 +643,8 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qA3, qA3b) ++ LlmQueries.all ++ PipelineQueries.all
+    qW1, qW2, qW3, qW4, qA3, qA3b) ++
+    LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

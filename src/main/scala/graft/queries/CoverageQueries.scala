@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Catalog, SparkEntry}
+import graft.ops.Exact.davg
+
+/** Remaining SURVEY §2 inventory rows that deserve their own graded
+  * query: the partition-pruned scan layout (S3), deterministic first/last
+  * picks (A4), and date arithmetic (F7).
+  */
+object CoverageQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(s, dir, name)
+
+  // S3: per-day partition layout + pruned scan. The reference dispatches
+  // on per-day TABLE NAMES (taqmsec.complete_nbbo_YYYYMMDD,
+  // correlation_matrix_exporter.py:89); the engine's equivalent is a
+  // date-partitioned lake layout where the day predicate prunes at the
+  // directory level before any IO. The query materializes that layout
+  // (one write per call into a fresh temp dir), then reads one day back
+  // through a partition filter; PartitionPruningSpec asserts the pruned
+  // scan reads exactly one of the seven directories.
+  private val qS3 = Q("s3_partition_pruned_scan",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_s3_")
+        .toString
+      T(s, d, "events")
+        .where(col("ts") >= SparkEntry.tsLit(SparkEntry.jan1) &&
+               col("ts") < SparkEntry.tsLit(SparkEntry.jan8))
+        .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("date").parquet(out)
+      s.read.parquet(out)
+        .where(col("date") === "2024-01-03")
+        // partition-type inference reads the directory value back as a
+        // DATE; the oracle (and the written column) are strings
+        .withColumn("date", col("date").cast("string"))
+        .groupBy("date", "event_type")
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .orderBy("date", "event_type")
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+        count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM events
+      WHERE strftime(ts, '%Y-%m-%d') = '2024-01-03'
+      GROUP BY 1, 2 ORDER BY date, event_type"""))
+
+  // A4: deterministic first/last element pick per group (the reference's
+  // .iloc[0] / sorted head(1), pyg_graphs.py:171-192) via min_by/max_by
+  // on a unique scalar order key — one hash aggregate, no window sort.
+  private val qA4 = Q("a4_first_last",
+    (s, d) => T(s, d, "events")
+      .withColumn("ordkey",
+        unix_timestamp(col("ts")) * 10000000L + col("event_id"))
+      .groupBy("user_id")
+      .agg(min_by(col("value"), col("ordkey")).as("first_value"),
+        max_by(col("value"), col("ordkey")).as("last_value"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id"),
+    Some(s"""SELECT user_id,
+        arg_min(value, ${SparkEntry.EP} * 10000000 + event_id)
+          AS first_value,
+        arg_max(value, ${SparkEntry.EP} * 10000000 + event_id)
+          AS last_value,
+        count(*) AS n
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // F7: date arithmetic — day offsets and clamped month arithmetic
+  // (pyg_graphs.py:159-160 `day - timedelta(days=1)`, year-1 swap).
+  private val qF7 = Q("f7_date_arith",
+    (s, d) => T(s, d, "orders")
+      .select(col("o_orderkey"),
+        date_format(date_sub(col("o_orderdate").cast("date"), 30),
+          "yyyy-MM-dd").as("minus_30d"),
+        date_format(add_months(col("o_orderdate").cast("date"), -12),
+          "yyyy-MM-dd").as("prev_year"),
+        date_format(last_day(col("o_orderdate").cast("date")),
+          "yyyy-MM-dd").as("month_end"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY, '%Y-%m-%d')
+          AS minus_30d,
+        strftime(CAST(o_orderdate AS DATE) - INTERVAL 12 MONTH, '%Y-%m-%d')
+          AS prev_year,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+          AS month_end
+      FROM orders ORDER BY o_orderkey"""))
+
+  val all: Seq[Q] = Seq(qS3, qA4, qF7)
+}

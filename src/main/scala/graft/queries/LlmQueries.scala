@@ -69,8 +69,13 @@ object LlmQueries {
   private val qD2 = Q("d2_minhash_lsh",
     (s, d) => {
       val docs = T(s, d, "documents")
-      val sh = Text.explodeShingles(docs, "doc_id", "text", 1)
-      val sig = Text.minhashSignature(sh, "doc_id", 12)
+      // The exploded-shingle relation feeds four consumers (signatures,
+      // sizes, both verify sides); cache it once instead of re-exploding
+      // per consumer. On a cluster this would be a checkpoint/cached
+      // intermediate of the dedup job.
+      val sh = Text.explodeShingles(docs, "doc_id", "text", 1).cache()
+      // sig is consumed twice (both sides of the band self-join)
+      val sig = Text.minhashSignature(sh, "doc_id", 12).cache()
       val bands = Text.bandKeys(sig, "doc_id", 2, 6)
       val a = bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
       val b = bands.select(col("band"), col("bkey"), col("doc_id").as("j"))
@@ -191,9 +196,8 @@ object LlmQueries {
       // intersection sizes come from a hash-count — never an all-pairs
       // block join carrying shingle arrays.
       val ex = docs.select(col("lang"), col("doc_id"),
-        explode(Text.shingles(col("text"), 2)).as("sh"))
-      val sizes = docs.select(col("doc_id"),
-        size(Text.shingles(col("text"), 2)).as("sz"))
+        explode(Text.shingles(col("text"), 2)).as("sh")).cache()
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = ex.select(col("lang"), col("doc_id").as("i"), col("sh"))
         .join(ex.select(col("lang"), col("doc_id").as("j"), col("sh")),
           Seq("lang", "sh"))

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import graft.Catalog
+
+/** Structured Streaming surface (SURVEY §2.10). The reference is
+  * batch-only; its closest streaming analog is the `taq_chunks.py` main
+  * loop — a manual micro-batch ingest (one day per iteration, skip-empty,
+  * partitioned sink, cloud_TAQ/taq_chunks.py:112-147). These are the
+  * honest Spark mappings:
+  *
+  *   - [[windowedMeans]]: file-source micro-batch ingest with
+  *     `Trigger.AvailableNow` (bounded catch-up, the direct equivalent of
+  *     the reference's drain-everything loop), event-time tumbling windows
+  *     with a watermark, partitioned parquet sink via foreachBatch.
+  *   - [[dedupStream]]: stateful exactly-once-per-key dedup with
+  *     `flatMapGroupsWithState` and a processing-time state timeout — the
+  *     streaming form of A2 keep-first.
+  *
+  * Scale notes: the file source checkpoints its progress, so restarts
+  * resume; the windowed aggregate's state is bounded by the watermark;
+  * the dedup state is bounded by the timeout. All shuffles are keyed the
+  * same as the batch equivalents (window/user, event_id).
+  */
+object Streams {
+
+  /** Events-schema'd streaming source over a directory of parquet files.
+    * Same nanos-as-long read contract as the batch catalog.
+    */
+  def eventsStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(Catalog.schemas("events")).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** 1-minute windowed per-user mean with a 1-hour watermark, written as
+    * date-partitioned parquet through foreachBatch. Blocks until the
+    * bounded stream drains (AvailableNow). Returns the number of
+    * micro-batches executed.
+    */
+  def windowedMeans(spark: SparkSession, srcDir: String, outDir: String,
+                    checkpointDir: String): Long = {
+    var batches = 0L
+    val agg = eventsStream(spark, srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("user_id"),
+        col("avg_value"), col("n"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("date"))
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        batch.write.mode("append").partitionBy("date").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
+  /** Streaming keep-first dedup on event_id: emits each key's first-seen
+    * row, drops repeats while state lives.
+    *
+    * State lifecycle: NoTimeout — correct for bounded catch-up runs
+    * (AvailableNow), where state dies with the query. A continuously
+    * running deployment would bound state with an event-time timeout tied
+    * to a watermark instead; do NOT use ProcessingTimeTimeout together
+    * with AvailableNow — pending timers make the trigger schedule
+    * no-data micro-batches in a busy loop (observed live: thousands of
+    * empty batches).
+    */
+  def dedupStream(spark: SparkSession, srcDir: String, outDir: String,
+                  checkpointDir: String): Unit = {
+    import spark.implicits._
+    val src = eventsStream(spark, srcDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Double)]
+    val deduped = src.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }.toDF("event_id", "user_id", "value")
+    val q = deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}
