@@ -16,12 +16,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Thread/partition count: the driver contract is local[32] with 32
+    * shuffle partitions; SPARK_GRAFT_CPUS overrides for dev boxes.
+    */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def build(appName: String): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -82,11 +82,18 @@ object Time {
                     tsCol: String, valueCol: String,
                     startSec: Long, endSec: Long, stepSec: Long,
                     agg: Column): DataFrame = {
+    // Cached: both the key-universe distinct and the grid join consume
+    // this relation, and without the cache Spark scans + aggregates the
+    // tick table twice (verified in the physical plan — no
+    // ReusedExchange fires across the two subtrees). The cached panel is
+    // dimension-sized (≤ grid buckets × keys rows), never tick-sized, so
+    // this holds at 100 TB of ticks.
     val bucketed = ticks
       .where(col(tsCol) >= timestamp_seconds(lit(startSec)) &&
              col(tsCol) < timestamp_seconds(lit(endSec)))
       .groupBy(bucketSec(col(tsCol), stepSec).as("bucket"), col(keyCol))
       .agg(agg.as(valueCol))
+      .cache()
     val keys = bucketed.select(keyCol).distinct()
     val g = grid(spark, startSec, endSec, stepSec, keys)
     val joined = g.join(bucketed, Seq("bucket", keyCol), "left")

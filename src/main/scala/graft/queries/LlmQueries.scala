@@ -308,9 +308,16 @@ object LlmQueries {
     })
 
   // t3: winnowing fingerprint — min rolling-hash over 5-word windows
-  // (B=131, M=1e9+7, word value = 60-bit md5 hash mod M).
+  // (B=131, M=1e9+7, word value = 60-bit md5 hash mod M). Uses the
+  // custom single-pass [[graft.functions.WinnowFingerprint]] expression
+  // (no k-fold explode); the relational form in Text.fingerprint computes
+  // the same value and is cross-checked in FunctionsSpec.
   private val qT3 = Q("t3_fingerprint",
-    (s, d) => Text.fingerprint(T(s, d, "documents"), "doc_id", "text")
+    (s, d) => T(s, d, "documents")
+      .select(col("doc_id"),
+        call_function("winnow_fingerprint", Text.words(col("text")))
+          .as("fingerprint"))
+      .where(col("fingerprint").isNotNull)
       .orderBy("doc_id"),
     Some("""WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
