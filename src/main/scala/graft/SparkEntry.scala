@@ -646,9 +646,12 @@ object SparkEntry {
     qW1, qW2, qW3, qW4, qA3, qA3b) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Points at
+    * the one-pass co-moment tier so the smoke path exercises the custom
+    * aggregator.
+    */
   def entry(spark: SparkSession): DataFrame =
-    qA3.fn(spark, "/root/testdata/sf0.001")
+    qA3b.fn(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

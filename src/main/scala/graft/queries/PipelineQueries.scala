@@ -228,5 +228,47 @@ object PipelineQueries {
         FROM agg ORDER BY vid"""
     })
 
-  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qG1, qG2)
+  // W4 with the reference's true business-day semantics: weekdays only,
+  // indexed densely (so a Mon..Fri week is 5 consecutive indices
+  // regardless of the weekend gap), chunked 5 business days at a time,
+  // incomplete tail dropped (correlation_matrix_exporter.py:172-176).
+  // The calendar-day variant stays as w4_multiday_chunks.
+  private val qW4b = Q("w4b_business_chunks",
+    (s, d) => {
+      val ev = T(s, d, "events")
+        .withColumn("day", expr("unix_timestamp(ts) div 86400"))
+        .withColumn("dow", expr("(day + 3) % 7")) // 0=Mon; epoch day 0 was a Thursday(=3)
+        .where(col("dow") =!= 5 && col("dow") =!= 6)
+      val days = ev.select("day").distinct()
+        .withColumn("bidx",
+          row_number().over(Window.orderBy("day")) - 1)
+      val nChunks = days.agg((count(lit(1)) / 5).cast("long").as("nc"))
+      ev.join(broadcast(days), Seq("day"))
+        .withColumn("chunk", expr("bidx div 5"))
+        .crossJoin(broadcast(nChunks))
+        .where(col("chunk") < col("nc"))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          davg(col("value")).as("avg_value"))
+        .orderBy("chunk")
+    },
+    Some(s"""WITH ev AS (
+        SELECT user_id, value, ${SparkEntry.EP}//86400 AS day,
+          (${SparkEntry.EP}//86400 + 3) % 7 AS dow
+        FROM events),
+      wd AS (SELECT * FROM ev WHERE dow NOT IN (5, 6)),
+      days AS (
+        SELECT day, row_number() OVER (ORDER BY day) - 1 AS bidx
+        FROM (SELECT DISTINCT day FROM wd)),
+      t AS (SELECT count(*)//5 AS nc FROM days)
+      SELECT bidx//5 AS chunk, count(*) AS n_events,
+        count(DISTINCT user_id) AS n_users,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM wd JOIN days USING (day), t
+      WHERE bidx//5 < t.nc
+      GROUP BY 1 ORDER BY chunk"""))
+
+  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qG1, qG2, qW4b)
 }
