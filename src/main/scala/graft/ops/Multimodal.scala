@@ -47,4 +47,24 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Frame sampling: slice the payload into fixed 16-byte "frames" and
+    * keep every `stride`-th one — the video-frame-sampling shape (one
+    * input row fans out to a bounded set of frame rows, flatMap not
+    * explode because the real decoder is imperative native code).
+    * Output: (doc_id, frame_idx, frame: binary).
+    */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  stride: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { m =>
+      val frameSize = 16
+      val nFrames = m.payload.length / frameSize
+      (0 until nFrames by stride).map { idx =>
+        (m.doc_id, idx,
+          java.util.Arrays.copyOfRange(m.payload, idx * frameSize,
+            (idx + 1) * frameSize))
+      }
+    }.toDF("doc_id", "frame_idx", "frame")
+  }
 }

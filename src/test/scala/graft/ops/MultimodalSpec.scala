@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "0123456789abcdef0123456789abcdefXY"), // 34 bytes -> 2 frames
+    (2L, "short")                               // 5 bytes  -> 0 frames
+  ).toDF("doc_id", "text")
+    .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  test("decodeStub: deterministic metadata, md5 matches SQL md5") {
+    val got = Multimodal.decodeStub(spark, media).orderBy("doc_id")
+      .collect()
+    assert(got(0).getInt(1) == 34 && got(0).getInt(2) == 2)
+    assert(got(1).getInt(1) == 5 && got(1).getInt(2) == 0)
+    val sqlHash = spark.sql(
+      "SELECT substr(md5('short'), 1, 8)").head().getString(0)
+    assert(got(1).getString(3) == sqlHash)
+  }
+
+  test("frameSample slices fixed frames at the given stride") {
+    val frames = Multimodal.frameSample(spark, media, stride = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    // doc 1 has frames 0,1 -> stride 2 keeps only frame 0; doc 2 none
+    assert(frames.length == 1)
+    assert(frames(0).getLong(0) == 1L && frames(0).getInt(1) == 0)
+    assert(new String(frames(0).getAs[Array[Byte]](2)) ==
+      "0123456789abcdef")
+  }
+}
