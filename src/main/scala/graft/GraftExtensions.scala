@@ -23,6 +23,9 @@ import graft.functions.WinnowFingerprint
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // enable parquet row-group pruning for filters on the derived
+    // nanos timestamp (see the rule's scaladoc for the equivalence proof)
+    ext.injectOptimizerRule(_ => graft.plans.PushdownDerivedTimestamp)
     ext.injectFunction((
       new FunctionIdentifier("midquote"),
       new ExpressionInfo(classOf[Divide].getName, "midquote"),
