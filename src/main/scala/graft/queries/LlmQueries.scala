@@ -448,6 +448,61 @@ object LlmQueries {
               ORDER BY cosine DESC, tid) AS rank FROM c)
       WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  // d5: embedding-cosine near-dedup — the semantic counterpart of
+  // d2/d3: candidate pairs share a 4-bit sign-LSH bucket (~1/16 of all
+  // pairs, never all-pairs), verified with the exact decimal cosine and
+  // kept at >= 0.35. Same bucket machinery as e2, pointed at dedup.
+  private val qD5 = Q("d5_embedding_neardup",
+    (s, d) => {
+      val emb = T(s, d, "embeddings")
+        .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+      val bkts = emb.select(col("vec_id"), col("bucket"))
+      val cand = bkts.select(col("bucket"), col("vec_id").as("i"))
+        .join(bkts.select(col("bucket"), col("vec_id").as("j")),
+          Seq("bucket"))
+        .where(col("i") < col("j"))
+        .select("i", "j")
+      val ex = embExploded(s, d)
+      val norms = Similarity.sqNorms(ex, "vec_id")
+      val xi = ex.select(col("vec_id").as("i"), col("pos"),
+        col("x").as("xi"))
+      val xj = ex.select(col("vec_id").as("j"), col("pos"),
+        col("x").as("xj"))
+      val dots = cand.join(xi, Seq("i")).join(xj, Seq("j", "pos"))
+        .groupBy("i", "j")
+        .agg(sum((col("xi") * col("xj"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 20))).as("dot"))
+      dots
+        .join(norms.select(col("vec_id").as("i"), col("sq").as("sqi")),
+          Seq("i"))
+        .join(norms.select(col("vec_id").as("j"), col("sq").as("sqj")),
+          Seq("j"))
+        .withColumn("cosine", round(col("dot").cast("double") /
+          sqrt(col("sqi").cast("double") * col("sqj").cast("double")), 6))
+        .where(col("cosine") >= 0.35)
+        .select("i", "j", "cosine").orderBy("i", "j")
+    },
+    Some(s"""WITH b AS (
+        SELECT vec_id,
+          CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+          + 4 * CAST(embedding[3] > 0 AS INT)
+          + 8 * CAST(embedding[4] > 0 AS INT) AS bucket
+        FROM embeddings),
+      cand AS (
+        SELECT a.vec_id AS i, c.vec_id AS j
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+      $embSqlPrefix,
+      d AS (
+        SELECT cd.i, cd.j, sum(CAST(xi.x * xj.x AS DECIMAL(38,20))) AS dot
+        FROM cand cd JOIN x xi ON xi.vec_id = cd.i
+          JOIN x xj ON xj.vec_id = cd.j AND xj.pos = xi.pos
+        GROUP BY 1, 2)
+      SELECT i, j, cosine FROM (
+        SELECT i, j, round(CAST(dot AS DOUBLE) /
+          sqrt(CAST(ni.sq AS DOUBLE) * CAST(nj.sq AS DOUBLE)), 6) AS cosine
+        FROM d JOIN n ni ON ni.vec_id = i JOIN n nj ON nj.vec_id = j)
+      WHERE cosine >= 0.35 ORDER BY i, j"""))
+
   // ------------------------------------------------------------- multimodal
 
   // m1: multimodal binary-column plumbing. The fixture has no real media,
@@ -466,5 +521,6 @@ object LlmQueries {
         substr(md5(text), 1, 8) AS sample_hash
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(qD1, qD2, qD3, qD4, qT1, qT2, qT3, qE1, qE2, qM1)
+  val all: Seq[Q] =
+    Seq(qD1, qD2, qD3, qD4, qD5, qT1, qT2, qT3, qE1, qE2, qM1)
 }
