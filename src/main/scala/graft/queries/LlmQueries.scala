@@ -502,6 +502,53 @@ object LlmQueries {
         FROM d JOIN n ni ON ni.vec_id = i JOIN n nj ON nj.vec_id = j)
       WHERE cosine >= 0.35 ORDER BY i, j"""))
 
+  // c1: the composed curation pass — the end-to-end shape of an LLM
+  // training-data pipeline: quality-score filter (t1's formula) →
+  // normalized-signature dedup keep-first (d1's signature) → per-lang
+  // corpus rollup. One scan, one dedup shuffle, one rollup shuffle.
+  private val qC1 = Q("c1_curation_pipeline",
+    (s, d) => {
+      val w = Text.words(col("text"))
+      val nTok = size(w)
+      val nUniq = size(array_distinct(w))
+      val nStop = size(filter(w, x => x.isin(Text.stopwords: _*)))
+      val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        md5(array_join(array_sort(array_distinct(w)), "|")).as("norm_sig"),
+        round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
+          lit(0.4) * (nUniq / nTok) +
+          lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"))
+      val kept = scored.where(col("quality") >= 0.7)
+      val deduped = graft.ops.Relational.keepFirst(kept, Seq("norm_sig"),
+        Seq(col("doc_id")))
+      deduped.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          graft.ops.Exact.davg(col("quality")).as("avg_quality"))
+        .orderBy("lang")
+    },
+    Some("""WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+          md5(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), '|')) AS norm_sig,
+          round(0.4 * least(1.0, CAST(len(string_split(text, ' '))
+              AS DOUBLE) / 50.0) +
+            0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
+              AS DOUBLE) / len(string_split(text, ' '))) +
+            0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              x -> x = 'a' OR x = 'the')) AS DOUBLE)
+              / len(string_split(text, ' '))), 6) AS quality
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE quality >= 0.7),
+      deduped AS (
+        SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY norm_sig ORDER BY doc_id) AS rn FROM kept)
+        WHERE rn = 1)
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+              / count(quality), 6) AS avg_quality
+      FROM deduped GROUP BY lang ORDER BY lang"""))
+
   // ------------------------------------------------------------- multimodal
 
   // m1: multimodal binary-column plumbing. The fixture has no real media,
@@ -521,5 +568,5 @@ object LlmQueries {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qT1, qT2, qT3, qE1, qE2, qM1)
+    Seq(qD1, qD2, qD3, qD4, qD5, qT1, qT2, qT3, qE1, qE2, qM1, qC1)
 }
