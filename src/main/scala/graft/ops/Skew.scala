@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot aggregation keys.
+  *
+  * The fixtures are uniform, so no production query here needs this —
+  * but at 100 TB a handful of hot series (an index symbol, a viral
+  * document cluster) can pin one reducer while 999 idle. AQE's skew-join
+  * handling covers joins; for aggregations the standard fix is salting:
+  * spread each key over `salt` sub-keys, partially aggregate, then
+  * aggregate the partials. Works for any aggregate with a
+  * decomposition into (partial, final) — the helper takes both forms
+  * explicitly rather than guessing.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation.
+    *
+    * @param partial aggregates applied per (keys, salt) group
+    * @param fin     aggregates combining the partials per (keys) —
+    *                refer to the partial aliases
+    *
+    * e.g. count: partial `count(1) as c`, final `sum(c) as n`;
+    * mean: partials `sum(x) as s`/`count(x) as c`, final `sum(s)/sum(c)`.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
+                partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    // deterministic salt: hash of the full row tuple would be
+    // non-deterministic under retries on nondeterministic input order —
+    // use a stable column hash mod salt (any roughly-uniform stable
+    // expression works; callers can pre-compute their own)
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(salt)))
+    salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(fin.head, fin.tail: _*)
+  }
+}
