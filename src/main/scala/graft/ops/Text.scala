@@ -28,7 +28,8 @@ object Text {
     */
   def shingles(text: Column, n: Int): Column = {
     val w = words(text)
-    array_distinct(
+    if (n == 1) array_distinct(w) // avoid per-word slice+join
+    else array_distinct(
       when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => array_join(slice(w, i + lit(1), lit(n)), " ")))
