@@ -80,13 +80,26 @@ object Flagship {
   def run(spark: SparkSession, sfDir: String, outDir: String,
           openSec: Long, closeSec: Long, windowSec: Long,
           freqSec: Long, maxUsers: Int): Seq[WindowResult] = {
-    val ticks = Catalog.load(spark, sfDir, "events")
-      .where(col("user_id") < maxUsers)
-    val filled = Time.resampleFfill(spark, ticks, "user_id", "ts", "value",
-        openSec, closeSec, freqSec, Exact.davg(col("value")))
-      .cache()
+    val windows = sessionWindows(openSec, closeSec, windowSec)
+    // setup failure (missing source, bad schema) degrades to "every
+    // window failed", preserving the never-throw contract
+    val setup = Try {
+      val ticks = Catalog.load(spark, sfDir, "events")
+        .where(col("user_id") < maxUsers)
+      Time.resampleFfill(spark, ticks, "user_id", "ts", "value",
+          openSec, closeSec, freqSec, Exact.davg(col("value")))
+        .cache()
+    }
+    val filled = setup match {
+      case Failure(e) =>
+        return windows.map { case (ws, we) =>
+          WindowResult(ws, we, ok = false, 0, "",
+            String.valueOf(e.getMessage))
+        }
+      case Success(f) => f
+    }
     try {
-      sessionWindows(openSec, closeSec, windowSec).map { case (ws, we) =>
+      windows.map { case (ws, we) =>
         Try {
           val slice = filled.where(col("bucket") >= ws && col("bucket") < we)
           val a = slice.select(col("bucket"), col("user_id").as("i"),

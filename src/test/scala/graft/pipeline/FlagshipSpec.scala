@@ -56,4 +56,17 @@ class FlagshipSpec extends SparkTestBase {
     assert(res.map(_.rows).distinct.size == 1)
     assert(res.head.rows > 0)
   }
+
+  test("run records failures per window and never throws (§2.11)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flagf_")
+      .toString
+    val open = graft.SparkEntry.sec("2024-01-02T09:30:00")
+    val close = graft.SparkEntry.sec("2024-01-02T16:00:00")
+    // nonexistent fixture dir: every window's read fails; the reference
+    // contract is skip-and-continue, not abort
+    val res = Flagship.run(spark, "/nonexistent_fixture_dir", out,
+      open, close, windowSec = 7200, freqSec = 300, maxUsers = 5)
+    assert(res.length == 4)
+    assert(res.forall(r => !r.ok && r.error.nonEmpty && r.rows == 0))
+  }
 }
