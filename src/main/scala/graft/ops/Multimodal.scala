@@ -48,6 +48,45 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Resize stub: deterministic byte-domain downsample (every
+    * `factor`-th byte) — the real op would be an image rescale; the
+    * Spark-side shape (map, payload in/payload out, no shuffle) is what
+    * carries over. Output: (doc_id, payload: binary, n_bytes).
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+                 factor: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].map { m =>
+      val out = m.payload.indices.collect {
+        case i if i % factor == 0 => m.payload(i)
+      }.toArray
+      (m.doc_id, out, out.length)
+    }.toDF("doc_id", "payload", "n_bytes")
+  }
+
+  /** Feature-extraction stub: a deterministic 4-dim float "embedding"
+    * derived from the payload's md5 — the real op would run a vision
+    * encoder over decoded pixels. Batch shape: one vector per object,
+    * ArrayType(FloatType) column ready for the Similarity operators.
+    */
+  def featureExtractStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        digest.reset()
+        val d = digest.digest(m.payload)
+        val feats = (0 until 4).map { k =>
+          // 4 bytes per lane, scaled to [-1, 1)
+          val v = ((d(4 * k) & 0xff) << 24) | ((d(4 * k + 1) & 0xff) << 16) |
+            ((d(4 * k + 2) & 0xff) << 8) | (d(4 * k + 3) & 0xff)
+          v / 2147483648.0f
+        }.toArray
+        (m.doc_id, feats)
+      }
+    }.toDF("doc_id", "features")
+  }
+
   /** Frame sampling: slice the payload into fixed 16-byte "frames" and
     * keep every `stride`-th one — the video-frame-sampling shape (one
     * input row fans out to a bounded set of frame rows, flatMap not

@@ -22,6 +22,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(1).getString(3) == sqlHash)
   }
 
+  test("resizeStub downsamples bytes deterministically") {
+    val got = Multimodal.resizeStub(spark, media, factor = 4)
+      .orderBy("doc_id").collect()
+    assert(new String(got(0).getAs[Array[Byte]](1)) == "048c048cX")
+    assert(got(0).getInt(2) == 9)
+    assert(got(1).getInt(2) == 2) // "short" -> s, r
+  }
+
+  test("featureExtractStub emits stable 4-dim unit-scale features") {
+    val a = Multimodal.featureExtractStub(spark, media).orderBy("doc_id")
+      .collect().map(_.getSeq[Float](1))
+    val b = Multimodal.featureExtractStub(spark, media).orderBy("doc_id")
+      .collect().map(_.getSeq[Float](1))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq)) // deterministic
+    assert(a.forall(f => f.length == 4 && f.forall(x =>
+      x >= -1.0f && x < 1.0f)))
+    assert(a(0) != a(1)) // payload-sensitive
+  }
+
   test("frameSample slices fixed frames at the given stride") {
     val frames = Multimodal.frameSample(spark, media, stride = 2)
       .orderBy("doc_id", "frame_idx").collect()
