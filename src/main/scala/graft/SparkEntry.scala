@@ -616,7 +616,13 @@ object SparkEntry {
     (s, d) => {
       import s.implicits._
       val filled = resampled(s, d, 10, jan1, jan8, 300)
-      val users: Seq[Long] = filled.select("user_id").distinct()
+      // the panel's key set == distinct users of the filtered raw ticks;
+      // collecting it from the cheap pruned scan avoids materializing
+      // the ffill window a second time just to enumerate columns
+      val users: Seq[Long] = T(s, d, "events")
+        .where(col("user_id") < 10 &&
+          col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
+        .select("user_id").distinct()
         .orderBy("user_id").as[Long].collect().toSeq
       val k = users.size
       val panel = filled.groupBy("bucket").agg(
@@ -646,7 +652,10 @@ object SparkEntry {
     (s, d) => {
       import s.implicits._
       val filled = resampled(s, d, 300, jan1, jan3, 600)
-      val users: Seq[Long] = filled.select("user_id").distinct()
+      val users: Seq[Long] = T(s, d, "events")
+        .where(col("user_id") < 300 &&
+          col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan3))
+        .select("user_id").distinct()
         .orderBy("user_id").as[Long].collect().toSeq
       val k = users.size
       val panel = filled.groupBy("bucket").agg(
