@@ -66,6 +66,11 @@ case class WinnowFingerprint(child: Expression, k: Int, base: Long,
 
 object WinnowFingerprint {
 
+  // one digest per executor thread, not per row — compute() sits inside
+  // whole-stage codegen's per-row loop
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** 60-bit value of the first 15 hex chars of md5(word) — byte-level
     * equivalent of `conv(substr(md5(w), 1, 15), 16, 10)`.
     */
@@ -84,7 +89,7 @@ object WinnowFingerprint {
   def compute(words: ArrayData, k: Int, base: Long, mod: Long): Long = {
     val n = words.numElements()
     if (n < k) return Long.MinValue
-    val md = MessageDigest.getInstance("MD5")
+    val md = digests.get()
     // word hashes mod `mod`
     val wh = new Array[Long](n)
     var i = 0
