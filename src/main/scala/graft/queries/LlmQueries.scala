@@ -335,7 +335,7 @@ object LlmQueries {
         WHERE pos - j >= 0),
       h AS (SELECT doc_id, i, sum(term) AS hsum, count(*) AS n
             FROM terms GROUP BY doc_id, i)
-      SELECT doc_id, min(hsum % 1000000007) AS fingerprint
+      SELECT doc_id, CAST(min(hsum % 1000000007) AS BIGINT) AS fingerprint
       FROM h WHERE n = 5 GROUP BY doc_id ORDER BY doc_id"""))
 
   // ------------------------------------------------------ similarity search
@@ -544,7 +544,8 @@ object LlmQueries {
         SELECT * FROM (SELECT *, row_number() OVER (
             PARTITION BY norm_sig ORDER BY doc_id) AS rn FROM kept)
         WHERE rn = 1)
-      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
         round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
               / count(quality), 6) AS avg_quality
       FROM deduped GROUP BY lang ORDER BY lang"""))

@@ -56,8 +56,15 @@ def main(sf_dir, out_dir):
             continue
         bad = None
         max_f = 0.0
+        dtype_bad = None
         for c in want.columns:
             w, g = want[c], got[c]
+            # the driver hashes typed values, so a float64-vs-int64 column
+            # (e.g. DuckDB HUGEINT from an integer sum() -> pandas float)
+            # is a hash mismatch even when numerically equal — flag it
+            if w.dtype.kind != g.dtype.kind and {w.dtype.kind,
+                                                 g.dtype.kind} & {"f"}:
+                dtype_bad = dtype_bad or (c, w.dtype, g.dtype)
             if w.dtype.kind == "f" or g.dtype.kind == "f":
                 for i, (a, b) in enumerate(zip(w, g)):
                     an, bn = (isinstance(a, float) and math.isnan(a)), \
@@ -77,7 +84,12 @@ def main(sf_dir, out_dir):
                     bad = (c, i, w[i], g[i])
             if bad and max_f == 0:
                 break
-        if bad and max_f > 0:
+        if dtype_bad and not bad:
+            print(f"FAIL {name}: dtype mismatch col={dtype_bad[0]} "
+                  f"want={dtype_bad[1]} got={dtype_bad[2]} "
+                  f"(values equal — driver hash would still differ)")
+            n_fail += 1
+        elif bad and max_f > 0:
             print(f"FAIL {name}: float diff col={bad[0]} row={bad[1]} "
                   f"want={bad[2]!r} got={bad[3]!r} maxabs={max_f:g}")
             n_fail += 1
