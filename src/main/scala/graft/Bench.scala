@@ -26,11 +26,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // Queries that cache intermediates register plans in the
-    // CacheManager, which matches structurally — without clearing, the
-    // timed pass would silently reuse warm-pass caches and understate
-    // real query cost.
-    spark.catalog.clearCache()
+    // CacheManager, which matches structurally — cleared before EVERY
+    // timed run, not just once after the warm pass, because queries that
+    // share a cached subtree (the resample panel, the shingle explode)
+    // would otherwise reuse a cache the alphabetically-earlier query
+    // populated during the timed pass and understate their own cost.
     val results = sorted.map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -47,9 +47,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         args.length match {
           case 1 => WinnowFingerprint(args.head, 5, 131L, 1000000007L)
-          case 4 => WinnowFingerprint(args.head,
-            lit(args(1), "k").toInt, lit(args(2), "base"),
-            lit(args(3), "mod"))
+          case 4 =>
+            val k = lit(args(1), "k").toInt
+            val base = lit(args(2), "base")
+            val mod = lit(args(3), "mod")
+            // compute() multiplies two values < mod with no 128-bit
+            // path, so mod*mod must stay below Long.MaxValue (~9.22e18);
+            // 3_037_000_499^2 is the largest safe square
+            require(k >= 1, s"winnow_fingerprint: k must be >= 1, got $k")
+            require(mod >= 2 && mod <= 3037000499L,
+              s"winnow_fingerprint: mod must be in [2, 3037000499] " +
+                s"(mod^2 must fit in a signed 64-bit long), got $mod")
+            require(base >= 1 && base < mod,
+              s"winnow_fingerprint: base must be in [1, mod), got $base")
+            WinnowFingerprint(args.head, k, base, mod)
           case _ => throw new IllegalArgumentException(
             "winnow_fingerprint(words[, k, base, mod])")
         }

@@ -15,6 +15,9 @@ object Verify {
         failed += 1
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
+      // bound cached-intermediate storage across the ~50-query run (each
+      // query's caches are released once its result is on disk)
+      spark.catalog.clearCache()
     }
     if (failed > 0) System.err.println(s"[verify] $failed queries failed")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object Time {
 
+  // Panels cached by resampleFfill, so callers with a lifecycle boundary
+  // (a pipeline run, a verify/bench harness) can release them — without
+  // this every resampleFfill call leaked a cached relation for the
+  // session lifetime.
+  private val cachedPanels =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[DataFrame]())
+
+  /** Unpersist every panel resampleFfill has cached since the last call.
+    * Non-blocking: an in-flight job over a released panel recomputes,
+    * it never sees wrong data.
+    */
+  def unpersistPanels(): Unit = cachedPanels.synchronized {
+    cachedPanels.forEach(df => { df.unpersist(false); () })
+    cachedPanels.clear()
+  }
+
   /** Epoch-anchored tumbling bucket start, in epoch seconds (integer math:
     * `unix_timestamp` truncates toward 0, valid for post-1970 data).
     */
@@ -94,6 +111,7 @@ object Time {
       .groupBy(bucketSec(col(tsCol), stepSec).as("bucket"), col(keyCol))
       .agg(agg.as(valueCol))
       .cache()
+    cachedPanels.add(bucketed)
     val keys = bucketed.select(keyCol).distinct()
     val g = grid(spark, startSec, endSec, stepSec, keys)
     val joined = g.join(bucketed, Seq("bucket", keyCol), "left")

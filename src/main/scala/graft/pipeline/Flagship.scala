@@ -120,6 +120,9 @@ object Flagship {
               String.valueOf(e.getMessage))
         }
       }
-    } finally filled.unpersist()
+    } finally {
+      filled.unpersist()
+      Time.unpersistPanels() // the panel resampleFfill cached internally
+    }
   }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Catalog, SparkEntry}
 import graft.ops.Exact.davg
 
@@ -51,20 +52,25 @@ object CoverageQueries {
   // A4: deterministic first/last element pick per group (the reference's
   // .iloc[0] / sorted head(1), pyg_graphs.py:171-192) via min_by/max_by
   // on a unique scalar order key — one hash aggregate, no window sort.
+  // The key is (ts, event_id) packed into a DECIMAL(38,0): a long-typed
+  // key would collide once event_id outgrows the multiplier, making the
+  // tie-break engine-dependent; decimal128 keeps it collision-free for
+  // any event_id < 10^10 with exact cross-engine comparison.
   private val qA4 = Q("a4_first_last",
     (s, d) => T(s, d, "events")
       .withColumn("ordkey",
-        unix_timestamp(col("ts")) * 10000000L + col("event_id"))
+        unix_timestamp(col("ts")).cast(DecimalType(38, 0)) *
+          lit(10000000000L) + col("event_id"))
       .groupBy("user_id")
       .agg(min_by(col("value"), col("ordkey")).as("first_value"),
         max_by(col("value"), col("ordkey")).as("last_value"),
         count(lit(1)).as("n"))
       .orderBy("user_id"),
     Some(s"""SELECT user_id,
-        arg_min(value, ${SparkEntry.EP} * 10000000 + event_id)
-          AS first_value,
-        arg_max(value, ${SparkEntry.EP} * 10000000 + event_id)
-          AS last_value,
+        arg_min(value, CAST(${SparkEntry.EP} AS HUGEINT) * 10000000000
+          + event_id) AS first_value,
+        arg_max(value, CAST(${SparkEntry.EP} AS HUGEINT) * 10000000000
+          + event_id) AS last_value,
         count(*) AS n
       FROM events GROUP BY user_id ORDER BY user_id"""))
 

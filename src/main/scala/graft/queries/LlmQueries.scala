@@ -140,15 +140,20 @@ object LlmQueries {
       WHERE jac >= 0.95 ORDER BY i, j"""))
 
   // d3: SimHash near-dedup. 60-bit weighted simhash per doc; candidate
-  // pairs share one of four 15-bit pieces (piece-equality bucket join —
+  // pairs share one of SEVEN 9-bit pieces (piece-equality bucket join —
   // the standard "hamming distance via piecewise exact match" trick);
-  // verified at hamming <= 6.
+  // verified at hamming <= 6. Pigeonhole: 7 disjoint pieces and at most
+  // 6 differing bits means at least one piece matches exactly, so recall
+  // at the verify threshold is 100% — 4 pieces (the obvious 15-bit split)
+  // would only guarantee hamming <= 3 and silently drop spread-out pairs.
+  // The top piece is 6 real bits (60 = 6*9 + 6); masking it with the same
+  // 9-bit mask is a no-op since shiftright(54) leaves only 6 bits.
   private val qD3 = Q("d3_simhash",
     (s, d) => {
       val sh = Text.simhash(T(s, d, "documents"), "doc_id", "text")
       val pieces = sh.select(col("doc_id"), col("simhash"),
-          explode(typedLit(Seq(0, 1, 2, 3))).as("p"))
-        .withColumn("piece", expr("shiftright(simhash, 15 * p) & 32767"))
+          explode(typedLit(Seq(0, 1, 2, 3, 4, 5, 6))).as("p"))
+        .withColumn("piece", expr("shiftright(simhash, 9 * p) & 511"))
       val a = pieces.select(col("p"), col("piece"), col("doc_id").as("i"),
         col("simhash").as("sa"))
       val b = pieces.select(col("p"), col("piece"), col("doc_id").as("j"),
@@ -175,8 +180,8 @@ object LlmQueries {
             AS simhash
         FROM bits GROUP BY doc_id),
       pieces AS (
-        SELECT doc_id, simhash, p, (simhash >> (15 * p)) & 32767 AS piece
-        FROM sh CROSS JOIN (SELECT unnest(range(4)) AS p) t),
+        SELECT doc_id, simhash, p, (simhash >> (9 * p)) & 511 AS piece
+        FROM sh CROSS JOIN (SELECT unnest(range(7)) AS p) t),
       cand AS (
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
           a.simhash AS sa, b.simhash AS sb
