@@ -52,28 +52,46 @@ object Text {
                       n: Int): DataFrame =
     docs.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** MinHash signature: for each of `nHashes` seeds, the lexicographic
-    * minimum of `md5(seed || '|' || shingle)` over the document's shingle
-    * set. One hash-aggregate over the exploded-shingle form — a single
-    * shuffle by document id; the per-seed minima are conditional aggregates
-    * so no seed-explosion multiplies the shuffle.
-    *
-    * Output: (idCol, mh0 … mh{n-1}).
+  /** Modulus for the affine MinHash family: < 2^30, so an affine
+    * transform `(a*(h%M) + b) % M` of a 60-bit hash stays far inside a
+    * signed 64-bit long in both engines.
     */
-  def minhashSignature(shingled: DataFrame, idCol: String,
+  val MinhashMod: Long = 1000000007L
+
+  /** Deterministic affine-family parameters (a_s, b_s) for seed `s`,
+    * mirrored verbatim into the DuckDB oracle SQL.
+    */
+  def minhashAffine(s: Int): (Long, Long) =
+    ((2654435761L * (s + 1) + 1) % MinhashMod,
+     (1779033703L * (s + 1) + 997) % MinhashMod)
+
+  /** MinHash signature from HASHED shingles: input is (idCol, h) where
+    * `h = hash60(shingle)`; the signature slot for seed s is
+    * `min((a_s * (h % M) + b_s) % M)` over the document's shingles.
+    *
+    * One md5 per shingle total (paid when `h` is derived) — the previous
+    * form computed `nHashes` md5s per shingle row, which dominated the
+    * whole dedup pass; the affine family costs two integer ops per slot
+    * and is an equally valid universal-hash family for LSH banding.
+    * Single shuffle by document id; per-seed minima are plain aggregates.
+    *
+    * Output: (idCol, mh0 … mh{n-1}) as longs.
+    */
+  def minhashSignature(hashedShingles: DataFrame, idCol: String,
                        nHashes: Int): DataFrame = {
-    val seeds = 0 until nHashes
-    val hashed = shingled.select(col(idCol) +: seeds.map(s =>
-      md5(concat_ws("|", lit(s), col("shingle"))).as(s"h$s")): _*)
-    hashed.groupBy(idCol)
-      .agg(min(col("h0")).as("mh0"),
-        seeds.tail.map(s => min(col(s"h$s")).as(s"mh$s")): _*)
+    val wh = col("h") % MinhashMod
+    val aggs = (0 until nHashes).map { s =>
+      val (a, b) = minhashAffine(s)
+      min((wh * a + b) % MinhashMod).as(s"mh$s")
+    }
+    hashedShingles.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from a MinHash signature: `nBands` rows per document,
-    * key = md5 of the band's `rowsPerBand` signature slots. Documents
-    * sharing any band key become near-duplicate candidates — the join that
-    * follows shuffles by (band, key), never all-pairs.
+    * key = the band's `rowsPerBand` signature slots joined as a string
+    * (a grouping key needs no second hash). Documents sharing any band
+    * key become near-duplicate candidates — the join that follows
+    * shuffles by (band, key), never all-pairs.
     */
   def bandKeys(sig: DataFrame, idCol: String, nBands: Int,
                rowsPerBand: Int): DataFrame = {
@@ -81,30 +99,31 @@ object Text {
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(s => col(s"mh$s"))
       sig.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws("|", slots: _*)).as("bkey"))
+        concat_ws("|", slots: _*).as("bkey"))
     }
     bands.reduce(_.unionByName(_))
   }
 
   /** Weighted 60-bit SimHash over the document's term-frequency vector:
     * bit b of the output is 1 iff Σ_w count(w) · (2·bit_b(hash60(w)) − 1)
-    * is positive. Computed relationally: (id, word, count) → explode the
-    * 60 bit positions → two hash aggregations. Integer-only arithmetic,
-    * so the value is identical across engines.
+    * is positive. Computed as ONE hash aggregate with 60 per-bit
+    * conditional sums (map-side combined), not a 60× bit-position explode
+    * — the explode form shuffled 60 rows per (doc, word) through two
+    * aggregations; this shuffles one 60-long state per doc per partition.
+    * Integer-only arithmetic, so the value is identical across engines.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(words(col(textCol))).as("w"))
       .groupBy(idCol, "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", hash60(col("w")))
-    tf.select(col(idCol), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("contrib",
-        col("cnt") * (expr("shiftright(h, b) & 1") * 2 - 1))
-      .groupBy(idCol, "b").agg(sum("contrib").as("s"))
-      .groupBy(idCol)
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-        .as("simhash"))
+    val bitSums = (0 until 60).map(b =>
+      sum(col("cnt") * (expr(s"shiftright(h, $b) & 1") * 2 - 1)).as(s"s$b"))
+    tf.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Rolling-hash winnowing fingerprint: polynomial Rabin–Karp hash of

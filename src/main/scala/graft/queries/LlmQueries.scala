@@ -60,20 +60,27 @@ object LlmQueries {
         count(*) OVER (PARTITION BY exact_sig) AS exact_dupes
       FROM sig ORDER BY doc_id"""))
 
-  // d2: MinHash + LSH near-dedup. 12 minhashes over unigram shingles,
-  // 2 bands × 6 rows (tuned for the J≈0.95 near-identical target);
-  // candidates share a band key (the join shuffles by (band, key) — never
-  // all-pairs), then exact Jaccard verification keeps J >= 0.95.
-  private val d2MinSql: Int => String = n =>
-    (0 until n).map(s => s"min(CASE WHEN seed=$s THEN h END)").mkString(", ")
+  // d2: MinHash + LSH near-dedup. 12 affine minhashes over one 60-bit
+  // md5 per unigram shingle, 2 bands × 6 rows (tuned for the J≈0.95
+  // near-identical target); candidates share a band key (the join
+  // shuffles by (band, key) — never all-pairs), then exact Jaccard
+  // verification keeps J >= 0.95.
+  private def d2MinSql(from: Int, until: Int): String =
+    (from until until).map { x =>
+      val (a, b) = Text.minhashAffine(x)
+      s"min(((h % ${Text.MinhashMod}) * $a + $b) % ${Text.MinhashMod})"
+    }.mkString(", ")
   private val qD2 = Q("d2_minhash_lsh",
     (s, d) => {
       val docs = T(s, d, "documents")
-      // The exploded-shingle relation feeds four consumers (signatures,
-      // sizes, both verify sides); cache it once instead of re-exploding
-      // per consumer. On a cluster this would be a checkpoint/cached
-      // intermediate of the dedup job.
-      val sh = Text.explodeShingles(docs, "doc_id", "text", 1).cache()
+      // The hashed-shingle relation feeds four consumers (signatures,
+      // sizes, both verify sides); hash each shingle to its 60-bit value
+      // ONCE and cache only (doc_id, h) longs — strings never shuffle.
+      // On a cluster this would be a checkpoint/cached intermediate of
+      // the dedup job.
+      val sh = Text.explodeShingles(docs, "doc_id", "text", 1)
+        .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
+        .cache()
       // sig is consumed twice (both sides of the band self-join)
       val sig = Text.minhashSignature(sh, "doc_id", 12).cache()
       val bands = Text.bandKeys(sig, "doc_id", 2, 6)
@@ -95,13 +102,12 @@ object LlmQueries {
         .select("i", "j", "sa", "sb").distinct()
       // Verify via inverted-index count-join, not per-pair array
       // intersection: candidate × left-shingles, equi-join against right
-      // shingles on (j, shingle), hash-count per pair. Intersection sizes
+      // shingles on (j, h), hash-count per pair. Intersection sizes
       // arrive from a map-side-combined aggregation instead of O(|A|·|B|)
       // set ops per pair — the shape that survives millions of candidates.
       cand
-        .join(sh.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
-        .join(sh.select(col("doc_id").as("j"), col("shingle")),
-          Seq("j", "shingle"))
+        .join(sh.select(col("doc_id").as("i"), col("h")), Seq("i"))
+        .join(sh.select(col("doc_id").as("j"), col("h")), Seq("j", "h"))
         .groupBy("i", "j", "sa", "sb").agg(count(lit(1)).as("inter"))
         .withColumn("jac", round(col("inter") /
           (col("sa") + col("sb") - col("inter")), 6))
@@ -111,15 +117,14 @@ object LlmQueries {
     Some(s"""WITH ex AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
         FROM documents),
-      mh AS (
-        SELECT doc_id, seed, min(md5(concat(seed, '|', s))) AS h
-        FROM ex CROSS JOIN (SELECT unnest(range(12)) AS seed) t
-        GROUP BY doc_id, seed),
+      hs AS (
+        SELECT doc_id,
+          CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+        FROM ex),
       sig AS (
-        SELECT doc_id, md5(concat_ws('|', ${d2MinSql(6)})) AS k0,
-          md5(concat_ws('|', ${(6 until 12).map(x =>
-            s"min(CASE WHEN seed=$x THEN h END)").mkString(", ")})) AS k1
-        FROM mh GROUP BY doc_id),
+        SELECT doc_id, concat_ws('|', ${d2MinSql(0, 6)}) AS k0,
+          concat_ws('|', ${d2MinSql(6, 12)}) AS k1
+        FROM hs GROUP BY doc_id),
       bands AS (
         SELECT doc_id, 0 AS band, k0 AS bkey FROM sig
         UNION ALL SELECT doc_id, 1, k1 FROM sig),
@@ -199,13 +204,18 @@ object LlmQueries {
       // Inverted-index form: explode distinct bigrams once per doc, then
       // pairs materialize only through shared (lang, shingle) postings and
       // intersection sizes come from a hash-count — never an all-pairs
-      // block join carrying shingle arrays.
+      // block join carrying shingle arrays. Postings carry the bigram's
+      // 60-bit hash, not the string: the self-join shuffles 8-byte longs
+      // instead of ~13-char UTF8 keys (same counts — a cross-bigram md5
+      // collision inside one pair is ~2^-60 and the oracle would flag it).
       val ex = docs.select(col("lang"), col("doc_id"),
-        explode(Text.shingles(col("text"), 2)).as("sh")).cache()
+          explode(Text.shingles(col("text"), 2)).as("sh"))
+        .select(col("lang"), col("doc_id"), Text.hash60(col("sh")).as("h"))
+        .cache()
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = ex.select(col("lang"), col("doc_id").as("i"), col("sh"))
-        .join(ex.select(col("lang"), col("doc_id").as("j"), col("sh")),
-          Seq("lang", "sh"))
+      val inter = ex.select(col("lang"), col("doc_id").as("i"), col("h"))
+        .join(ex.select(col("lang"), col("doc_id").as("j"), col("h")),
+          Seq("lang", "h"))
         .where(col("i") < col("j"))
         .groupBy("lang", "i", "j").agg(count(lit(1)).as("inter"))
       inter

@@ -25,6 +25,7 @@ class TextSpec extends SparkTestBase {
     val docs = Seq((1L, "x y z"), (2L, "z y x x"), (3L, "totally different"))
       .toDF("doc_id", "text")
     val sh = Text.explodeShingles(docs, "doc_id", "text", 1)
+      .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
     val sig = Text.minhashSignature(sh, "doc_id", 4).orderBy("doc_id")
       .collect()
     assert(sig(0).toSeq.tail == sig(1).toSeq.tail) // same word set
