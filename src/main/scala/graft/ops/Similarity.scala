@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,9 +71,117 @@ object Similarity {
     cos.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  // ------------------------------------------------- banded hyperplane LSH
+
+  /** Number of hyperplane bits for a corpus of `n` vectors targeting
+    * ~`target` vectors per bucket: the smallest b ≥ 3 with
+    * target · 2^b ≥ n. Pure integer arithmetic (no floating log2 whose
+    * last-ulp could differ between engines at power-of-two boundaries);
+    * [[bitsSqlCase]] mirrors the identical ladder for the oracle.
+    */
+  def bitsFor(n: Long, target: Long = 64L): Int = {
+    var b = 3
+    while (b < MaxBits && (target << b) < n) b += 1
+    b
+  }
+
+  /** Upper bound on the bits ladder (target·2^20 ≈ 67M vectors — far past
+    * any test scale; at 100 TB the target itself would be raised).
+    */
+  val MaxBits = 20
+
+  /** DuckDB CASE expression computing [[bitsFor]] from a count column
+    * expression — same integer ladder, engine-identical.
+    */
+  def bitsSqlCase(countExpr: String, target: Long = 64L): String =
+    (3 until MaxBits).map(b =>
+        s"WHEN $countExpr <= ${target << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $MaxBits END")
+
+  /** Seeded random hyperplanes as a relation (band, bit, pos, s) with
+    * s ∈ {−1, +1}: the sign is the low bit of the 60-bit md5 hash of
+    * "band:bit:p" (p 0-based; pos = p+1 matches [[exploded]]'s 1-based
+    * positions). A ±1 Rademacher matrix is a valid random-projection
+    * family for sign-LSH, and the md5 derivation makes every coefficient
+    * reproducible in ANY engine — the DuckDB oracle regenerates the same
+    * planes from the same strings instead of receiving a giant literal.
+    */
+  def hyperplanes(spark: SparkSession, bands: Int, bits: Int,
+                  dims: Int): DataFrame = {
+    val b = spark.range(bands).select(col("id").as("band"))
+    val t = spark.range(bits).select(col("id").as("bit"))
+    val p = spark.range(dims).select(col("id").as("p"))
+    b.crossJoin(t).crossJoin(p)
+      .select(col("band"), col("bit"), (col("p") + 1).as("pos"),
+        (Text.hash60(concat_ws(":", col("band"), col("bit"), col("p")))
+          .bitwiseAND(lit(1L)) * 2 - 1).as("s"))
+  }
+
+  /** Per-(vector, band) LSH bucket id: bit b of the bucket is set iff the
+    * exact integer projection Σ_pos s(band,b,pos) · xq(pos) is positive.
+    * One shuffle keyed (id, band) with `bits` conditional partial sums —
+    * integer-exact, so bucketing is identical across engines. Input is
+    * the long [[exploded]] form; `planes` is broadcast (bands·bits·dims
+    * rows — a few thousand).
+    */
+  def bandBuckets(ex: DataFrame, idCol: String, planes: DataFrame,
+                  bits: Int): DataFrame = {
+    val projAggs = (0 until bits).map(b =>
+      sum(when(col("bit") === b, col("s") * col("xq")).otherwise(0L))
+        .as(s"pj$b"))
+    ex.join(broadcast(planes), Seq("pos"))
+      .groupBy(col(idCol), col("band"))
+      .agg(projAggs.head, projAggs.tail: _*)
+      .select(col(idCol), col("band"),
+        (0 until bits).map(b =>
+          when(col(s"pj$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+  }
+
+  /** Shared DuckDB CTE fragment mirroring [[hyperplanes]] +
+    * [[bandBuckets]]: defines `planes` and `bk(vec_id, band, bucket)`.
+    * Expects the `x` CTE (exploded quantized vectors) to be in scope.
+    */
+  def bucketsSqlCtes(bands: Int, dims: Int, target: Long = 64L): String =
+    s"""meta AS (
+        SELECT ${bitsSqlCase("count(*)", target)} AS bits FROM embeddings),
+      planes AS (
+        SELECT band, bit, p + 1 AS pos,
+          CASE WHEN (CAST(concat('0x',
+              substr(md5(band || ':' || bit || ':' || p), 1, 15)) AS BIGINT)
+              & 1) = 1 THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(range($bands)) AS band) bb
+        CROSS JOIN (SELECT unnest(range((SELECT bits FROM meta)))
+                    AS bit) tt
+        CROSS JOIN (SELECT unnest(range($dims)) AS p) pp),
+      proj AS (
+        SELECT x.vec_id, pl.band, pl.bit, sum(pl.s * x.xq) AS pj
+        FROM x JOIN planes pl ON pl.pos = x.pos
+        GROUP BY 1, 2, 3),
+      bk AS (
+        SELECT vec_id, band,
+          sum(CASE WHEN pj > 0 THEN (CAST(1 AS BIGINT) << bit)
+              ELSE 0 END) AS bucket
+        FROM proj GROUP BY 1, 2)"""
+
+  /** Quantize a float embedding array to exact integer micros — the
+    * array-form twin of [[exploded]]'s xq.
+    */
+  def quantized(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1e6, 0).cast("long"))
+
+  /** Exact integer dot product of two quantized arrays: a single-pass
+    * codegen'd higher-order function — no 64-way explode, no shuffle. The
+    * long sums are associative and engine-exact (dims · (1e6)² ≪ 2^63).
+    */
+  def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** Sign-LSH bucket id from the first `bits` components:
-    * Σ_d (x_d > 0) · 2^d. Cheap, deterministic, and balanced for
-    * zero-centered embeddings; probes search only their own bucket.
+    * Σ_d (x_d > 0) · 2^d. Cheap and deterministic, but FIXED-width: the
+    * bucket population grows linearly with N, so this is only a
+    * demonstration tier — production queries use [[hyperplanes]] +
+    * [[bandBuckets]], whose width scales with corpus size.
     */
   def signBucket(emb: Column, bits: Int): Column =
     (0 until bits).map(d =>
