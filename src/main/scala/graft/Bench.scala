@@ -25,23 +25,29 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Queries that cache intermediates register plans in the
-    // CacheManager, which matches structurally — cleared before EVERY
-    // timed run, not just once after the warm pass, because queries that
-    // share a cached subtree (the resample panel, the shingle explode)
-    // would otherwise reuse a cache the alphabetically-earlier query
-    // populated during the timed pass and understate their own cost.
+    // Median of 3 timed runs per query: single-shot times swung 2-4× in
+    // both directions between rounds on byte-identical code (GC, JIT
+    // recompilation, page-cache state), so no per-round perf delta is
+    // credible without a robust per-query statistic. Queries that cache
+    // intermediates register plans in the CacheManager, which matches
+    // structurally — cleared before EVERY timed run, not just once after
+    // the warm pass, because queries that share a cached subtree (the
+    // resample panel, the shingle explode) would otherwise reuse a cache
+    // a previous run populated and understate their own cost.
+    val Runs = 3
     val results = sorted.map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          failures += 1
+      val times = (1 to Runs).flatMap { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.size < Runs) failures += 1
+      name -> (if (times.size == Runs) times.sorted.apply(Runs / 2) else -1.0)
     }
     val good = results.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -71,4 +71,38 @@ object Relational {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
+
+  /** Dense 0-based ids in ascending `orderCol` order — the distributed
+    * replacement for `row_number().over(Window.orderBy(orderCol))`, whose
+    * empty PARTITION BY funnels the whole input through ONE task (Spark
+    * logs `WindowExec: No Partition Defined` and serializes).
+    *
+    * Shape: range-repartition by the order column (partition i holds
+    * smaller keys than partition i+1), number rows within each partition
+    * (a partitioned window), then shift by per-partition offsets — the
+    * running sum of partition counts, computed on the partition-count-
+    * sized side relation with a tiny triangular self-join (≤ shuffle
+    * partitions² rows) so no global window appears anywhere. The input is
+    * cached for the two passes (counts + join) so both see the same
+    * physical partitioning; callers' harnesses clear caches per query.
+    *
+    * `orderCol` values must be distinct (ids from a `.distinct()` key
+    * dimension) — with duplicates the order among equals would be
+    * nondeterministic, which is exactly when a global id is ill-defined.
+    */
+  def globalRowIds(df: DataFrame, orderCol: String,
+                   outCol: String): DataFrame = {
+    val parted = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val offs = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    parted.join(broadcast(offs), Seq("__pid"))
+      .withColumn(outCol, col("__off") + row_number().over(w) - 1)
+      .drop("__pid", "__off")
+  }
 }

@@ -95,5 +95,28 @@ object CoverageQueries {
           AS month_end
       FROM orders ORDER BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(qS3, qA4, qF7)
+  // A8 (scale hardening): group-by mean over a HOT key — event_type has
+  // only 5 values across ~10⁶ rows at sf0.1, the shape where a plain
+  // groupBy pins 5 reducers while the rest idle — executed through the
+  // two-phase salted aggregation [[graft.ops.Skew.saltedAgg]]: spread
+  // each key over 32 salts, partially aggregate (count + exact decimal
+  // sum), then combine the partials per key. The oracle is the plain
+  // GROUP BY — a green row proves the salted decomposition is exactly
+  // the unsalted aggregate.
+  private val qA8 = Q("a8_salted_skew",
+    (s, d) => graft.ops.Skew.saltedAgg(
+        T(s, d, "events").select("event_type", "value"),
+        Seq("event_type"), 32,
+        Seq(count(lit(1)).as("c"), count(col("value")).as("cv"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sv")),
+        Seq(sum(col("c")).as("n"),
+          round(try_divide(sum(col("sv")).cast("double"), sum(col("cv"))), 6)
+            .as("avg_value")))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8)
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Catalog, SparkEntry}
@@ -139,8 +138,8 @@ object PipelineQueries {
         .groupBy("ui", "uj")
         .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("weight"))
         .where(col("weight") > 0)
-      val v = filled.select("user_id").distinct()
-        .withColumn("vid", row_number().over(Window.orderBy("user_id")) - 1)
+      val v = graft.ops.Relational.globalRowIds(
+        filled.select("user_id").distinct(), "user_id", "vid")
       val e = pairs
         .join(broadcast(v.select(col("user_id").as("ui"),
           col("vid").as("src"))), Seq("ui"))
@@ -188,10 +187,11 @@ object PipelineQueries {
           col("value"))).as("h1"),
         davg(when(col("ts") >= SparkEntry.tsLit(SparkEntry.jan5),
           col("value"))).as("h2"))
-      byType.join(halves, Seq("user_id"))
-        .withColumn("features",
-          array(types.map(t => coalesce(col(t), lit(0.0))): _*))
-        .withColumn("vid", row_number().over(Window.orderBy("user_id")) - 1)
+      graft.ops.Relational.globalRowIds(
+          byType.join(halves, Seq("user_id"))
+            .withColumn("features",
+              array(types.map(t => coalesce(col(t), lit(0.0))): _*)),
+          "user_id", "vid")
         .select(col("vid"), col("user_id"),
           array_join(transform(col("features"),
             x => format_string("%.6f", x)), ",").as("features_csv"),
@@ -239,9 +239,8 @@ object PipelineQueries {
         .withColumn("day", expr("unix_timestamp(ts) div 86400"))
         .withColumn("dow", expr("(day + 3) % 7")) // 0=Mon; epoch day 0 was a Thursday(=3)
         .where(col("dow") =!= 5 && col("dow") =!= 6)
-      val days = ev.select("day").distinct()
-        .withColumn("bidx",
-          row_number().over(Window.orderBy("day")) - 1)
+      val days = graft.ops.Relational.globalRowIds(
+        ev.select("day").distinct(), "day", "bidx")
       val nChunks = days.agg((count(lit(1)) / 5).cast("long").as("nc"))
       ev.join(broadcast(days), Seq("day"))
         .withColumn("chunk", expr("bidx div 5"))

@@ -45,4 +45,21 @@ class RelationalSpec extends SparkTestBase {
       .orderBy("k").select("v").as[String].collect().toSeq
     assert(got == Seq("a", "z"))
   }
+
+  test("globalRowIds: dense 0-based ids in order, across partitions") {
+    // enough rows to span several range partitions; scrambled input order
+    val keys = scala.util.Random.shuffle((0 until 1000).toList)
+    val df = keys.map(k => (k * 7L, s"p$k")).toDF("key", "payload")
+      .repartition(8)
+    val got = Relational.globalRowIds(df, "key", "gid")
+      .select("key", "gid").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == (0L until 1000L),
+      "ids must be dense, 0-based, and follow ascending key order")
+    // and no single-partition WindowExec: the only window in the plan is
+    // partitioned by the range-partition id
+    val plan = Relational.globalRowIds(df, "key", "gid")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"),
+      "the row-number window must be partitioned by the partition id")
+  }
 }
