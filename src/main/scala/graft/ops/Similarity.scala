@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * final cosine = dot / √(na·nb) is a fixed sequence of IEEE double ops,
   * so rank-by-cosine is deterministic without rounding tricks.
   *
-  * Scale notes: the long (vec_id, pos, xq) form is the 100 TB shape —
-  * dot products are a shuffle by `pos` (or block id), norms a shuffle by
-  * vec_id; nothing is collected. The probe side is broadcast. The LSH
-  * variant prunes the target side to one bucket before any join, turning
-  * top-k from O(N) per probe into O(N / 2^bits) expected.
+  * Scale notes: dot products and norms are computed on the quantized
+  * ARRAY form via codegen'd higher-order functions ([[dotq]]) — one
+  * projection per candidate row, no per-dimension explode shuffle (the
+  * exploded form moves dims× more rows through every join; measured 4×
+  * slower on the d5 verification at sf0.1). The long (vec_id, pos, xq)
+  * [[exploded]] form remains the input to band bucketing, where the
+  * plane join genuinely is per-dimension. Probe sides are broadcast;
+  * nothing is collected. The LSH variant prunes candidates to band
+  * buckets before any join.
   */
 object Similarity {
 
@@ -34,33 +38,14 @@ object Similarity {
       .select(col(idCol), (col("p") + 1).as("pos"),
         round(col("xf").cast("double") * 1e6, 0).cast("long").as("xq"))
 
-  /** Exact squared norm per vector (micros² units, long-exact: 64 dims ×
-    * (1e6)² stays far under 2^63).
+  /** Quantized array form with exact squared norm: (idCol, q:
+    * array<long> micros, sq: long) — one map-only projection, the shape
+    * every cosine verification joins against. dotq(q, q) is long-exact
+    * (64 dims × (1e6)² stays far under 2^63).
     */
-  def sqNorms(exploded: DataFrame, idCol: String): DataFrame =
-    exploded.groupBy(idCol)
-      .agg(sum(col("xq") * col("xq")).as("sq"))
-
-  /** Cosine similarity of every (probe, target) pair: probe side
-    * broadcast, dot products shuffled by (qid, tid). Returns
-    * (qid, tid, cosine: double); the micros scaling cancels in the ratio.
-    */
-  def cosine(qx: DataFrame, tx: DataFrame, qn: DataFrame,
-             tn: DataFrame): DataFrame = {
-    val dots = tx.join(broadcast(qx.withColumnRenamed("xq", "qxv")
-        .withColumnRenamed("vec_id", "qid")), Seq("pos"))
-      .groupBy(col("qid"), col("vec_id").as("tid"))
-      .agg(sum(col("xq") * col("qxv")).as("dot"))
-    dots
-      .join(broadcast(qn.select(col("vec_id").as("qid"),
-        col("sq").as("qsq"))), Seq("qid"))
-      .join(tn.select(col("vec_id").as("tid"), col("sq").as("tsq")),
-        Seq("tid"))
-      .select(col("qid"), col("tid"),
-        (col("dot").cast("double") /
-          sqrt(col("qsq").cast("double") * col("tsq").cast("double")))
-          .as("cosine"))
-  }
+  def withSqNorm(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(col(idCol), quantized(col("embedding")).as("q"))
+      .withColumn("sq", dotq(col("q"), col("q")))
 
   /** Top-k rows per probe by (cosine desc, tid asc) — deterministic given
     * the engine-independent cosine doubles.
@@ -117,12 +102,54 @@ object Similarity {
           .bitwiseAND(lit(1L)) * 2 - 1).as("s"))
   }
 
+  /** The ±1 sign of plane (band, bit, pos 0-based), computed driver-side:
+    * low bit of the 60-bit prefix of md5("band:bit:p") — the EXACT value
+    * [[hyperplanes]] derives relationally (and the oracle SQL mirrors),
+    * checked equal in SimilaritySpec. Materializing the bands·bits·dims
+    * sign matrix on the driver (a few thousand bytes) lets bucketing run
+    * as a map-only projection instead of a per-dimension plane join.
+    */
+  def planeSigns(bands: Int, bits: Int, dims: Int): Seq[Seq[Seq[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bands).map(b => (0 until bits).map(t => (0 until dims).map {
+      p =>
+        md.reset()
+        val hex = md.digest(s"$b:$t:$p".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        (java.lang.Long.parseLong(hex, 16) & 1L) * 2 - 1
+    }))
+  }
+
+  /** Map-only banded bucketing over the quantized ARRAY form (id, q):
+    * bucket bit t of band b is set iff dotq(q, signs(b)(t)) > 0, with the
+    * signs as array literals — no join, no explode, no shuffle; one
+    * narrow (id, band, bucket) output row per band via an inline
+    * struct-array explode. Integer-exact and bit-identical to
+    * [[bandBuckets]] (asserted in SimilaritySpec); preferred when the
+    * embedding fits an array column, which is the common case.
+    */
+  def bandBucketsFromSigns(embq: DataFrame, idCol: String,
+                           signs: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val bandStructs = signs.zipWithIndex.map { case (band, b) =>
+      val bucket = band.zipWithIndex.map { case (plane, t) =>
+        when(dotq(col("q"), typedLit(plane)) > 0, lit(1L << t))
+          .otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(b.toLong).as("band"), bucket.as("bucket"))
+    }
+    embq.select(col(idCol), explode(array(bandStructs: _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"),
+        col("e.bucket").as("bucket"))
+  }
+
   /** Per-(vector, band) LSH bucket id: bit b of the bucket is set iff the
     * exact integer projection Σ_pos s(band,b,pos) · xq(pos) is positive.
     * One shuffle keyed (id, band) with `bits` conditional partial sums —
     * integer-exact, so bucketing is identical across engines. Input is
     * the long [[exploded]] form; `planes` is broadcast (bands·bits·dims
-    * rows — a few thousand).
+    * rows — a few thousand). Use this relational form when vectors only
+    * exist exploded (e.g. [[CorrPrune]]'s long panels); prefer
+    * [[bandBucketsFromSigns]] for array-column embeddings.
     */
   def bandBuckets(ex: DataFrame, idCol: String, planes: DataFrame,
                   bits: Int): DataFrame = {

@@ -393,22 +393,43 @@ object LlmQueries {
   /** Fixture embedding dimensionality (embeddings.parquet, 64 floats). */
   private val EmbDims = 64
 
-  /** Shared banded-LSH state for e2/e3/d5: cached quantized long form,
-    * exact squared norms, and per-(vector, band) hyperplane buckets with
-    * bit width scaled to the corpus size (bits = bitsFor(count)) and band
-    * count chosen by `bandsOf(bits)`. The count() is a parquet-metadata
-    * scalar (bounded driver-side value, like a3b's panel key set); every
-    * downstream relation is distributed.
+  /** Quantized array form (vec_id, q, sq) — cached because every cosine
+    * verification joins it from two sides (N rows × ~0.5 KB).
     */
-  private def lshState(s: SparkSession, d: String,
-                       bandsOf: Int => Int): (DataFrame, DataFrame, DataFrame) = {
+  private def embQ(s: SparkSession, d: String): DataFrame =
+    Similarity.withSqNorm(T(s, d, "embeddings"), "vec_id").cache()
+
+  /** Shared banded-LSH state for e2/e3/d5: per-(vector, band) hyperplane
+    * buckets with bit width scaled to the corpus size (bits =
+    * bitsFor(count)) and band count chosen by `bandsOf(bits)`. The
+    * count() is a parquet-metadata scalar (bounded driver-side value,
+    * like a3b's panel key set); every downstream relation is distributed.
+    */
+  private def lshBuckets(s: SparkSession, d: String,
+                         bandsOf: Int => Int): DataFrame = {
     val bits = Similarity.bitsFor(T(s, d, "embeddings").count())
-    val planes = Similarity.hyperplanes(s, bandsOf(bits), bits, EmbDims)
-    val ex = embExploded(s, d).cache()
-    val norms = Similarity.sqNorms(ex, "vec_id")
-    val bk = Similarity.bandBuckets(ex, "vec_id", planes, bits).cache()
-    (ex, norms, bk)
+    val signs = Similarity.planeSigns(bandsOf(bits), bits, EmbDims)
+    Similarity.bandBucketsFromSigns(
+        Similarity.withSqNorm(T(s, d, "embeddings"), "vec_id"),
+        "vec_id", signs)
+      .cache()
   }
+
+  /** Exact cosine of candidate (i, j) pairs via the array-form dot
+    * product: two equi-joins against the cached (id, q, sq) relation and
+    * one codegen'd HOF per row — no per-dimension explode shuffle.
+    */
+  private def cosineOf(cand: DataFrame, q: DataFrame, iCol: String,
+                       jCol: String): DataFrame =
+    cand
+      .join(q.select(col("vec_id").as(iCol), col("q").as("qa"),
+        col("sq").as("sqa")), Seq(iCol))
+      .join(q.select(col("vec_id").as(jCol), col("q").as("qb"),
+        col("sq").as("sqb")), Seq(jCol))
+      .withColumn("cosine",
+        Similarity.dotq(col("qa"), col("qb")).cast("double") /
+          sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+      .drop("qa", "qb", "sqa", "sqb")
 
   /** DuckDB CTE prefix shared by e1/e2: exploded (vec_id, pos, x) and
     * exact decimal squared norms.
@@ -428,11 +449,18 @@ object LlmQueries {
     * measures e2's recall against.
     */
   private def e1Top(s: SparkSession, d: String): DataFrame = {
-    val ex = embExploded(s, d)
-    val norms = Similarity.sqNorms(ex, "vec_id")
-    val cos = Similarity.cosine(ex.where(col("vec_id") < 5), ex,
-        norms.where(col("vec_id") < 5), norms)
-      .where(col("qid") =!= col("tid"))
+    val q = embQ(s, d)
+    // brute force = broadcast the 5 probe arrays against one scan of the
+    // target arrays; each pair costs one codegen'd HOF dot product
+    val cos = q.select(col("vec_id").as("tid"), col("q"), col("sq"))
+      .crossJoin(broadcast(q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("sq").as("qsq"))))
+      .where(col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        (Similarity.dotq(col("q"), col("qa")).cast("double") /
+          sqrt(col("sq").cast("double") * col("qsq").cast("double")))
+          .as("cosine"))
     Similarity.topK(cos, 3)
   }
 
@@ -476,29 +504,14 @@ object LlmQueries {
     * exact integer cosine as e1; e3 grades the resulting recall.
     */
   private def e2Top(s: SparkSession, d: String): DataFrame = {
-    val (ex, norms, bk) = lshState(s, d, Similarity.bandsFor)
+    val bk = lshBuckets(s, d, Similarity.bandsFor)
     val probes = bk.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("band"), col("bucket"))
     val cand = bk.select(col("vec_id").as("tid"), col("band"), col("bucket"))
       .join(broadcast(probes), Seq("band", "bucket"))
       .where(col("tid") =!= col("qid"))
       .select("qid", "tid").distinct()
-    val tx = ex.select(col("vec_id").as("tid"), col("pos"), col("xq"))
-      .join(cand, Seq("tid"))
-    val qx = ex.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("pos"), col("xq").as("qxv"))
-    val dots = tx.join(broadcast(qx), Seq("qid", "pos"))
-      .groupBy("qid", "tid")
-      .agg(sum(col("xq") * col("qxv")).as("dot"))
-    val cos = dots
-      .join(broadcast(norms.where(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("sq").as("qsq"))), Seq("qid"))
-      .join(norms.select(col("vec_id").as("tid"), col("sq").as("tsq")),
-        Seq("tid"))
-      .select(col("qid"), col("tid"), (col("dot").cast("double") /
-        sqrt(col("qsq").cast("double") * col("tsq").cast("double")))
-        .as("cosine"))
-    Similarity.topK(cos, 3)
+    Similarity.topK(cosineOf(cand, embQ(s, d), "qid", "tid"), 3)
   }
 
   /** e2's ranked CTE chain (expects x/n in scope): defines `ranked2`. */
@@ -582,26 +595,14 @@ object LlmQueries {
   // modeled recall. The oracle mirrors the identical planes and buckets.
   private val qD5 = Q("d5_embedding_neardup",
     (s, d) => {
-      val (ex, norms, bk) = lshState(s, d, _ => 8)
+      val bk = lshBuckets(s, d, _ => 8)
       val cand = bk.select(col("band"), col("bucket"), col("vec_id").as("i"))
         .join(bk.select(col("band"), col("bucket"), col("vec_id").as("j")),
           Seq("band", "bucket"))
         .where(col("i") < col("j"))
         .select("i", "j").distinct()
-      val xi = ex.select(col("vec_id").as("i"), col("pos"),
-        col("xq").as("xi"))
-      val xj = ex.select(col("vec_id").as("j"), col("pos"),
-        col("xq").as("xj"))
-      val dots = cand.join(xi, Seq("i")).join(xj, Seq("j", "pos"))
-        .groupBy("i", "j")
-        .agg(sum(col("xi") * col("xj")).as("dot"))
-      dots
-        .join(norms.select(col("vec_id").as("i"), col("sq").as("sqi")),
-          Seq("i"))
-        .join(norms.select(col("vec_id").as("j"), col("sq").as("sqj")),
-          Seq("j"))
-        .withColumn("cosine", round(col("dot").cast("double") /
-          sqrt(col("sqi").cast("double") * col("sqj").cast("double")), 6))
+      cosineOf(cand, embQ(s, d), "i", "j")
+        .withColumn("cosine", round(col("cosine"), 6))
         .where(col("cosine") >= 0.35)
         .select("i", "j", "cosine").orderBy("i", "j")
     },

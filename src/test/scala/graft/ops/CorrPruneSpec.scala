@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class CorrPruneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Deterministic panel: 8 series × 48 grid positions. Series 0 is an
+  // LCG-driven walk; series 1 tracks it closely (high positive ρ);
+  // series 2 mirrors it (ρ ≈ −1, must NOT appear at a positive
+  // threshold); series 3-7 are independent LCG streams.
+  private def lcg(seed: Long): Iterator[Double] =
+    Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+      .map(s => ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5)
+
+  private lazy val panel = {
+    val t = 48
+    val base = lcg(42L).take(t).toVector
+    def noisy(seed: Long, eps: Double) =
+      base.zip(lcg(seed).take(t).toVector).map { case (b, n) => b + eps * n }
+    val series: Map[Long, Vector[Double]] = Map(
+      0L -> base,
+      1L -> noisy(7L, 0.15),
+      2L -> base.map(-_),
+      3L -> lcg(100L).take(t).toVector,
+      4L -> lcg(200L).take(t).toVector,
+      5L -> lcg(300L).take(t).toVector,
+      6L -> lcg(400L).take(t).toVector,
+      7L -> lcg(500L).take(t).toVector)
+    series.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, i + 1, v) }
+    }.toDF("key", "pos", "value")
+  }
+
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val a = panel.select(col("key").as("i"), col("pos"), col("value").as("va"))
+    val b = panel.select(col("key").as("j"), col("pos"), col("value").as("vb"))
+    a.join(b, Seq("pos")).where(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(Stats.pearson(col("va"), col("vb")).as("rho"))
+      .where(col("rho") >= threshold)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+  }
+
+  test("corrPairs: exact verification — output is a subset of all-pairs") {
+    val got = CorrPrune.corrPairs(panel, "key", "pos", "value",
+        dims = 48, bands = 6, bits = 4, threshold = 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val want = exactPairs(0.9)
+    assert(got.subsetOf(want), s"pruned output $got must never exceed exact $want")
+  }
+
+  test("corrPairs finds the high-rho pair and rejects the mirror pair") {
+    val got = CorrPrune.corrPairs(panel, "key", "pos", "value",
+        dims = 48, bands = 6, bits = 4, threshold = 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // ρ(0,1) ≈ 0.97 sits at angle ≈ 14°: per-band hit p^4 ≈ 0.66,
+    // 6 bands ⇒ modeled recall ≈ 0.998 — and the md5 planes are
+    // deterministic, so this assertion is stable, not flaky.
+    assert(got.contains((0L, 1L)), "the planted ρ≈0.97 pair must survive pruning")
+    assert(!got.contains((0L, 2L)), "the ρ≈−1 mirror must not pass a +0.9 threshold")
+  }
+
+  test("corrCandidates prunes: candidate count is below all-pairs") {
+    val n = CorrPrune.corrCandidates(panel, "key", "pos", "value",
+      dims = 48, bands = 2, bits = 4).count()
+    assert(n < 8L * 7 / 2, s"2 bands × 16 buckets over 8 series must drop some of the 28 pairs (got $n)")
+  }
+}

@@ -34,6 +34,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(p1.map(_._4).distinct.size == 2)
   }
 
+  test("planeSigns matches the relational hyperplanes derivation") {
+    val rel = Similarity.hyperplanes(spark, 3, 4, 7)
+      .orderBy("band", "bit", "pos").select("s").as[Long].collect().toSeq
+    val lit = Similarity.planeSigns(3, 4, 7).flatten.flatten
+    assert(rel == lit)
+  }
+
+  test("bandBucketsFromSigns is bit-identical to relational bandBuckets") {
+    val emb = Seq(
+      (0L, Array(0.3f, -1.2f, 0.7f)), (1L, Array(-0.5f, 0.1f, 2.0f)),
+      (2L, Array(1.5f, 1.1f, -0.2f)), (3L, Array(-0.1f, -0.4f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    val bands = 4; val bits = 3
+    val rel = Similarity.bandBuckets(
+        Similarity.exploded(emb, "vec_id"), "vec_id",
+        Similarity.hyperplanes(spark, bands, bits, 3), bits)
+      .orderBy("vec_id", "band")
+      .as[(Long, Long, Long)].collect().toSeq
+    val lit = Similarity.bandBucketsFromSigns(
+        Similarity.withSqNorm(emb, "vec_id"), "vec_id",
+        Similarity.planeSigns(bands, bits, 3))
+      .select("vec_id", "band", "bucket")
+      .orderBy("vec_id", "band")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rel == lit)
+  }
+
   test("bandBuckets: bucket bit b set iff the signed projection is positive") {
     // 2-dim vectors, 1 band, 2 bits: check buckets against a hand
     // computation from the actual plane signs
