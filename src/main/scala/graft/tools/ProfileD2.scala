@@ -1,4 +1,5 @@
-// Dev scratch main: stage-by-stage timing of d2_minhash_lsh at a given SF.
+// Dev scratch main: stage-by-stage timing of d2_minhash_lsh at a given SF
+// (mirrors the current hashed-postings form of the query).
 // Run: SPARK_GRAFT_CPUS=8 sbt "runMain graft.tools.ProfileD2 /root/testdata/sf0.1"
 package graft.tools
 
@@ -16,8 +17,10 @@ object ProfileD2 {
       r
     }
     val docs = Catalog.load(spark, d, "documents")
-    val sh = Text.explodeShingles(docs, "doc_id", "text", 1).cache()
-    time("explode+count")(sh.count())
+    val sh = Text.explodeShingles(docs, "doc_id", "text", 1)
+      .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
+      .cache()
+    time("explode+hash")(sh.count())
     val sig = Text.minhashSignature(sh, "doc_id", 12).cache()
     time("signatures")(sig.count())
     val bands = Text.bandKeys(sig, "doc_id", 2, 6)
@@ -33,8 +36,8 @@ object ProfileD2 {
       .select("i", "j", "sa", "sb").distinct().cache()
     time("candidates")(println("n_cand=" + cand.count()))
     val out = cand
-      .join(sh.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
+      .join(sh.select(col("doc_id").as("i"), col("h")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("h")), Seq("j", "h"))
       .groupBy("i", "j", "sa", "sb").agg(count(lit(1)).as("inter"))
       .withColumn("jac", round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
       .where(col("jac") >= 0.95)
