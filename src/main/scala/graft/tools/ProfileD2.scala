@@ -41,7 +41,20 @@ object ProfileD2 {
       .groupBy("i", "j", "sa", "sb").agg(count(lit(1)).as("inter"))
       .withColumn("jac", round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
       .where(col("jac") >= 0.95)
-    time("verify")(println("n_out=" + out.count()))
+    time("verify count-join")(println("n_out=" + out.count()))
+    // alternative: per-pair set intersection on the doc's hash ARRAY —
+    // |cand| rows carrying two ~|doc|-long arrays, one interpreted
+    // array_intersect each, no wide join + aggregation
+    val sets = sh.groupBy("doc_id").agg(array_sort(collect_list("h")).as("hs"))
+      .cache()
+    time("sets")(sets.count())
+    val out2 = cand
+      .join(sets.select(col("doc_id").as("i"), col("hs").as("ha")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("hs").as("hb")), Seq("j"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jac", round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
+      .where(col("jac") >= 0.95)
+    time("verify array-intersect")(println("n_out2=" + out2.count()))
     spark.stop()
   }
 }
