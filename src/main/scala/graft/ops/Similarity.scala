@@ -221,14 +221,4 @@ object Similarity {
   def dotq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Sign-LSH bucket id from the first `bits` components:
-    * Σ_d (x_d > 0) · 2^d. Cheap and deterministic, but FIXED-width: the
-    * bucket population grows linearly with N, so this is only a
-    * demonstration tier — production queries use [[hyperplanes]] +
-    * [[bandBuckets]], whose width scales with corpus size.
-    */
-  def signBucket(emb: Column, bits: Int): Column =
-    (0 until bits).map(d =>
-        when(element_at(emb, d + 1) > 0f, lit(1 << d)).otherwise(lit(0)))
-      .reduce(_ + _)
 }

@@ -396,9 +396,6 @@ object LlmQueries {
 
   // ------------------------------------------------------ similarity search
 
-  private def embExploded(s: SparkSession, d: String): DataFrame =
-    Similarity.exploded(T(s, d, "embeddings"), "vec_id")
-
   /** Fixture embedding dimensionality (embeddings.parquet, 64 floats). */
   private val EmbDims = 64
 
