@@ -10,7 +10,8 @@ import graft.ops.{Similarity, Text}
   * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
   * n-gram Jaccard), text analysis (stats/quality, language heuristic,
   * fingerprinting), similarity search (brute-force cosine top-k and a
-  * sign-LSH bucketed variant), and the multimodal binary-column plumbing.
+  * banded hyperplane-LSH and IVF variants with measured recall), and the
+  * multimodal binary-column plumbing.
   *
   * These go beyond the reference's own operator set (the BASELINE north
   * star): at 100 TB these are the ops a training-data curation pass runs
