@@ -455,8 +455,7 @@ object LlmQueries {
     * cosine over the full corpus for probes vec_id < 5 — the baseline e3
     * measures e2's recall against.
     */
-  private def e1Top(s: SparkSession, d: String): DataFrame = {
-    val q = embQ(s, d)
+  private def e1Top(q: DataFrame): DataFrame = {
     // brute force = broadcast the 5 probe arrays against one scan of the
     // target arrays; each pair costs one codegen'd HOF dot product
     val cos = q.select(col("vec_id").as("tid"), col("q"), col("sq"))
@@ -493,7 +492,7 @@ object LlmQueries {
   // sums keep the result engine-exact (see Similarity's determinism
   // contract).
   private val qE1 = Q("e1_cosine_topk",
-    (s, d) => e1Top(s, d)
+    (s, d) => e1Top(embQ(s, d))
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank"),
@@ -510,7 +509,7 @@ object LlmQueries {
     * fixed 4-bit sign bucket was. Candidates are re-scored with the same
     * exact integer cosine as e1; e3 grades the resulting recall.
     */
-  private def e2Top(s: SparkSession, d: String): DataFrame = {
+  private def e2Top(s: SparkSession, d: String, q: DataFrame): DataFrame = {
     val bk = lshBuckets(s, d, Similarity.bandsFor)
     val probes = bk.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("band"), col("bucket"))
@@ -518,7 +517,7 @@ object LlmQueries {
       .join(broadcast(probes), Seq("band", "bucket"))
       .where(col("tid") =!= col("qid"))
       .select("qid", "tid").distinct()
-    Similarity.topK(cosineOf(cand, embQ(s, d), "qid", "tid"), 3)
+    Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
   }
 
   /** e2's ranked CTE chain (expects x/n in scope): defines `ranked2`. */
@@ -550,7 +549,7 @@ object LlmQueries {
   // corpus size (bucket population ≈ constant 64), then exact cosine
   // re-scoring. The oracle regenerates the identical md5-seeded planes.
   private val qE2 = Q("e2_ann_lsh",
-    (s, d) => e2Top(s, d)
+    (s, d) => e2Top(s, d, embQ(s, d))
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank"),
@@ -568,8 +567,9 @@ object LlmQueries {
   // near-duplicates sits at far smaller angles and needs fewer bands.
   private val qE3 = Q("e3_ann_recall",
     (s, d) => {
-      val exact = e1Top(s, d).select(col("qid"), col("tid"))
-      val approx = e2Top(s, d).select(col("qid"), col("tid"))
+      val q = embQ(s, d)
+      val exact = e1Top(q).select(col("qid"), col("tid"))
+      val approx = e2Top(s, d, q).select(col("qid"), col("tid"))
         .withColumn("hit", lit(1))
       exact.join(approx, Seq("qid", "tid"), "left")
         .groupBy("qid")
@@ -626,8 +626,7 @@ object LlmQueries {
     * assigned to its nprobe nearest cells; survivors are re-scored with
     * the exact integer cosine.
     */
-  private def e4Top(s: SparkSession, d: String): DataFrame = {
-    val q = embQ(s, d)
+  private def e4Top(q: DataFrame): DataFrame = {
     val scores = ivfScores(q).cache()
     val assign = scores.where(col("rn") === 1)
       .select(col("vec_id").as("tid"), col("cid"))
@@ -679,7 +678,7 @@ object LlmQueries {
   // search + exact re-scoring. The second ANN family next to e2's LSH;
   // e5 grades its recall the way e3 grades e2's.
   private val qE4 = Q("e4_ivf_ann",
-    (s, d) => e4Top(s, d)
+    (s, d) => e4Top(embQ(s, d))
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .orderBy("qid", "rank"),
@@ -691,8 +690,9 @@ object LlmQueries {
   // e5: IVF recall grade vs e1's exact top-3 (same construction as e3).
   private val qE5 = Q("e5_ivf_recall",
     (s, d) => {
-      val exact = e1Top(s, d).select(col("qid"), col("tid"))
-      val approx = e4Top(s, d).select(col("qid"), col("tid"))
+      val q = embQ(s, d)
+      val exact = e1Top(q).select(col("qid"), col("tid"))
+      val approx = e4Top(q).select(col("qid"), col("tid"))
         .withColumn("hit", lit(1))
       exact.join(approx, Seq("qid", "tid"), "left")
         .groupBy("qid")
