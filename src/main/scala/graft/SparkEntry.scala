@@ -680,6 +680,70 @@ object SparkEntry {
       .replace("round(corr(a.price, b.price), 6)",
         "round(corr(a.price, b.price), 4)")))
 
+  // A3 tier iv: the LSH pair-pruned thresholded correlation search
+  // (ops/CorrPrune) on the same wide panel as a3c — the tier that takes
+  // over past the one-pass UDAF's O(k²) buffer cap. Candidate pairs come
+  // from banded hyperplane buckets over the integer-exact CENTERED
+  // series (Pearson = cosine of centered vectors; the sign test
+  // n·Σs·xq − S·Σs is pure long arithmetic, so the DuckDB oracle
+  // regenerates identical buckets), then exact Pearson verification and
+  // the ρ ≥ 0.5 keep. 4-dp rounding before the threshold for the same
+  // boundary-density reason as a3c.
+  private val A3dBands = 8
+  private val A3dBits = 5
+  private val qA3d = Q("a3d_corr_pruned",
+    (s, d) => {
+      // cached: the panel feeds the bucketing ex/stats AND both verify
+      // sides — without the cache the resample+ffill recomputes 3×
+      val panel = resampled(s, d, 300, jan1, jan2, 600)
+        .withColumn("pos",
+          ((col("bucket") - jan1) / 600 + 1).cast("int"))
+        .cache()
+      graft.ops.CorrPrune
+        .candidateRho(panel, "user_id", "pos", "value",
+          dims = 144, bands = A3dBands, bits = A3dBits)
+        .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
+        .where(col("rho") >= 0.5)
+        .orderBy("i", "j")
+    },
+    Some(ffillSqlCte(300, jan1, jan2, 600) + s""",
+      pex AS (
+        SELECT user_id, (bucket - $jan1)//600 + 1 AS pos,
+          CAST(round(price * 1000000) AS BIGINT) AS xq
+        FROM filled WHERE price IS NOT NULL),
+      pstats AS (
+        SELECT user_id, sum(xq) AS sx, count(*) AS nx
+        FROM pex GROUP BY 1),
+      cplanes AS (
+        SELECT band, bit, p + 1 AS pos,
+          CASE WHEN (CAST(concat('0x',
+              substr(md5(band || ':' || bit || ':' || p), 1, 15)) AS BIGINT)
+              & 1) = 1 THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(range($A3dBands)) AS band) bb
+        CROSS JOIN (SELECT unnest(range($A3dBits)) AS bit) tt
+        CROSS JOIN (SELECT unnest(range(144)) AS p) pp),
+      cproj AS (
+        SELECT x.user_id, pl.band, pl.bit,
+          sum(pl.s * x.xq) AS p, sum(pl.s) AS q
+        FROM pex x JOIN cplanes pl ON pl.pos = x.pos
+        GROUP BY 1, 2, 3),
+      cbk AS (
+        SELECT c.user_id, c.band,
+          sum(CASE WHEN st.nx * c.p - st.sx * c.q > 0
+              THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS bucket
+        FROM cproj c JOIN pstats st USING (user_id)
+        GROUP BY 1, 2),
+      ccand AS (
+        SELECT DISTINCT a.user_id AS i, b.user_id AS j
+        FROM cbk a JOIN cbk b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.user_id < b.user_id)
+      SELECT i, j, rho FROM (
+        SELECT c.i, c.j, round(corr(a.price, b.price), 4) AS rho
+        FROM ccand c JOIN filled a ON a.user_id = c.i
+          JOIN filled b ON b.user_id = c.j AND b.bucket = a.bucket
+        GROUP BY 1, 2)
+      WHERE rho >= 0.5 ORDER BY i, j"""))
+
   // --------------------------------------------------------------- wiring
 
   private val all: Seq[Q] = Seq(
@@ -688,7 +752,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qA3, qA3b, qA3c) ++
+    qW1, qW2, qW3, qW4, qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Points at

@@ -11,43 +11,58 @@ import org.apache.spark.sql.functions._
   * cosine of the mean-CENTERED series vectors (standardization only
   * rescales each vector, and cosine is scale-invariant). So "find pairs
   * with ρ ≥ t" is an angular similarity search — the same problem d5/e2
-  * solve with banded random-hyperplane LSH, and [[Similarity]]'s bucket
-  * machinery transfers verbatim: center each series, quantize to integer
-  * micros, bucket by seeded Rademacher projections, and only pairs
-  * sharing a (band, bucket) become candidates. Candidates are then
-  * verified with the exact [[Stats.pearson]] aggregate, so the OUTPUT is
-  * exact; only recall is probabilistic (1 − (1 − p^bits)^bands with
-  * p = 1 − θ/π — at ρ ≥ 0.9, θ ≤ 26° and a handful of bands already give
-  * ≥ 0.99; choose bands/bits for the target threshold).
+  * solve with banded random-hyperplane LSH. Candidate pairs share a
+  * (band, bucket); they are then verified with the exact
+  * [[Stats.pearson]] aggregate, so emitted pairs are exact and only
+  * recall is probabilistic (1 − (1 − p^bits)^bands with p = 1 − θ/π — at
+  * ρ ≥ 0.9, θ ≤ 26° and a handful of bands already give ≥ 0.99; choose
+  * bands/bits for the target threshold).
   *
-  * Cost shape at k series × T buckets: centering is one aggregate +
-  * broadcast join; bucketing shuffles k·bands rows; candidate
-  * generation is O(bands · bucketSize · k) — linear in k at the
-  * [[Similarity.bitsFor]] bucket-size target — versus the Θ(k²) pair
-  * join. Requires the aligned (post-resample) panel where every series
-  * covers the same grid, the flagship's shape after ffill.
+  * Centering is integer-exact so the buckets are reproducible in ANY
+  * engine (the DuckDB oracle mirrors them): with xq = round(x·1e6) and
+  * per-series S = Σxq, n = count, the centered projection's sign is
+  *   sign(Σ_p s_p·(xq_p − S/n)) = sign(n·Σ_p s_p·xq_p − S·Σ_p s_p)
+  * — all long arithmetic, no floating mean whose last ulp could flip a
+  * bucket bit between engines. Bounds: |xq| ≤ 10⁹, positions ≤ 10³ keeps
+  * n·Σs·xq under 10¹⁵ ≪ 2⁶³.
+  *
+  * Cost shape at k series × T buckets: bucketing shuffles k·bands rows
+  * (the plane join is per-position, like d2's band machinery); candidate
+  * generation is O(bands · bucketSize · k) — linear in k — versus the
+  * Θ(k²) pair join. Requires the aligned (post-resample) panel where
+  * every series lives on the same grid, the flagship's shape after
+  * ffill; leading-null grid slots are simply absent from the sums on
+  * both sides.
   */
 object CorrPrune {
 
   /** Candidate (i, j) series pairs (i < j) whose centered-vector LSH
-    * buckets collide in at least one band — the prefilter for a
-    * thresholded correlation search. `panel` must be an aligned long
-    * panel (keyCol, posCol: 1-based int grid position, valueCol).
+    * buckets collide in at least one band. `panel` is the aligned long
+    * panel (keyCol, posCol: 1-based int grid position ≤ dims, valueCol).
     */
   def corrCandidates(panel: DataFrame, keyCol: String, posCol: String,
                      valueCol: String, dims: Int, bands: Int,
                      bits: Int): DataFrame = {
-    val means = panel.groupBy(keyCol)
-      .agg(avg(col(valueCol)).as("__mean"))
-    // centered, quantized to exact integer micros — the long (id, pos,
-    // xq) shape Similarity.bandBuckets consumes
-    val ex = panel.join(broadcast(means), Seq(keyCol))
-      .select(col(keyCol), col(posCol).as("pos"),
-        round((col(valueCol) - col("__mean")) * 1e6, 0).cast("long")
-          .as("xq"))
+    val ex = panel.select(col(keyCol), col(posCol).as("pos"),
+        round(col(valueCol) * 1e6, 0).cast("long").as("xq"))
+      .where(col("xq").isNotNull)
+    val stats = ex.groupBy(keyCol)
+      .agg(sum("xq").as("sx"), count(lit(1)).as("nx"))
     val planes =
       Similarity.hyperplanes(panel.sparkSession, bands, bits, dims)
-    val bk = Similarity.bandBuckets(ex, keyCol, planes, bits)
+    val projAggs = (0 until bits).flatMap(b => Seq(
+      sum(when(col("bit") === b, col("s") * col("xq")).otherwise(0L))
+        .as(s"p$b"),
+      sum(when(col("bit") === b, col("s")).otherwise(0L)).as(s"q$b")))
+    val bk = ex.join(broadcast(planes), Seq("pos"))
+      .groupBy(col(keyCol), col("band"))
+      .agg(projAggs.head, projAggs.tail: _*)
+      .join(broadcast(stats), Seq(keyCol))
+      .select(col(keyCol), col("band"),
+        (0 until bits).map(b =>
+          when(col("nx") * col(s"p$b") - col("sx") * col(s"q$b") > 0,
+            lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
     bk.select(col("band"), col("bucket"), col(keyCol).as("i"))
       .join(bk.select(col("band"), col("bucket"), col(keyCol).as("j")),
         Seq("band", "bucket"))
@@ -55,14 +70,15 @@ object CorrPrune {
       .select("i", "j").distinct()
   }
 
-  /** Prune-then-verify thresholded correlation: exact Pearson (via
-    * [[Stats.pearson]]) for every LSH candidate pair, kept at ρ ≥
-    * `threshold`. Output rows are a subset of the exact all-pairs
-    * answer (verification is exact); recall is governed by bands/bits.
+  /** Exact Pearson (via [[Stats.pearson]], pairwise-complete) for every
+    * LSH candidate pair — unrounded and unfiltered, so callers control
+    * the threshold/rounding (and their oracle mirrors it). Output rows
+    * are a subset of the exact all-pairs answer; recall is governed by
+    * bands/bits.
     */
-  def corrPairs(panel: DataFrame, keyCol: String, posCol: String,
-                valueCol: String, dims: Int, bands: Int, bits: Int,
-                threshold: Double): DataFrame = {
+  def candidateRho(panel: DataFrame, keyCol: String, posCol: String,
+                   valueCol: String, dims: Int, bands: Int,
+                   bits: Int): DataFrame = {
     val cand = corrCandidates(panel, keyCol, posCol, valueCol, dims,
       bands, bits)
     val a = panel.select(col(keyCol).as("i"), col(posCol).as("pos"),
@@ -72,6 +88,5 @@ object CorrPrune {
     cand.join(a, Seq("i")).join(b, Seq("j", "pos"))
       .groupBy("i", "j")
       .agg(Stats.pearson(col("va"), col("vb")).as("rho"))
-      .where(col("rho") >= threshold)
   }
 }

@@ -43,17 +43,19 @@ class CorrPruneSpec extends SparkTestBase {
       .select("i", "j").as[(Long, Long)].collect().toSet
   }
 
-  test("corrPairs: exact verification — output is a subset of all-pairs") {
-    val got = CorrPrune.corrPairs(panel, "key", "pos", "value",
-        dims = 48, bands = 6, bits = 4, threshold = 0.9)
+  test("candidateRho: exact verification — output is a subset of all-pairs") {
+    val got = CorrPrune.candidateRho(panel, "key", "pos", "value",
+        dims = 48, bands = 6, bits = 4)
+      .where(col("rho") >= 0.9)
       .select("i", "j").as[(Long, Long)].collect().toSet
     val want = exactPairs(0.9)
     assert(got.subsetOf(want), s"pruned output $got must never exceed exact $want")
   }
 
-  test("corrPairs finds the high-rho pair and rejects the mirror pair") {
-    val got = CorrPrune.corrPairs(panel, "key", "pos", "value",
-        dims = 48, bands = 6, bits = 4, threshold = 0.9)
+  test("candidateRho finds the high-rho pair and rejects the mirror pair") {
+    val got = CorrPrune.candidateRho(panel, "key", "pos", "value",
+        dims = 48, bands = 6, bits = 4)
+      .where(col("rho") >= 0.9)
       .select("i", "j").as[(Long, Long)].collect().toSet
     // ρ(0,1) ≈ 0.97 sits at angle ≈ 14°: per-band hit p^4 ≈ 0.66,
     // 6 bands ⇒ modeled recall ≈ 0.998 — and the md5 planes are
