@@ -232,13 +232,17 @@ object LlmQueries {
       // 60-bit hash, not the string: the self-join shuffles 8-byte longs
       // instead of ~13-char UTF8 keys (same counts — a cross-bigram md5
       // collision inside one pair is ~2^-60 and the oracle would flag it).
+      // cached: the df aggregate AND the filtered join below both
+      // consume the exploded+hashed postings — uncached, the shingle
+      // explode + md5 pass runs twice (measured as the dominant phase)
       val ex = docs.select(col("lang"), col("doc_id"),
           explode(Text.shingles(col("text"), 2)).as("sh"))
         .select(col("lang"), col("doc_id"), Text.hash60(col("sh")).as("h"))
+        .cache()
       // df cut: one aggregate over the postings (shuffled by (lang, h) —
       // the same key the self-join below shuffles on), then keep only
       // discriminative shingles. exf feeds three consumers (sizes + both
-      // join sides), so it is the relation worth caching.
+      // join sides), so it is also worth caching.
       val keep = ex.groupBy("lang", "h").agg(count(lit(1)).as("df"))
         .where(col("df") <= MaxDf).select("lang", "h")
       val exf = ex.join(keep, Seq("lang", "h")).cache()
