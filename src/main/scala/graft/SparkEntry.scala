@@ -693,12 +693,12 @@ object SparkEntry {
   private val A3dBits = 5
   private val qA3d = Q("a3d_corr_pruned",
     (s, d) => {
-      // cached: the panel feeds the bucketing ex/stats AND both verify
-      // sides — without the cache the resample+ffill recomputes 3×
+      // resampleFfill caches the filled panel; the pos projection on top
+      // is trivial, so the three consumers (bucketing ex/stats + both
+      // verify sides) all read the cache
       val panel = resampled(s, d, 300, jan1, jan2, 600)
         .withColumn("pos",
           ((col("bucket") - jan1) / 600 + 1).cast("int"))
-        .cache()
       graft.ops.CorrPrune
         .candidateRho(panel, "user_id", "pos", "value",
           dims = 144, bands = A3dBands, bits = A3dBits)

@@ -115,6 +115,13 @@ object Time {
     val keys = bucketed.select(keyCol).distinct()
     val g = grid(spark, startSec, endSec, stepSec, keys)
     val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
-    ffill(joined, keyCol, "bucket", valueCol)
+    // The FILLED panel is cached as well: every correlation consumer
+    // scans it from two sides (the i/j pair join), and without the cache
+    // each side re-runs the grid join + ffill window. Both cached
+    // relations are dimension-sized (≤ grid × keys rows) and registered
+    // for the same lifecycle release.
+    val filled = ffill(joined, keyCol, "bucket", valueCol).cache()
+    cachedPanels.add(filled)
+    filled
   }
 }

@@ -165,7 +165,9 @@ object LlmQueries {
   // 9-bit mask is a no-op since shiftright(54) leaves only 6 bits.
   private val qD3 = Q("d3_simhash",
     (s, d) => {
-      val sh = Text.simhash(T(s, d, "documents"), "doc_id", "text")
+      // cached: both sides of the piece self-join consume the simhash
+      // relation — uncached, the full tf aggregation runs twice
+      val sh = Text.simhash(T(s, d, "documents"), "doc_id", "text").cache()
       val pieces = sh.select(col("doc_id"), col("simhash"),
           explode(typedLit(Seq(0, 1, 2, 3, 4, 5, 6))).as("p"))
         .withColumn("piece", expr("shiftright(simhash, 9 * p) & 511"))
