@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Exact, Relational, Time}
 import graft.ops.Exact.{cents, davg, dsum}
-import graft.queries.{CoverageQueries, LlmQueries, PipelineQueries, Q}
+import graft.queries.{CoverageQueries, CurationQueries, LlmQueries, PipelineQueries, Q}
 
 /** Driver contract: one named query (+ DuckDB oracle SQL) per operator row
   * of SURVEY.md §2. Query names carry the inventory id (`j1_`, `w1_`, …) so
@@ -753,7 +753,8 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qA3, qA3b, qA3c, qA3d) ++
-    LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all
+    LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
+    CurationQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Points at
     * the one-pass co-moment tier so the smoke path exercises the custom
