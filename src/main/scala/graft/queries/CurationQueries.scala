@@ -74,5 +74,57 @@ object CurationQueries {
           FROM documents))
       GROUP BY source ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(qC2, qC3)
+  // c4: concat-and-chunk sequence packing. The layout is a pure function
+  // of each document's global token offset; the offset comes from
+  // Pack.globalCumSum — range-partitioned two-phase cumsum, no global
+  // window, so the plan has no single-partition stage at any scale.
+  private val qC4 = Q("c4_pack_sequences",
+    (s, d) => graft.ops.Pack.concatChunk(
+        T(s, d, "documents").select(col("doc_id"),
+          size(graft.ops.Text.words(col("text"))).as("n_tokens")),
+        "doc_id", "n_tokens", 256)
+      .select("doc_id", "n_tokens", "offset", "seq_id", "straddles")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, n_tokens, "offset",
+        "offset" // 256 AS seq_id,
+        CAST(("offset" + n_tokens - 1) // 256 != "offset" // 256 AS INT)
+          AS straddles
+      FROM (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS "offset"
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents))
+      ORDER BY doc_id"""))
+
+  // c5: greedy doc-boundary packing per source shard. Sequential by
+  // design within a group (bin i depends on all earlier bins), so the
+  // group is the parallelism unit — flatMapGroups packs every source in
+  // parallel. The oracle replays the identical greedy recurrence as a
+  // recursive CTE, making even this non-windowable op fully graded.
+  private val qC5 = Q("c5_greedy_pack",
+    (s, d) => graft.ops.Pack.greedyPack(s,
+        T(s, d, "documents").select(col("source"), col("doc_id"),
+          size(graft.ops.Text.words(col("text"))).as("n_tok")),
+        "source", "doc_id", "n_tok", 256)
+      .withColumnRenamed("group", "source")
+      .orderBy("source", "doc_id"),
+    Some("""WITH RECURSIVE d AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      g AS (
+        SELECT source, doc_id, n_tokens, rn, 0 AS bin, n_tokens AS acc
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+          CASE WHEN g.acc + d.n_tokens > 256 THEN g.bin + 1
+            ELSE g.bin END,
+          CASE WHEN g.acc + d.n_tokens > 256 THEN d.n_tokens
+            ELSE g.acc + d.n_tokens END
+        FROM g JOIN d ON d.source = g.source AND d.rn = g.rn + 1)
+      SELECT source, doc_id, n_tokens, bin FROM g
+      ORDER BY source, doc_id"""))
+
+  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5)
 }
