@@ -401,6 +401,83 @@ object LlmQueries {
       SELECT doc_id, CAST(min(hsum % 1000000007) AS BIGINT) AS fingerprint
       FROM h WHERE n = 5 GROUP BY doc_id ORDER BY doc_id"""))
 
+  // t4: repetition metrics (the Gopher-style quality gates): per-doc
+  // bigram mass concentrated in the top gram and in any repeated gram.
+  // explode → count per (doc, gram) → per-doc rollup: two key-partitioned
+  // shuffles, never a per-doc O(n²) array scan — at 10k-token documents
+  // the HOF form would be quadratic per row; this stays linear.
+  private val qT4 = Q("t4_repetition",
+    (s, d) => {
+      val w = Text.words(col("text"))
+      val grams = T(s, d, "documents").select(col("doc_id"),
+        explode(zip_with(slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_uniq"),
+          round(max("c") / sum("c"), 6).as("top_frac"),
+          round(sum(when(col("c") > 1, col("c")).otherwise(0)) / sum("c"),
+            6).as("dup_mass"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH grams AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             (SELECT unnest(range(1, len(w))) AS i)),
+      cnt AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_uniq,
+        round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac,
+        round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+          / sum(c), 6) AS dup_mass
+      FROM cnt GROUP BY doc_id ORDER BY doc_id"""))
+
+  // t5: PII scrub. The fixture corpus carries no PII, so each doc gets a
+  // deterministic synthetic contact line (email ×1-2 + phone) appended
+  // before the scrub — the redaction then provably fires on every row and
+  // the md5 of the redacted text checks the exact replacement output, not
+  // just the counts. Patterns are dialect-portable (verified Java regex ≡
+  // RE2 on these shapes); map-only at any scale.
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhoneRe = "\\+\\d-\\d{3}-\\d{4}"
+  private val qT5 = Q("t5_pii_redact",
+    (s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@mail.example"))).otherwise(lit("")),
+        lit(" phone +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      T(s, d, "documents").select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+            .as("n_phones"),
+          substring(md5(regexp_replace(
+            regexp_replace(col("t"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]")), 1, 8).as("red_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id, text || ' contact user' || doc_id ||
+          '@mail.example' ||
+          CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || doc_id ||
+            '@mail.example' ELSE '' END ||
+          ' phone +1-555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+'))
+          AS n_emails,
+        len(regexp_extract_all(t, '\+\d-\d{3}-\d{4}')) AS n_phones,
+        substr(md5(regexp_replace(regexp_replace(t,
+          '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+          '\+\d-\d{3}-\d{4}', '[PHONE]', 'g')), 1, 8) AS red_hash
+      FROM aug ORDER BY doc_id"""))
+
   // ------------------------------------------------------ similarity search
 
   /** Fixture embedding dimensionality (embeddings.parquet, 64 floats). */
@@ -827,6 +904,7 @@ object LlmQueries {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qT1, qT2, qT3, qE1, qE2, qE3, qE4, qE5,
+    Seq(qD1, qD2, qD3, qD4, qD5, qT1, qT2, qT3, qT4, qT5,
+      qE1, qE2, qE3, qE4, qE5,
       qM1, qC1)
 }
