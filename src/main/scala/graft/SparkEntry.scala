@@ -593,7 +593,7 @@ object SparkEntry {
       a.join(b, Seq("bucket")).where(col("i") < col("j"))
         .groupBy("i", "j")
         .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("rho"))
-        .orderBy("i", "j")
+        .transform(Q.sortedSmall(_, "i", "j"))
     },
     Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
 
@@ -664,7 +664,16 @@ object SparkEntry {
         .select(array(users.map(u =>
           coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
           .as("vals"))
-      panel.agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+      // coalesce(1) before the agg: the panel is only buckets-many rows
+      // (hundreds), but the aggregator's partial buffer is O(k²) doubles
+      // — at 32 post-shuffle partitions the plan serializes and merges 32
+      // multi-MB buffers to combine ~9 rows each (measured as most of
+      // this query's cost at sf0.1). One partition = one buffer; the
+      // update loop over a few hundred rows is far cheaper than one
+      // buffer merge. With millions of buckets, raise the count again —
+      // merge cost scales with partitions, not rows.
+      panel.coalesce(1)
+        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
           .as("cells"))
         .select(explode(col("cells")).as("c"))
         // 4 dp, not 6: with 11k pairs, two correct engines accumulating
@@ -674,7 +683,7 @@ object SparkEntry {
         .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
           element_at(typedLit(users), col("c.j") + 1).as("j"),
           round(col("c.rho"), 4).as("rho"))
-        .orderBy("i", "j")
+        .transform(Q.sortedSmall(_, "i", "j"))
     },
     Some(ffillSqlCte(300, jan1, jan3, 600) + corrSqlTail
       .replace("round(corr(a.price, b.price), 6)",
@@ -704,7 +713,7 @@ object SparkEntry {
           dims = 144, bands = A3dBands, bits = A3dBits)
         .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
         .where(col("rho") >= 0.5)
-        .orderBy("i", "j")
+        .transform(Q.sortedSmall(_, "i", "j"))
     },
     Some(ffillSqlCte(300, jan1, jan2, 600) + s""",
       pex AS (

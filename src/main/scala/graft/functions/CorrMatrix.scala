@@ -16,7 +16,10 @@ case class CorrCell(i: Int, j: Int, rho: Option[Double])
   * flagship query (reference `data.corr()`,
   * TAQpipeline/correlation_matrix_exporter.py:163,209).
   *
-  * Input: one `Seq[Double]` per time bucket — the k-wide panel row, with
+  * Input: one `Array[Double]` per time bucket — the k-wide panel row (a
+  * primitive array: the O(k²) inner loop indexes it 13M+ times per input
+  * row at k=300, so a boxed or non-array-backed Seq dominated the whole
+  * query before this was primitive), with
   * NaN marking missing observations. For every unordered pair (i, j) the
   * buffer keeps ten slots — n, Σx, Σy, Σx², Σy², Σxy, min/max of each
   * side — accumulated ONLY over rows where both sides are present:
@@ -42,7 +45,7 @@ case class CorrCell(i: Int, j: Int, rho: Option[Double])
   * (property-checked merge law in the test suite).
   */
 class CorrMatrixAgg(k: Int)
-    extends Aggregator[Seq[Double], Array[Double], Seq[CorrCell]] {
+    extends Aggregator[Array[Double], Array[Double], Seq[CorrCell]] {
 
   private val nPairs = k * (k - 1) / 2
   private val S = 10 // slots per pair
@@ -61,7 +64,7 @@ class CorrMatrixAgg(k: Int)
     b
   }
 
-  override def reduce(buf: Array[Double], row: Seq[Double]): Array[Double] = {
+  override def reduce(buf: Array[Double], row: Array[Double]): Array[Double] = {
     var i = 0
     var p = 0
     while (i < k) {
@@ -147,5 +150,5 @@ object CorrMatrix {
     * Seq[Double], NaN = missing) to the long-form correlation cells.
     */
   def corrMatrix(k: Int): Column => Column =
-    udaf(new CorrMatrixAgg(k), ExpressionEncoder[Seq[Double]]()).apply(_)
+    udaf(new CorrMatrixAgg(k), ExpressionEncoder[Array[Double]]()).apply(_)
 }

@@ -85,7 +85,15 @@ object CorrPrune {
       col(valueCol).as("va"))
     val b = panel.select(col(keyCol).as("j"), col(posCol).as("pos"),
       col(valueCol).as("vb"))
-    cand.join(a, Seq("i")).join(b, Seq("j", "pos"))
+    // Broadcast the panel sides: the candidate×dims expansion (pairs ·
+    // positions) stays map-side and the only shuffle is the final
+    // per-pair partial-aggregated pearson — without the hints both joins
+    // shuffle the expanded relation (measured 2× the whole query's cost
+    // at sf0.1). The panel is dimension-sized (k·dims), broadcastable by
+    // construction for any k this tier serves; at cluster scale the same
+    // shape holds (a 2000×10⁴ panel is ~160 MB — switch to a bucketed
+    // layout past that).
+    cand.join(broadcast(a), Seq("i")).join(broadcast(b), Seq("j", "pos"))
       .groupBy("i", "j")
       .agg(Stats.pearson(col("va"), col("vb")).as("rho"))
   }

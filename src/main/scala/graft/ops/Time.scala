@@ -41,6 +41,14 @@ object Time {
     cachedPanels.clear()
   }
 
+  /** Register an externally cached relation for the same lifecycle
+    * release as the panels (used by [[graft.queries.Q.sortedSmall]]).
+    */
+  def registerCached(df: DataFrame): DataFrame = {
+    cachedPanels.add(df)
+    df
+  }
+
   /** Epoch-anchored tumbling bucket start, in epoch seconds (integer math:
     * `unix_timestamp` truncates toward 0, valid for post-1970 data).
     */

@@ -122,7 +122,7 @@ object LlmQueries {
         .withColumn("jac", round(col("inter") /
           (col("sa") + col("sb") - col("inter")), 6))
         .where(col("jac") >= 0.95)
-        .select("i", "j", "jac").orderBy("i", "j")
+        .transform(df => Q.sortedSmall(df.select("i", "j", "jac"), "i", "j"))
     },
     Some(s"""WITH ex AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
@@ -179,7 +179,7 @@ object LlmQueries {
         .select("i", "j", "sa", "sb").distinct()
         .withColumn("hamming", expr("bit_count(sa ^ sb)"))
         .where(col("hamming") <= 6)
-        .select("i", "j", "hamming").orderBy("i", "j")
+        .transform(df => Q.sortedSmall(df.select("i", "j", "hamming"), "i", "j"))
     },
     Some("""WITH tf AS (
         SELECT doc_id, w, count(*) AS cnt,
@@ -262,7 +262,7 @@ object LlmQueries {
         .withColumn("jac", round(col("inter") /
           (col("sa") + col("sb") - col("inter")), 6))
         .where(col("jac") >= 0.10)
-        .select("lang", "i", "j", "jac").orderBy("i", "j")
+        .transform(df => Q.sortedSmall(df.select("lang", "i", "j", "jac"), "i", "j"))
     },
     Some(s"""WITH sh AS (
         SELECT doc_id, lang,
@@ -309,7 +309,7 @@ object LlmQueries {
           round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
             lit(0.4) * (nUniq / nTok) +
             lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"))
-        .orderBy("doc_id")
+        .transform(Q.sortedSmall(_, "doc_id"))
     },
     Some("""SELECT doc_id, n_tokens, n_uniq, n_stop, n_subtokens,
         round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
@@ -349,7 +349,7 @@ object LlmQueries {
         .select(col("doc_id"), col("lang"),
           col("cand_lang").as("pred_lang"), col("score"),
           (col("cand_lang") === col("lang")).cast("int").as("correct"))
-        .orderBy("doc_id")
+        .transform(Q.sortedSmall(_, "doc_id"))
     },
     Some {
       val values = Text.langProfiles.map { case (l, ws) =>
@@ -419,7 +419,7 @@ object LlmQueries {
           round(max("c") / sum("c"), 6).as("top_frac"),
           round(sum(when(col("c") > 1, col("c")).otherwise(0)) / sum("c"),
             6).as("dup_mass"))
-        .orderBy("doc_id")
+        .transform(Q.sortedSmall(_, "doc_id"))
     },
     Some("""WITH grams AS (
         SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
@@ -578,7 +578,7 @@ object LlmQueries {
     (s, d) => e1Top(embQ(s, d))
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
-      .orderBy("qid", "rank"),
+      .transform(Q.sortedSmall(_, "qid", "rank")),
     Some(s"""WITH $embSqlPrefix,
       $e1SqlCtes
       SELECT qid, tid, rank, round(cosine, 6) AS cosine
@@ -635,7 +635,7 @@ object LlmQueries {
     (s, d) => e2Top(s, d, embQ(s, d))
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
-      .orderBy("qid", "rank"),
+      .transform(Q.sortedSmall(_, "qid", "rank")),
     Some(s"""WITH $embSqlPrefix,
       $e2SqlCtes
       SELECT qid, tid, rank, round(cosine, 6) AS cosine
@@ -659,7 +659,7 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
         .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .orderBy("qid")
+        .transform(Q.sortedSmall(_, "qid"))
     },
     Some(s"""WITH $embSqlPrefix,
       $e2SqlCtes,
@@ -764,7 +764,7 @@ object LlmQueries {
     (s, d) => e4Top(embQ(s, d))
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
-      .orderBy("qid", "rank"),
+      .transform(Q.sortedSmall(_, "qid", "rank")),
     Some(s"""WITH $embSqlPrefix,
       $e4SqlCtes
       SELECT qid, tid, rank, round(cosine, 6) AS cosine
@@ -782,7 +782,7 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
         .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .orderBy("qid")
+        .transform(Q.sortedSmall(_, "qid"))
     },
     Some(s"""WITH $embSqlPrefix,
       $e4SqlCtes,
@@ -817,7 +817,7 @@ object LlmQueries {
       cosineOf(cand, embQ(s, d), "i", "j")
         .withColumn("cosine", round(col("cosine"), 6))
         .where(col("cosine") >= 0.35)
-        .select("i", "j", "cosine").orderBy("i", "j")
+        .transform(df => Q.sortedSmall(df.select("i", "j", "cosine"), "i", "j"))
     },
     Some(s"""WITH $embSqlPrefix,
       ${Similarity.bucketsSqlCtes("8", 64)},

@@ -40,7 +40,7 @@ object PipelineQueries {
           least(col("win_start") + 7200, lit(close1600)))
         .groupBy("win_start", "win_end", "i", "j")
         .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("rho"))
-        .orderBy("win_start", "i", "j")
+        .transform(Q.sortedSmall(_, "win_start", "i", "j"))
     },
     Some(SparkEntry.ffillSqlCte(8, open930, close1600, 300) +
       s""" SELECT $open930 + ((a.bucket - $open930)//7200)*7200 AS win_start,
@@ -148,7 +148,7 @@ object PipelineQueries {
       e.select(col("src"), col("dst"), col("weight"))
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
-        .orderBy("src", "dst")
+        .transform(Q.sortedSmall(_, "src", "dst"))
     },
     Some(SparkEntry.ffillSqlCte(10, SparkEntry.jan1, SparkEntry.jan8, 300) +
       """, pairs AS (
@@ -197,7 +197,7 @@ object PipelineQueries {
             x => format_string("%.6f", x)), ",").as("features_csv"),
           (coalesce(col("h2"), lit(0.0)) > coalesce(col("h1"), lit(0.0)))
             .cast("int").as("label"))
-        .orderBy("vid")
+        .transform(Q.sortedSmall(_, "vid"))
     },
     Some {
       val types = Seq("click", "error", "purchase", "signup", "view")

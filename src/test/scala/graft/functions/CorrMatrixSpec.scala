@@ -21,7 +21,7 @@ class CorrMatrixSpec extends AnyFunSuite {
 
   private def run(rows: Seq[Seq[Double]]): Seq[CorrCell] = {
     val a = agg
-    a.finish(rows.foldLeft(a.zero)(a.reduce))
+    a.finish(rows.foldLeft(a.zero)((b, r) => a.reduce(b, r.toArray)))
   }
 
   private def close(a: Option[Double], b: Option[Double],
@@ -39,7 +39,7 @@ class CorrMatrixSpec extends AnyFunSuite {
       val (l, r) = rows.splitAt(cut)
       val a = agg
       val merged = a.finish(a.merge(
-        l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce)))
+        l.foldLeft(a.zero)((b, r) => a.reduce(b, r.toArray)), r.foldLeft(a.zero)((b, r) => a.reduce(b, r.toArray))))
       val single = run(rows)
       assert(merged.zip(single).forall { case (m, s) =>
         m.i == s.i && m.j == s.j && close(m.rho, s.rho) })
@@ -51,10 +51,10 @@ class CorrMatrixSpec extends AnyFunSuite {
     for (_ <- 1 to trials) {
       val (x, y) = (randRows(rnd), randRows(rnd))
       val a = agg
-      val xy = a.finish(a.merge(x.foldLeft(a.zero)(a.reduce),
-        y.foldLeft(a.zero)(a.reduce)))
-      val yx = a.finish(a.merge(y.foldLeft(a.zero)(a.reduce),
-        x.foldLeft(a.zero)(a.reduce)))
+      val xy = a.finish(a.merge(x.foldLeft(a.zero)((b, r) => a.reduce(b, r.toArray)),
+        y.foldLeft(a.zero)((b, r) => a.reduce(b, r.toArray))))
+      val yx = a.finish(a.merge(y.foldLeft(a.zero)((b, r) => a.reduce(b, r.toArray)),
+        x.foldLeft(a.zero)((b, r) => a.reduce(b, r.toArray))))
       assert(xy.zip(yx).forall { case (p, q) => close(p.rho, q.rho) })
     }
   }
