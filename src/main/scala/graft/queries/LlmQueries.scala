@@ -231,15 +231,20 @@ object LlmQueries {
       // pairs materialize only through shared (lang, shingle) postings and
       // intersection sizes come from a hash-count — never an all-pairs
       // block join carrying shingle arrays. Postings carry the bigram's
-      // 60-bit hash, not the string: the self-join shuffles 8-byte longs
-      // instead of ~13-char UTF8 keys (same counts — a cross-bigram md5
-      // collision inside one pair is ~2^-60 and the oracle would flag it).
+      // xxhash64, not the string: the self-join shuffles 8-byte longs
+      // instead of ~13-char UTF8 keys. xxhash64, not md5/hash60: the hash
+      // only COLLATES here (the oracle counts over raw shingle strings,
+      // so hash values never cross engines — unlike d2, where the md5
+      // value feeds the minhash signature itself), and the codegen'd
+      // 64-bit hash skips md5's per-row digest + hex parse (same counts —
+      // a cross-bigram collision inside one pair is ~2^-64 and the
+      // oracle would flag it).
       // cached: the df aggregate AND the filtered join below both
       // consume the exploded+hashed postings — uncached, the shingle
-      // explode + md5 pass runs twice (measured as the dominant phase)
+      // explode + hash pass runs twice (measured as the dominant phase)
       val ex = docs.select(col("lang"), col("doc_id"),
           explode(Text.shingles(col("text"), 2)).as("sh"))
-        .select(col("lang"), col("doc_id"), Text.hash60(col("sh")).as("h"))
+        .select(col("lang"), col("doc_id"), xxhash64(col("sh")).as("h"))
         .cache()
       // df cut: one aggregate over the postings (shuffled by (lang, h) —
       // the same key the self-join below shuffles on), then keep only
