@@ -61,6 +61,74 @@ object Streams {
     batches
   }
 
+  /** Event-time sessionization: per-user sessions that close after
+    * `gap` of inactivity, via the built-in `session_window` aggregate —
+    * Spark's native merging-session state (declarative, codegen'd,
+    * watermark-bounded) rather than a hand-rolled
+    * flatMapGroupsWithState; state per open session, evicted once the
+    * watermark passes the session end. Append mode emits only closed
+    * sessions — open ones survive in state, exactly the semantics a
+    * continuous deployment wants (the spec mirrors the same cutoff on
+    * its batch oracle). Returns rows (user_id, session_start epoch sec,
+    * session_end epoch sec, n_events).
+    */
+  def sessionStream(spark: SparkSession, srcDir: String, outDir: String,
+                    checkpointDir: String, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): Unit = {
+    val agg = eventsStream(spark, srcDir)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"))
+    val q = agg.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Watermarked stream-stream interval join: 'click' events matched to
+    * the same user's 'view' events within ±`window`. Both sides carry
+    * watermarks and the join condition carries the time bound, so each
+    * side's buffered state is evicted once the watermark clears the
+    * interval — the one shape that makes an unbounded two-stream join
+    * runnable forever. Inner join in append mode emits every match as
+    * soon as both rows have arrived.
+    */
+  def clickViewJoin(spark: SparkSession, srcDir: String, outDir: String,
+                    checkpointDir: String, window: String = "5 minutes",
+                    watermark: String = "1 hour"): Unit = {
+    def side(tpe: String, suffix: String): DataFrame =
+      eventsStream(spark, srcDir)
+        .where(col("event_type") === tpe)
+        .select(col("event_id").as(s"event_id_$suffix"),
+          col("user_id").as(s"user_id_$suffix"),
+          col("ts").as(s"ts_$suffix"))
+        .withWatermark(s"ts_$suffix", watermark)
+    val joined = side("click", "c").join(side("view", "v"),
+      expr(s"""user_id_c = user_id_v AND
+        ts_v BETWEEN ts_c - INTERVAL $window AND ts_c + INTERVAL $window"""))
+      .select(col("event_id_c"), col("event_id_v"), col("user_id_c"),
+        unix_timestamp(col("ts_c")).as("click_sec"),
+        unix_timestamp(col("ts_v")).as("view_sec"))
+    val q = joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming keep-first dedup on event_id: emits each key's first-seen
     * row, drops repeats while state lives.
     *

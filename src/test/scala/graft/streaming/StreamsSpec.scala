@@ -40,6 +40,51 @@ class StreamsSpec extends SparkTestBase {
       .exists(_.getName.startsWith("date=")))
   }
 
+  test("sessionStream emits watermark-closed sessions matching batch") {
+    val in = stageEvents()
+    val out = tmp("graft_sess_out_")
+    val ck = tmp("graft_sess_ck_")
+    Streams.sessionStream(spark, in, out, ck)
+    val streamed = spark.read.parquet(out)
+    val ev = graft.Catalog.load(spark, "/root/testdata/sf0.001", "events")
+    // batch oracle: same built-in session_window aggregate, restricted to
+    // sessions the final watermark (max ts - 1h) closed
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .where(col("session_window.end") <= lit(maxTs) -
+        expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"))
+    assert(streamed.count() > 0)
+    assert(streamed.orderBy("user_id", "session_start").collect().toSeq ==
+      batch.orderBy("user_id", "session_start").collect().toSeq)
+  }
+
+  test("clickViewJoin matches the batch interval join on a bounded drain") {
+    val in = stageEvents()
+    val out = tmp("graft_ssj_out_")
+    val ck = tmp("graft_ssj_ck_")
+    Streams.clickViewJoin(spark, in, out, ck)
+    val streamed = spark.read.parquet(out)
+    val ev = graft.Catalog.load(spark, "/root/testdata/sf0.001", "events")
+    def side(tpe: String, sfx: String) = ev
+      .where(col("event_type") === tpe)
+      .select(col("event_id").as(s"event_id_$sfx"),
+        col("user_id").as(s"user_id_$sfx"), col("ts").as(s"ts_$sfx"))
+    val batch = side("click", "c").join(side("view", "v"),
+      expr("""user_id_c = user_id_v AND
+        ts_v BETWEEN ts_c - INTERVAL 5 minutes
+                 AND ts_c + INTERVAL 5 minutes"""))
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("event_id_c", "event_id_v").distinct().count()
+      == batch.count())
+  }
+
   test("dedupStream keeps exactly one row per event_id") {
     val in = stageEvents()
     // duplicate the file so every event_id arrives twice
