@@ -140,11 +140,14 @@ object PipelineQueries {
         .where(col("weight") > 0)
       val v = graft.ops.Relational.globalRowIds(
         filled.select("user_id").distinct(), "user_id", "vid")
-      val e = pairs
+      // cached: the union consumes e in BOTH edge directions — uncached,
+      // the whole corr + vertex-join tree runs twice
+      val e = graft.ops.Time.registerCached(pairs
         .join(broadcast(v.select(col("user_id").as("ui"),
           col("vid").as("src"))), Seq("ui"))
         .join(broadcast(v.select(col("user_id").as("uj"),
           col("vid").as("dst"))), Seq("uj"))
+        .cache())
       e.select(col("src"), col("dst"), col("weight"))
         .unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
