@@ -118,5 +118,44 @@ object CoverageQueries {
               / count(value), 6) AS avg_value
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8)
+  // A9: exact interpolated percentiles per group. Spark's `percentile`
+  // and DuckDB's `quantile_cont` share the same linear-interpolation
+  // definition, so 6-dp rounding is engine-stable. percentile_approx is
+  // deliberately NOT used here: approximate sketches differ across
+  // engines by construction; where an approximate answer is acceptable
+  // the exact one is still the correctness anchor. At scale the exact
+  // percentile sorts within each group's partition — fine for bounded
+  // per-group cardinality; cross-group parallelism is the win.
+  private val qA9 = Q("a9_percentiles",
+    (s, d) => T(s, d, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.95), 6) AS p95,
+        round(quantile_cont(value, 0.99), 6) AS p99
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // A10: grouping sets — per-(lang, source) counts with ROLLUP subtotals
+  // and a grand total, one pass. lang/source are non-null in the fixture
+  // so the 'ALL' coalesce is unambiguous; with nullable group keys the
+  // grouping() marker would disambiguate instead.
+  private val qA10 = Q("a10_rollup",
+    (s, d) => T(s, d, "documents")
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang", "source"),
+    Some("""SELECT coalesce(lang, 'ALL') AS lang,
+        coalesce(source, 'ALL') AS source,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY ROLLUP(lang, source)
+      ORDER BY lang, source"""))
+
+  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10)
 }
