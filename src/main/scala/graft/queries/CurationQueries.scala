@@ -126,5 +126,74 @@ object CurationQueries {
       SELECT source, doc_id, n_tokens, bin FROM g
       ORDER BY source, doc_id"""))
 
-  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5)
+  // c6: the composed curation chain — quality gate (t1's score) →
+  // normalized-signature dedup keep-first (d1's signature) → source-
+  // mixture downsample (c3's rule) → split assignment (c2's buckets) →
+  // per-(split, lang) rollup with token counts. One scan; shuffles only
+  // at the dedup window and the final rollup — every sampling/split
+  // decision stays map-only. This is the full pass a training-data
+  // pipeline runs between a raw lake and a tokenizer.
+  private val qC6 = Q("c6_curated_dataset",
+    (s, d) => {
+      val w = graft.ops.Text.words(col("text"))
+      val nTok = size(w)
+      val nUniq = size(array_distinct(w))
+      val nStop = size(filter(w, x => x.isin(graft.ops.Text.stopwords: _*)))
+      val n = expr("cast(substring(source, 4) as int)")
+      val rate = when(n < 5, 100).when(n < 10, 50).otherwise(25)
+      val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("source"), nTok.as("n_tokens"),
+        md5(array_join(array_sort(array_distinct(w)), "|")).as("norm_sig"),
+        round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
+          lit(0.4) * (nUniq / nTok) +
+          lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"),
+        rate.as("rate_pct"))
+      val kept = scored.where(col("quality") >= 0.6)
+      val deduped = graft.ops.Relational.keepFirst(kept, Seq("norm_sig"),
+        Seq(col("doc_id")))
+        .where(Sample.keepFraction("mix",
+          concat(col("source"), lit(":"), col("doc_id").cast("string")),
+          col("rate_pct")))
+        .withColumn("split", Sample.splitColumn("split", col("doc_id"),
+          SplitCuts))
+      deduped.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("split", "lang")
+    },
+    Some(s"""WITH scored AS (
+        SELECT doc_id, lang, source,
+          len(string_split(text, ' ')) AS n_tokens,
+          md5(array_to_string(list_sort(list_distinct(
+            string_split(text, ' '))), '|')) AS norm_sig,
+          round(0.4 * least(1.0, CAST(len(string_split(text, ' '))
+              AS DOUBLE) / 50.0) +
+            0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
+              AS DOUBLE) / len(string_split(text, ' '))) +
+            0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              x -> x = 'a' OR x = 'the')) AS DOUBLE)
+              / len(string_split(text, ' '))), 6) AS quality,
+          CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 100
+            WHEN CAST(substr(source, 4) AS INT) < 10 THEN 50
+            ELSE 25 END AS rate_pct
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE quality >= 0.6),
+      deduped AS (
+        SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY norm_sig ORDER BY doc_id) AS rn FROM kept)
+        WHERE rn = 1),
+      mixed AS (
+        SELECT * FROM deduped
+        WHERE ${Sample.hashBucketSql("mix",
+          "source || ':' || CAST(doc_id AS VARCHAR)", 100)} < rate_pct),
+      assigned AS (
+        SELECT *, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+        FROM (SELECT *,
+            ${Sample.hashBucketSql("split", "doc_id", 100)} AS b
+          FROM mixed))
+      SELECT split, lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM assigned GROUP BY split, lang ORDER BY split, lang"""))
+
+  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5, qC6)
 }
