@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the step that turns a
+  * near-duplicate PAIR list (d2/d3/d4/d5's output) into canonical
+  * dedup CLUSTERS: every document in a component keeps/drops together,
+  * keyed by the component's minimum id.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round every node takes the minimum of
+  * its label and its neighbors' labels; stop when a round changes
+  * nothing. Rounds needed = the graph diameter — for near-dup clusters
+  * (dense cliques by construction: if a≈b and b≈c then a≈c at high
+  * thresholds) that is 1-2, and each round is one shuffle-keyed
+  * join + min-aggregate, so the whole thing is a handful of bounded
+  * stages. For adversarial long-path graphs the round count grows with
+  * the path length; the standard fix at that extreme is the
+  * large-star/small-star contraction, which this module's loop
+  * structure accommodates but the dedup use case never needs.
+  *
+  * Each round `localCheckpoint`s the label relation: an iterative
+  * DataFrame loop otherwise accretes one join per round into a plan
+  * whose analysis/codegen cost grows quadratically, and a failed-stage
+  * recomputation would replay every round. Truncating lineage per round
+  * is the documented pattern for DataFrame iteration (GraphX does the
+  * equivalent internally).
+  */
+object Components {
+
+  /** (id, component) for every node of the undirected edge list;
+    * `component` is the minimum node id reachable. Deterministic for
+    * any partitioning — min is associative/commutative and the
+    * iteration runs to a fixpoint.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    // cache the raw edge projection FIRST: the symmetrization consumes
+    // it twice (forward + reversed), and for callers whose edge list is
+    // itself an expensive plan (d6 feeds d2's whole near-dup pipeline
+    // in) an uncached union re-executes that plan per direction —
+    // measured as more than half of d6's runtime
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .cache()
+    val sym = e0
+      .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 64,
+        "connectedComponents: convergence should take O(log diameter) " +
+          "rounds; 64 means a bug, not a graph")
+      // each node's best neighbor label this round
+      val prop = sym.join(labels, col("a") === col("id"))
+        .groupBy(col("b").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+      // checkpoint BEFORE the pointer jump: the jump self-joins the
+      // round's label relation, and without truncation both sides would
+      // re-execute the neighbor join + aggregate. coalesce(1): the label
+      // relation is node-count-sized (thousands), and 32 near-empty
+      // partitions cost more in per-task overhead than one full one —
+      // on a cluster with billions of nodes, drop the coalesce (the
+      // joins and the checkpoint parallelize per partition).
+      val base = next.coalesce(1).localCheckpoint()
+      // pointer jump: follow the fresh label to ITS fresh label — path
+      // lengths halve per round, so convergence is O(log diameter)
+      // instead of O(diameter). Labels only ever hold node ids and only
+      // decrease, so the self-join is total and monotone; measured on
+      // the sf0.1 near-dup graph (diameter ≈ 10): 11 rounds → 5.
+      val j1 = base.join(
+          base.select(col("id").as("pid"), col("nl").as("pl")),
+          col("nl") === col("pid"))
+        .select(col("id"), col("lbl"), col("pl").as("nl"))
+      // second jump (path quartering): j1 is a pair of single-partition
+      // joins over the checkpointed base, so re-deriving it inside the
+      // join is cheap and saves a full neighbor round
+      val jumped = j1.join(
+          j1.select(col("id").as("pid2"), col("nl").as("pl2")),
+          col("nl") === col("pid2"))
+        .select(col("id"), col("lbl"), col("pl2").as("nl"))
+      changed = jumped.where(col("nl") < col("lbl")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $rounds changed=$changed " +
+          s"t=${System.nanoTime() / 1e9}")
+      labels = jumped.select(col("id"), col("nl").as("lbl"))
+    }
+    sym.unpersist(false)
+    e0.unpersist(false)
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

@@ -71,8 +71,10 @@ object LlmQueries {
       val (a, b) = Text.minhashAffine(x)
       s"min(((h % ${Text.MinhashMod}) * $a + $b) % ${Text.MinhashMod})"
     }.mkString(", ")
-  private val qD2 = Q("d2_minhash_lsh",
-    (s, d) => {
+  /** d2's verified near-dup pair relation (i, j, jac ≥ 0.95), shared by
+    * the pair query itself and d6's cluster construction.
+    */
+  private def d2Pairs(s: SparkSession, d: String): DataFrame = {
       val docs = T(s, d, "documents")
       // Hash each shingle to its 60-bit value ONCE and cache only
       // (doc_id, h) longs — strings never shuffle. On a cluster this
@@ -122,9 +124,15 @@ object LlmQueries {
         .withColumn("jac", round(col("inter") /
           (col("sa") + col("sb") - col("inter")), 6))
         .where(col("jac") >= 0.95)
-        .transform(df => Q.sortedSmall(df.select("i", "j", "jac"), "i", "j"))
-    },
-    Some(s"""WITH ex AS (
+        .select("i", "j", "jac")
+  }
+
+  private val qD2 = Q("d2_minhash_lsh",
+    (s, d) => Q.sortedSmall(d2Pairs(s, d), "i", "j"),
+    Some(s"""WITH $d2SqlCtes
+      SELECT i, j, jac FROM pairs ORDER BY i, j"""))
+
+  private lazy val d2SqlCtes = s"""ex AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
         FROM documents),
       hs AS (
@@ -144,15 +152,44 @@ object LlmQueries {
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
       sets AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
-        FROM documents)
-      SELECT i, j, jac FROM (
-        SELECT c.i, c.j,
-          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-            AS jac
-        FROM cand c JOIN sets a ON c.i = a.doc_id
-                    JOIN sets b ON c.j = b.doc_id)
-      WHERE jac >= 0.95 ORDER BY i, j"""))
+        FROM documents),
+      pairs AS (
+        SELECT i, j, jac FROM (
+          SELECT c.i, c.j,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              AS jac
+          FROM cand c JOIN sets a ON c.i = a.doc_id
+                      JOIN sets b ON c.j = b.doc_id)
+        WHERE jac >= 0.95)"""
+
+  // d6: near-dup pairs → canonical dedup clusters via connected
+  // components ([[graft.ops.Components]]): every doc in a component
+  // keeps/drops together, keyed by the component's min doc_id. The
+  // oracle replays the same closure as a recursive CTE over the
+  // identical pair relation — even the iterative operator is
+  // hash-graded end to end.
+  private val qD6 = Q("d6_dup_clusters",
+    (s, d) => {
+      val comp = graft.ops.Components.connectedComponents(
+        d2Pairs(s, d).select("i", "j"), "i", "j")
+      comp.select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .transform(Q.sortedSmall(_, "doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $d2SqlCtes,
+      sym AS (
+        SELECT i AS a, j AS b FROM pairs
+        UNION SELECT j, i FROM pairs),
+      reach AS (
+        SELECT a AS id, a AS r FROM sym
+        UNION
+        SELECT s2.b, reach.r FROM reach JOIN sym s2 ON s2.a = reach.id),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT id AS doc_id, cluster_id,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp ORDER BY doc_id"""))
 
   // d3: SimHash near-dedup. 60-bit weighted simhash per doc; candidate
   // pairs share one of SEVEN 9-bit pieces (piece-equality bucket join —
@@ -909,7 +946,7 @@ object LlmQueries {
       FROM documents ORDER BY doc_id"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qT1, qT2, qT3, qT4, qT5,
+    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qT1, qT2, qT3, qT4, qT5,
       qE1, qE2, qE3, qE4, qE5,
       qM1, qC1)
 }
