@@ -45,9 +45,11 @@ object Components {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .cache()
+    // no distinct: duplicate edges cannot change a min-aggregate, so
+    // deduplicating here would spend a full shuffle to save join width
+    // only — callers with heavily duplicated edge lists can pre-distinct
     val sym = e0
       .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
       .cache()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
