@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic quantized k-means (Lloyd iterations) over the integer-
+  * micros embedding form — the trained coarse quantizer the IVF tier
+  * (e4) stubs with its first-C-vectors initializer.
+  *
+  * Every quantity is integer-exact, so training is reproducible in ANY
+  * engine and the DuckDB oracle replays the identical iterations:
+  * distances are Σ(xq−cq)² over long micros (bounded: |xq| ≤ ~10⁷ and
+  * 64 dims keep the sum < 10¹⁶ ≪ 2⁶³); assignment ties break to the
+  * lowest cell id; the centroid update is the per-dimension TRUNCATING
+  * integer mean `Σxq / n` — the same semantics as DuckDB's `//` and
+  * Scala's Long division — and an empty cell keeps its previous
+  * centroid. Floating-point k-means cannot be graded this way (sum
+  * order changes cell boundaries); quantized k-means loses nothing at
+  * micro resolution and gains bit-exact reproducibility.
+  *
+  * Scale shape: assignment is map-only (centroids broadcast as
+  * expression literals — C·dims longs, dimension metadata); the update
+  * is one (cell, pos)-keyed aggregate per iteration whose output is
+  * C·dims rows, collected to the driver exactly like a3b's key set.
+  * Iterations are a small constant (production k-means at 100 TB runs
+  * the same loop, usually on a sample).
+  */
+object Kmeans {
+
+  /** Exact squared L2 distance between the quantized array column `q`
+    * and a centroid literal.
+    */
+  private def distSq(q: Column, cent: Seq[Long]): Column =
+    aggregate(zip_with(q, typedLit(cent), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Map-only cell assignment: index of the nearest centroid, first
+    * (lowest) index on exact ties.
+    */
+  def assign(embq: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
+    val dists = array(cents.map(c => distSq(col("q"), c)): _*)
+    embq.withColumn("cell",
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** `iters` Lloyd rounds from the deterministic first-C-vectors
+    * initializer; returns the trained centroids.
+    */
+  def train(embq: DataFrame, idCol: String, c: Int,
+            iters: Int): Seq[Seq[Long]] = {
+    val cached = embq.select(col(idCol), col("q")).cache()
+    var cents: Seq[Seq[Long]] = cached.where(col(idCol) < c)
+      .orderBy(idCol).select("q")
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    (1 to iters).foreach { _ =>
+      val stats = assign(cached, cents)
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = stats.groupBy(_.getInt(0))
+      cents = cents.indices.map { cid =>
+        byCell.get(cid) match {
+          case Some(rows) => rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2) / r.getLong(3)).toSeq
+          case None => cents(cid) // empty cell keeps its centroid
+        }
+      }
+    }
+    cached.unpersist(false)
+    cents
+  }
+}

@@ -945,8 +945,64 @@ object LlmQueries {
         substr(md5(text), 1, 8) AS sample_hash
       FROM documents ORDER BY doc_id"""))
 
+  /** Unrolled DuckDB replay of [[graft.ops.Kmeans]]: c0 = first-C
+    * vectors; per round, assignment a_i (min exact distance, lowest cell
+    * on ties) and centroid update c_i (truncating integer mean via `//`,
+    * empty cells inherit). Expects the shared `x` CTE in scope.
+    */
+  private def kmeansSqlCtes(c: Int, iters: Int): String = {
+    val init =
+      s"c0 AS (SELECT vec_id AS cell, pos, xq AS cq FROM x WHERE vec_id < $c)"
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+        SELECT vec_id, cell FROM (
+          SELECT t.vec_id, c.cell,
+            row_number() OVER (PARTITION BY t.vec_id
+              ORDER BY sum((t.xq - c.cq) * (t.xq - c.cq)), c.cell) AS rn
+          FROM x t JOIN c${i - 1} c ON c.pos = t.pos
+          GROUP BY t.vec_id, c.cell) WHERE rn = 1),
+      c$i AS (
+        SELECT cell, pos, sum(xq) // count(*) AS cq
+        FROM x JOIN a$i USING (vec_id) GROUP BY cell, pos
+        UNION ALL
+        SELECT cell, pos, cq FROM c${i - 1}
+        WHERE cell NOT IN (SELECT DISTINCT cell FROM a$i))"""
+    }
+    (init +: rounds).mkString(",\n      ")
+  }
+
+  // e6: deterministic quantized k-means — the trained coarse quantizer
+  // that replaces e4's first-C-vectors stub in a production IVF index.
+  // Integer-exact throughout (distances, tie-breaks, truncating-mean
+  // updates), so the oracle replays all three Lloyd rounds bit-for-bit;
+  // the graded surface is the final cell assignment plus cell sizes.
+  private val KmC = 16
+  private val KmIters = 3
+  private val qE6 = Q("e6_kmeans_cells",
+    (s, d) => {
+      val q = embQ(s, d)
+      val cents = graft.ops.Kmeans.train(q, "vec_id", KmC, KmIters)
+      graft.ops.Kmeans.assign(q, cents)
+        .select(col("vec_id"), col("cell"))
+        .withColumn("cell_size",
+          count(lit(1)).over(Window.partitionBy("cell")))
+        .transform(Q.sortedSmall(_, "vec_id"))
+    },
+    Some(s"""WITH $embSqlPrefix,
+      ${kmeansSqlCtes(KmC, KmIters)},
+      afin AS (
+        SELECT vec_id, cell FROM (
+          SELECT t.vec_id, c.cell,
+            row_number() OVER (PARTITION BY t.vec_id
+              ORDER BY sum((t.xq - c.cq) * (t.xq - c.cq)), c.cell) AS rn
+          FROM x t JOIN c$KmIters c ON c.pos = t.pos
+          GROUP BY t.vec_id, c.cell) WHERE rn = 1)
+      SELECT vec_id, cell,
+        count(*) OVER (PARTITION BY cell) AS cell_size
+      FROM afin ORDER BY vec_id"""))
+
   val all: Seq[Q] =
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qT1, qT2, qT3, qT4, qT5,
-      qE1, qE2, qE3, qE4, qE5,
+      qE1, qE2, qE3, qE4, qE5, qE6,
       qM1, qC1)
 }
