@@ -43,6 +43,22 @@ object Kmeans {
       (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 
+  /** The `n` nearest cells per vector by the same exact distance and
+    * tie-break as [[assign]] — the nprobe fan-out of an IVF search.
+    * Windowed (one shuffle by vector id); callers probe a bounded query
+    * set, so the window input is probe-sized, not corpus-sized.
+    */
+  def nearestCells(embq: DataFrame, idCol: String, cents: Seq[Seq[Long]],
+                   n: Int): DataFrame = {
+    val dists = array(cents.map(c => distSq(col("q"), c)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("dist"), col("cell"))
+    embq.select(col(idCol), posexplode(dists).as(Seq("cell", "dist")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .select(col(idCol), col("cell").cast("int").as("cell"))
+  }
+
   /** `iters` Lloyd rounds from the deterministic first-C-vectors
     * initializer; returns the trained centroids.
     */

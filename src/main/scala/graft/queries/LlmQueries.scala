@@ -952,21 +952,21 @@ object LlmQueries {
     */
   private def kmeansSqlCtes(c: Int, iters: Int): String = {
     val init =
-      s"c0 AS (SELECT vec_id AS cell, pos, xq AS cq FROM x WHERE vec_id < $c)"
+      s"kc0 AS (SELECT vec_id AS cell, pos, xq AS cq FROM x WHERE vec_id < $c)"
     val rounds = (1 to iters).map { i =>
-      s"""a$i AS (
+      s"""ka$i AS (
         SELECT vec_id, cell FROM (
           SELECT t.vec_id, c.cell,
             row_number() OVER (PARTITION BY t.vec_id
               ORDER BY sum((t.xq - c.cq) * (t.xq - c.cq)), c.cell) AS rn
-          FROM x t JOIN c${i - 1} c ON c.pos = t.pos
+          FROM x t JOIN kc${i - 1} c ON c.pos = t.pos
           GROUP BY t.vec_id, c.cell) WHERE rn = 1),
-      c$i AS (
+      kc$i AS (
         SELECT cell, pos, sum(xq) // count(*) AS cq
-        FROM x JOIN a$i USING (vec_id) GROUP BY cell, pos
+        FROM x JOIN ka$i USING (vec_id) GROUP BY cell, pos
         UNION ALL
-        SELECT cell, pos, cq FROM c${i - 1}
-        WHERE cell NOT IN (SELECT DISTINCT cell FROM a$i))"""
+        SELECT cell, pos, cq FROM kc${i - 1}
+        WHERE cell NOT IN (SELECT DISTINCT cell FROM ka$i))"""
     }
     (init +: rounds).mkString(",\n      ")
   }
@@ -995,14 +995,80 @@ object LlmQueries {
           SELECT t.vec_id, c.cell,
             row_number() OVER (PARTITION BY t.vec_id
               ORDER BY sum((t.xq - c.cq) * (t.xq - c.cq)), c.cell) AS rn
-          FROM x t JOIN c$KmIters c ON c.pos = t.pos
+          FROM x t JOIN kc$KmIters c ON c.pos = t.pos
           GROUP BY t.vec_id, c.cell) WHERE rn = 1)
       SELECT vec_id, cell,
         count(*) OVER (PARTITION BY cell) AS cell_size
       FROM afin ORDER BY vec_id"""))
 
+  // e7: IVF recall with the TRAINED quantizer — e5's measurement run
+  // against Kmeans cells instead of e4's first-C-vectors stub. Probes
+  // fan out to the KmNprobe nearest trained cells (same exact distance
+  // and tie-break as assignment); the oracle replays training, cell
+  // assignment, probe fan-out, exact re-scoring, and the recall join.
+  private val KmNprobe = 4
+  private val qE7 = Q("e7_trained_ivf_recall",
+    (s, d) => {
+      val q = embQ(s, d)
+      val cents = graft.ops.Kmeans.train(q, "vec_id", KmC, KmIters)
+      val assigned = graft.ops.Kmeans.assign(q, cents)
+        .select(col("vec_id").as("tid"), col("cell"))
+      val probes = graft.ops.Kmeans
+        .nearestCells(q.where(col("vec_id") < 5), "vec_id", cents, KmNprobe)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val cand = assigned.join(broadcast(probes), Seq("cell"))
+        .where(col("tid") =!= col("qid"))
+        .select("qid", "tid")
+      val approx = Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
+        .select(col("qid"), col("tid")).withColumn("hit", lit(1))
+      val exact = e1Top(q).select(col("qid"), col("tid"))
+      exact.join(approx, Seq("qid", "tid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+        .transform(Q.sortedSmall(_, "qid"))
+    },
+    Some(s"""WITH $embSqlPrefix,
+      ${kmeansSqlCtes(KmC, KmIters)},
+      cdist AS (
+        SELECT t.vec_id, c.cell, sum((t.xq - c.cq) * (t.xq - c.cq)) AS d
+        FROM x t JOIN kc$KmIters c ON c.pos = t.pos GROUP BY 1, 2),
+      rcd AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d, cell) AS rn FROM cdist),
+      kassign AS (SELECT vec_id AS tid, cell FROM rcd WHERE rn = 1),
+      kprobe AS (
+        SELECT vec_id AS qid, cell FROM rcd
+        WHERE vec_id < 5 AND rn <= $KmNprobe),
+      cand7 AS (
+        SELECT p.qid, a.tid FROM kassign a JOIN kprobe p
+          ON a.cell = p.cell WHERE a.tid != p.qid),
+      d7 AS (
+        SELECT c.qid, c.tid, sum(t.xq * q.xq) AS dot
+        FROM cand7 c JOIN x t ON t.vec_id = c.tid
+          JOIN x q ON q.vec_id = c.qid AND q.pos = t.pos
+        GROUP BY 1, 2),
+      c7 AS (
+        SELECT qid, tid, CAST(dot AS DOUBLE) /
+          sqrt(CAST(qn.sq AS DOUBLE) * CAST(tn.sq AS DOUBLE)) AS cosine
+        FROM d7 JOIN n qn ON qn.vec_id = qid JOIN n tn ON tn.vec_id = tid),
+      ranked7 AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, tid) AS rank FROM c7),
+      $e1SqlCtes,
+      t1 AS (SELECT qid, tid FROM ranked1 WHERE rank <= 3),
+      t7 AS (SELECT qid, tid FROM ranked7 WHERE rank <= 3)
+      SELECT t1.qid, count(*) AS n_exact,
+        CAST(sum(CASE WHEN t7.tid IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit,
+        round(CAST(sum(CASE WHEN t7.tid IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS recall
+      FROM t1 LEFT JOIN t7 ON t1.qid = t7.qid AND t1.tid = t7.tid
+      GROUP BY 1 ORDER BY t1.qid"""))
+
   val all: Seq[Q] =
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qT1, qT2, qT3, qT4, qT5,
-      qE1, qE2, qE3, qE4, qE5, qE6,
+      qE1, qE2, qE3, qE4, qE5, qE6, qE7,
       qM1, qC1)
 }
