@@ -1,5 +1,7 @@
-// Dev scratch: phase-by-phase timing of e2's plan to localize cost —
-// bucketing vs candidate join vs cosine verification.
+// Dev scratch: phase-by-phase timing of the RELATIONAL (exploded)
+// bucketing form — the fallback CorrPrune uses for long panels. NOTE:
+// e2 itself now buckets via the map-only bandBucketsFromSigns path, so
+// this measures the legacy form, not e2's production plan.
 // Run: sbt "runMain graft.tools.ProfileE2 /root/testdata/sf0.1"
 package graft.tools
 
