@@ -36,7 +36,6 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
-    val spark = edges.sparkSession
     // cache the raw edge projection FIRST: the symmetrization consumes
     // it twice (forward + reversed), and for callers whose edge list is
     // itself an expensive plan (d6 feeds d2's whole near-dup pipeline
