@@ -283,13 +283,17 @@ object LlmQueries {
           explode(Text.shingles(col("text"), 2)).as("sh"))
         .select(col("lang"), col("doc_id"), xxhash64(col("sh")).as("h"))
         .cache()
-      // df cut: one aggregate over the postings (shuffled by (lang, h) —
-      // the same key the self-join below shuffles on), then keep only
-      // discriminative shingles. exf feeds three consumers (sizes + both
-      // join sides), so it is also worth caching.
-      val keep = ex.groupBy("lang", "h").agg(count(lit(1)).as("df"))
-        .where(col("df") <= MaxDf).select("lang", "h")
-      val exf = ex.join(keep, Seq("lang", "h")).cache()
+      // df cut: one aggregate over the postings finds the HOT shingles
+      // (df > MaxDf) — a tiny set on any real vocabulary (ultra-common
+      // shingles are by definition few) — and a broadcast ANTI-join
+      // removes them map-side. Joining the KEEP set instead would
+      // shuffle the full posting relation a second time just to filter
+      // it. exf feeds three consumers (sizes + both join sides), so it
+      // is cached.
+      val hot = ex.groupBy("lang", "h").agg(count(lit(1)).as("df"))
+        .where(col("df") > MaxDf).select("lang", "h")
+      val exf = ex.join(broadcast(hot), Seq("lang", "h"), "left_anti")
+        .cache()
       val sizes = exf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = exf.select(col("lang"), col("doc_id").as("i"), col("h"))
         .join(exf.select(col("lang"), col("doc_id").as("j"), col("h")),
