@@ -36,19 +36,50 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
                           dstCol: String): DataFrame = {
-    // cache the raw edge projection FIRST: the symmetrization consumes
-    // it twice (forward + reversed), and for callers whose edge list is
-    // itself an expensive plan (d6 feeds d2's whole near-dup pipeline
-    // in) an uncached union re-executes that plan per direction —
-    // measured as more than half of d6's runtime
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // cache the raw edge projection FIRST: phase 0 and the node universe
+    // both consume it, and for callers whose edge list is itself an
+    // expensive plan (d6 feeds d2's whole near-dup pipeline in) an
+    // uncached reuse re-executes that plan per consumer — measured as
+    // more than half of d6's runtime
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .cache()
+    // Phase 0 — local aggregation before any shuffle: a per-partition
+    // union-find (with path compression) contracts every within-
+    // partition path to a star and emits one (node, local root) edge per
+    // node. The star graph has the same components (a node seen in two
+    // partitions links both local roots through itself) but at most
+    // #nodes-per-partition edges and near-zero within-partition
+    // diameter, so the distributed loop below runs on a much smaller
+    // relation for fewer rounds. This is the same map-side-combine
+    // instinct as partial aggregation, applied to connectivity.
+    val star = e0.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val ks = parent.keysIterator.toArray
+      ks.iterator.map(k => (k, find(k)))
+    }.toDF("a", "b")
     // no distinct: duplicate edges cannot change a min-aggregate, so
     // deduplicating here would spend a full shuffle to save join width
-    // only — callers with heavily duplicated edge lists can pre-distinct
-    val sym = e0
-      .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    val sym = star
+      .unionByName(star.select(col("b").as("a"), col("a").as("b")))
       .cache()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
