@@ -335,6 +335,40 @@ object LlmQueries {
                       JOIN sizes sb ON it.j = sb.doc_id)
       WHERE jac >= 0.10 ORDER BY i, j"""))
 
+  // d7: decontamination — flag training documents sharing >= 3 distinct
+  // trigrams with any document of a benchmark/eval set (here: doc_id <
+  // 20 stands in for the eval suite). Cross-corpus by construction,
+  // unlike d4's self-join: the benchmark gram set is broadcast (eval
+  // suites are small at any corpus scale), so the training side is
+  // scanned map-only and the only shuffle is the per-(doc, bench) count
+  // rollup. This is the standard n-gram decontamination gate run before
+  // training.
+  private val qD7 = Q("d7_decontaminate",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      def grams(df: DataFrame) = df.select(col("doc_id"),
+        explode(Text.shingles(col("text"), 3)).as("gram"))
+      val bench = grams(docs.where(col("doc_id") < 20))
+        .withColumnRenamed("doc_id", "bench_id")
+      val train = grams(docs.where(col("doc_id") >= 20))
+      train.join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id", "bench_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .transform(Q.sortedSmall(_, "doc_id", "bench_id"))
+    },
+    Some("""WITH g AS (
+        SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+          for i in range(1, len(w) - 1)]) AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      bg AS (
+        SELECT doc_id AS bench_id, unnest(gs) AS gram FROM g
+        WHERE doc_id < 20),
+      tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id >= 20)
+      SELECT doc_id, bench_id, count(*) AS n_shared
+      FROM tg JOIN bg USING (gram) GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY doc_id, bench_id"""))
+
   // ---------------------------------------------------------- text analysis
 
   // t1: per-document statistics + quality score (length, type-token ratio,
@@ -1072,7 +1106,7 @@ object LlmQueries {
       GROUP BY 1 ORDER BY t1.qid"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qT1, qT2, qT3, qT4, qT5,
+    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qT1, qT2, qT3, qT4, qT5,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7,
       qM1, qC1)
 }
