@@ -195,5 +195,39 @@ object CurationQueries {
         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM assigned GROUP BY split, lang ORDER BY split, lang"""))
 
-  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5, qC6)
+  // c7: deterministic epoch shuffle — the global training-order
+  // permutation. Each epoch orders documents by a salted stable hash
+  // (tie-broken by doc_id through a composite DECIMAL order key, so the
+  // order key is unique), and the global 0-based position comes from
+  // Relational.globalRowIds — range partition + per-partition ranks +
+  // triangular offsets, never a single-partition ORDER BY window. Two
+  // epochs are emitted to show the permutations are independent;
+  // re-running the job can never reorder an epoch.
+  private val qC7 = Q("c7_epoch_shuffle",
+    (s, d) => {
+      val docs = T(s, d, "documents").select("doc_id")
+      val epochs = Seq(0, 1).map { e =>
+        val keyed = docs.withColumn("ordkey",
+          Sample.hashBucket(s"epoch$e", col("doc_id"), 10000)
+            .cast("decimal(38,0)") * 10000000000L + col("doc_id"))
+        graft.ops.Relational.globalRowIds(keyed, "ordkey", "pos")
+          .select(col("doc_id"), lit(e).as("epoch"), col("pos"))
+      }
+      epochs.reduce(_.unionByName(_))
+        .transform(Q.sortedSmall(_, "epoch", "pos"))
+    },
+    Some(s"""SELECT doc_id, 0 AS epoch,
+        row_number() OVER (ORDER BY
+          ${Sample.hashBucketSql("epoch0", "doc_id", 10000)}, doc_id) - 1
+          AS pos
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1 AS epoch,
+        row_number() OVER (ORDER BY
+          ${Sample.hashBucketSql("epoch1", "doc_id", 10000)}, doc_id) - 1
+          AS pos
+      FROM documents
+      ORDER BY epoch, pos"""))
+
+  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5, qC6, qC7)
 }
