@@ -32,6 +32,40 @@ object Sinks {
               schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(dir)
 
+  /** Small-file compaction — the standing maintenance op of any large
+    * parquet lake: streaming/micro-batch ingest (Streams.windowedMeans,
+    * the reference's per-day loop) accretes files far below the
+    * scan-efficient size, and every downstream query then pays per-file
+    * open/footer/task overhead. Rewrites `dir` into
+    * ceil(bytes / targetBytes) files via a round-robin repartition
+    * (parquet re-encodes, so output sizing is approximate — the point is
+    * file COUNT, not byte-exact splits) and swaps the directory
+    * atomically-enough for a single-writer lake (write temp, delete,
+    * rename). Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"compactParquet: targetBytes $targetBytes")
+    val d = new java.io.File(dir)
+    def parts(f: java.io.File) = Option(f.listFiles()).getOrElse(Array())
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+    val before = parts(d)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.length()).sum.toDouble / targetBytes).toInt)
+    val tmp = dir + ".compact_tmp"
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    val out = new java.io.File(tmp)
+    before.foreach(_.delete())
+    parts(d).foreach(_.delete()) // stragglers with the data extension
+    parts(out).foreach { f =>
+      val _ = f.renameTo(new java.io.File(d, f.getName))
+    }
+    Option(out.listFiles()).getOrElse(Array()).foreach(_.delete())
+    out.delete()
+    (before.length, parts(d).length)
+  }
+
   /** S6: one CSV file per window, window encoded in the path
     * (correlation_matrix_exporter.py:227-235). Single-file output is the
     * contract (a downstream pandas consumer), hence the coalesce(1) —
