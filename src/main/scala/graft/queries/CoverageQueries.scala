@@ -157,5 +157,27 @@ object CoverageQueries {
       FROM documents GROUP BY ROLLUP(lang, source)
       ORDER BY lang, source"""))
 
-  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10)
+  // A11: approximate distinct counts, graded through a pinned-tolerance
+  // pattern. HLL++ is deterministic for a given dataset (merge is
+  // order-independent), so `within_2pct` is a stable fact, not a flaky
+  // assertion: the oracle computes the exact distinct count and PINS the
+  // tolerance flag at 1 — if Spark's sketch ever drifts past 2% on this
+  // data, the hash comparison fails. The exact count is graded exactly
+  // alongside. This is how an approximate operator earns a place in a
+  // hash-compared suite; emitting the raw sketch value never could.
+  private val qA11 = Q("a11_approx_distinct",
+    (s, d) => T(s, d, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) * 50 <= col("n_exact"))
+          .cast("int").as("within_2pct"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+        count(DISTINCT user_id) AS n_exact,
+        1 AS within_2pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11)
 }
