@@ -179,5 +179,31 @@ object CoverageQueries {
         1 AS within_2pct
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11)
+  // A12: approximate percentiles, graded through a11's pinned-tolerance
+  // pattern. percentile_approx (GK quantile summaries, accuracy 10⁴ →
+  // rank error ≤ 10⁻⁴) is the operator you actually run at 100 TB where
+  // a9's exact per-group sort is too expensive; the exact percentile is
+  // graded exactly alongside, and the oracle PINS the 2%-of-exact flag at
+  // 1 (values are strictly positive, so the relative tolerance is well
+  // defined). A sketch drifting past 2% fails the hash compare.
+  private val qA12 = Q("a12_approx_percentile",
+    (s, d) => T(s, d, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_exact"),
+        expr("percentile_approx(value, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(value, 0.95, 10000)").as("a95"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        (abs(col("a50") - col("p50_exact")) * 50 <= col("p50_exact"))
+          .cast("int").as("p50_within_2pct"),
+        (abs(col("a95") - col("p95_exact")) * 50 <= col("p95_exact"))
+          .cast("int").as("p95_within_2pct"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        round(quantile_cont(value, 0.95), 6) AS p95_exact,
+        1 AS p50_within_2pct, 1 AS p95_within_2pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
 import graft.ops.Sample
@@ -229,5 +230,57 @@ object CurationQueries {
       FROM documents
       ORDER BY epoch, pos"""))
 
-  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5, qC6, qC7)
+  // c8: per-language top-quality selection — keep the best 30% of each
+  // language's documents by quality score, the "train on the top slice"
+  // curation gate. Exact rank semantics: (quality DESC, doc_id) is a
+  // total order (quality is the 6dp-rounded score t1 grades exactly), so
+  // the cut boundary is engine-deterministic — no interpolated-percentile
+  // threshold whose last decimal could disagree across engines. The rank
+  // window partitions by lang; with few languages over a huge corpus the
+  // exact form funnels each language through one reducer, so at extreme
+  // scale the same contract is served by a sketch threshold (a9/a12) plus
+  // a map-only filter, with only boundary ties needing the exact pass —
+  // the graded query keeps the exact semantics.
+  private val qC8 = Q("c8_quality_select",
+    (s, d) => {
+      val w = graft.ops.Text.words(col("text"))
+      val nTok = size(w)
+      val nUniq = size(array_distinct(w))
+      val nStop = size(filter(w, x => x.isin(graft.ops.Text.stopwords: _*)))
+      val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),
+        round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
+          lit(0.4) * (nUniq / nTok) +
+          lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"))
+      val totals = scored.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val rk = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(rk))
+        .join(broadcast(totals), "lang")
+        .where(col("rn") <= ceil(col("n_total") * 0.3).cast("long"))
+        .groupBy("lang")
+        .agg(min("n_total").as("n_total"), count(lit(1)).as("n_kept"),
+          round(min("quality"), 6).as("cutoff"))
+        .orderBy("lang")
+    },
+    Some("""WITH scored AS (
+        SELECT doc_id, lang,
+          round(0.4 * least(1.0, CAST(len(string_split(text, ' '))
+              AS DOUBLE) / 50.0) +
+            0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
+              AS DOUBLE) / len(string_split(text, ' '))) +
+            0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+              x -> x = 'a' OR x = 'the')) AS DOUBLE)
+              / len(string_split(text, ' '))), 6) AS quality
+        FROM documents),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY quality DESC, doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n_total
+        FROM scored)
+      SELECT lang, min(n_total) AS n_total, count(*) AS n_kept,
+        round(min(quality), 6) AS cutoff
+      FROM r WHERE rn <= CAST(ceil(n_total * 0.3) AS BIGINT)
+      GROUP BY lang ORDER BY lang"""))
+
+  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5, qC6, qC7, qC8)
 }

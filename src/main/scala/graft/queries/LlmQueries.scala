@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
-import graft.ops.{Similarity, Text}
+import graft.ops.{Relational, Similarity, Text}
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
@@ -558,6 +558,85 @@ object LlmQueries {
           '\+\d-\d{3}-\d{4}', '[PHONE]', 'g')), 1, 8) AS red_hash
       FROM aug ORDER BY doc_id"""))
 
+  // t6: span-level exact dedup — the C4/RefinedWeb "line dedup" pass,
+  // with a line = a fixed 16-word span (the fixture corpus has no
+  // newlines; real corpora swap the splitter, the relational shape is
+  // identical). Every document is exploded into consecutive spans, each
+  // span keeps only its GLOBAL first occurrence (keep-first over the
+  // span hash — one shuffle by hash, exactly d1's dedup shape at span
+  // granularity), and surviving spans are re-assembled in document
+  // order. The md5 of the rebuilt text grades the reconstruction
+  // byte-exactly, not just the counts. At 100 TB: explode is map-side,
+  // the dedup is one hash-partitioned window, and the reassembly groups
+  // by doc_id — no state ever exceeds a document.
+  private val SpanWords = 16
+  private val qT6 = Q("t6_span_dedup",
+    (s, d) => {
+      val spans = T(s, d, "documents")
+        .select(col("doc_id"), Text.words(col("text")).as("ws"))
+        .withColumn("n_spans",
+          ceil(size(col("ws")) / lit(SpanWords.toDouble)).cast("long"))
+        .select(col("doc_id"), col("ws"), col("n_spans"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+        .select(col("doc_id"), col("n_spans"), col("span_idx"),
+          array_join(slice(col("ws"),
+            (col("span_idx") * SpanWords + 1).cast("int"), lit(SpanWords)),
+            " ").as("span"))
+        .withColumn("h", md5(col("span")))
+      Relational.keepFirst(spans, Seq("h"),
+          Seq(col("doc_id"), col("span_idx")))
+        .groupBy("doc_id", "n_spans")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            x => x.getField("span")), " ")).as("sig"))
+        .transform(Q.sortedSmall(_, "doc_id"))
+    },
+    Some(s"""WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      e AS (SELECT doc_id, ws,
+          CAST(ceil(len(ws) / $SpanWords.0) AS BIGINT) AS n_spans FROM w),
+      sp AS (SELECT doc_id, n_spans, unnest(range(n_spans)) AS span_idx,
+          ws FROM e),
+      sh AS (SELECT doc_id, n_spans, span_idx,
+          array_to_string(ws[span_idx * $SpanWords + 1 :
+            span_idx * $SpanWords + $SpanWords], ' ') AS span
+        FROM sp),
+      kept AS (SELECT * FROM (
+          SELECT doc_id, n_spans, span_idx, span,
+            row_number() OVER (PARTITION BY md5(span)
+              ORDER BY doc_id, span_idx) AS rn
+          FROM sh) WHERE rn = 1)
+      SELECT doc_id, n_spans, count(*) AS n_kept,
+        md5(string_agg(span, ' ' ORDER BY span_idx)) AS sig
+      FROM kept GROUP BY doc_id, n_spans ORDER BY doc_id"""))
+
+  // t7: corpus-level top-k bigram counts — the vocabulary/term-frequency
+  // statistics a tokenizer-training (BPE-ish) pass starts from. All
+  // occurrences count (term frequency, not document frequency); the
+  // (count DESC, gram ASC) order is total because the gram is the group
+  // key, so the k-boundary is engine-deterministic. The plan is the one
+  // you want at 100 TB: map-side zip_with bigrams → partial-aggregated
+  // count shuffle → TakeOrderedAndProject (per-partition top-k merged on
+  // the driver), never a full sort of the vocabulary.
+  private val TopK = 100
+  private val qT7 = Q("t7_top_ngrams",
+    (s, d) => {
+      val w = Text.words(col("text"))
+      T(s, d, "documents")
+        .select(explode(zip_with(slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(TopK)
+    },
+    Some(s"""SELECT gram, count(*) AS n
+      FROM (SELECT w[i] || ' ' || w[i+1] AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             (SELECT unnest(range(1, len(w))) AS i))
+      GROUP BY gram ORDER BY n DESC, gram LIMIT $TopK"""))
+
   // ------------------------------------------------------ similarity search
 
   /** Fixture embedding dimensionality (embeddings.parquet, 64 floats). */
@@ -1106,7 +1185,8 @@ object LlmQueries {
       GROUP BY 1 ORDER BY t1.qid"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qT1, qT2, qT3, qT4, qT5,
+    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7,
+      qT1, qT2, qT3, qT4, qT5, qT6, qT7,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7,
       qM1, qC1)
 }
