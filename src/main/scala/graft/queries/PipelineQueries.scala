@@ -122,6 +122,27 @@ object PipelineQueries {
         FROM events GROUP BY 1)
       ORDER BY day"""))
 
+  // S9/JSONL: gzip JSONL round-trip — the interchange format LLM corpora
+  // ship in (one JSON doc per line). A slice of `documents` goes out
+  // through the JSONL sink and back through the schema'd read (no
+  // inference pass); the read-back rows are graded against the original
+  // table, with the text compared by md5 so the grade covers the full
+  // serialize→parse fidelity of the content column.
+  private val qS9 = Q("s9_jsonl_roundtrip",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+        .where(col("doc_id") % 10 === 0)
+      val out = java.nio.file.Files.createTempDirectory("graft_s9_")
+        .toString
+      Sinks.writeJsonl(docs, out)
+      Sinks.readJsonl(s, out, Catalog.schemas("documents"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id"""))
+
   // E4/F13/P11: graph edge construction — correlation matrix ->
   // threshold rho > 0 -> label->index vertex join (row_number over the
   // sorted vertex dimension) -> directed edge list both ways
@@ -272,5 +293,5 @@ object PipelineQueries {
       WHERE bidx//5 < t.nc
       GROUP BY 1 ORDER BY chunk"""))
 
-  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qG1, qG2, qW4b)
+  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qS9, qG1, qG2, qW4b)
 }

@@ -66,6 +66,25 @@ object Sinks {
     (before.length, parts(d).length)
   }
 
+  /** Gzip JSONL write — the interchange format document corpora actually
+    * ship in (one JSON object per line, gzip per part file). Spark's json
+    * sink splits by partition, so the write parallelizes like any other
+    * and downstream readers get per-file parallelism back.
+    */
+  def writeJsonl(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "gzip")
+      .json(dir)
+
+  /** Schema'd JSONL(.gz) read: no sampling-based inference pass over
+    * 100 TB (schema inference reads the data once before the real scan);
+    * malformed lines surface as nulls under the default PERMISSIVE mode
+    * rather than killing the job.
+    */
+  def readJsonl(spark: SparkSession, dir: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
+
   /** S6: one CSV file per window, window encoded in the path
     * (correlation_matrix_exporter.py:227-235). Single-file output is the
     * contract (a downstream pandas consumer), hence the coalesce(1) —
