@@ -547,6 +547,31 @@ object SparkEntry {
       WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan31)}
       GROUP BY 1, 2 ORDER BY bucket, event_type"""))
 
+  // W5b: SLIDING windows — 4h width, 1h slide — through Spark's native
+  // `window()` (each row multi-assigns to width/slide = 4 overlapping
+  // windows; the expansion is a map-side Expand before the aggregate
+  // shuffle, so the cost is a 4× row fan-out, never a self-join). The
+  // oracle replays the same epoch-anchored assignment arithmetically:
+  // window starts are hour marks, an event joins the 4 marks at
+  // trunc(ts,1h) − k·1h. Tumbling (w3) is the degenerate slide=width
+  // case; this grades the overlapping case the reference's resample
+  // loop could only approximate by re-scanning per offset.
+  private val qW5 = Q("w5_sliding_windows",
+    (s, d) => T(s, d, "events")
+      .where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
+      .groupBy(window(col("ts"), "4 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        col("event_type"), col("n"), col("avg_value"))
+      .orderBy("ws", "event_type"),
+    Some(s"""SELECT ($EP - $EP % 3600) - k * 3600 AS ws, event_type,
+        count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value), 6) AS avg_value
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+      WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan8)}
+      GROUP BY 1, 2 ORDER BY ws, event_type"""))
+
   // W4: multi-day tumbling chunks with the reference's drop-incomplete-tail
   // semantic (correlation_matrix_exporter.py:176): only chunks fully inside
   // the observed day span survive.
@@ -761,7 +786,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qA3, qA3b, qA3c, qA3d) ++
+    qW1, qW2, qW3, qW4, qW5, qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all
 
