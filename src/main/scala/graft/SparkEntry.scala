@@ -572,6 +572,44 @@ object SparkEntry {
       WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan8)}
       GROUP BY 1, 2 ORDER BY ws, event_type"""))
 
+  // W6: SCD2 validity intervals from a change stream — the warehouse
+  // dimension-build the reference hand-rolls as its universe/spell table
+  // (cf. sp500ccm_generator.py's from/thru spans): compress each user's
+  // event-type run into one [valid_from, valid_to) spell. Two windows
+  // over ONE shuffle by user_id (lag to detect changes, lead on the
+  // surviving change rows for the closing edge — same partitioning, so
+  // Spark reuses the exchange); epoch-millis boundaries with event_id
+  // tie-break keep the spells engine-deterministic at sub-second ties.
+  // The open spell's valid_to is NULL, the SCD2 "current row" marker.
+  private val qW6 = Q("w6_scd2_intervals",
+    (s, d) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("ems", "event_id")
+      val wSpell = Window.partitionBy("user_id").orderBy("ems", "event_id")
+      T(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ems"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(wSeq))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ems"), 1).over(wSpell))
+        .select(col("user_id"), col("event_type"),
+          col("ems").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ems, event_type
+        FROM events),
+      ch AS (
+        SELECT *, lag(event_type) OVER (
+          PARTITION BY user_id ORDER BY ems, event_id) AS prev
+        FROM e),
+      sp AS (
+        SELECT user_id, event_id, event_type, ems
+        FROM ch WHERE prev IS NULL OR prev != event_type)
+      SELECT user_id, event_type, ems AS valid_from,
+        lead(ems) OVER (PARTITION BY user_id ORDER BY ems, event_id)
+          AS valid_to
+      FROM sp ORDER BY user_id, valid_from"""))
+
   // W4: multi-day tumbling chunks with the reference's drop-incomplete-tail
   // semantic (correlation_matrix_exporter.py:176): only chunks fully inside
   // the observed day span survive.
@@ -786,7 +824,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qW5, qA3, qA3b, qA3c, qA3d) ++
+    qW1, qW2, qW3, qW4, qW5, qW6, qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all
 

@@ -43,6 +43,17 @@ object Kmeans {
       (array_position(dists, array_min(dists)) - 1).cast("int"))
   }
 
+  /** [[assign]] plus the exact squared distance to the chosen centroid
+    * (`qerr`) — the per-subspace quantization error a product quantizer
+    * grades and monitors. Same map-only shape and tie-break as assign.
+    */
+  def assignWithDist(embq: DataFrame, cents: Seq[Seq[Long]]): DataFrame = {
+    val dists = array(cents.map(c => distSq(col("q"), c)): _*)
+    embq.withColumn("qerr", array_min(dists))
+      .withColumn("cell",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
   /** The `n` nearest cells per vector by the same exact distance and
     * tie-break as [[assign]] — the nprobe fan-out of an IVF search.
     * Windowed (one shuffle by vector id); callers probe a bounded query

@@ -1135,6 +1135,28 @@ object LlmQueries {
         substr(md5(text), 1, 8) AS sample_hash
       FROM documents ORDER BY doc_id"""))
 
+  // m2: video-frame sampling — one input object fans out to a bounded
+  // set of frame rows ([[graft.ops.Multimodal.frameSample]]: typed
+  // flatMap, 16-byte "frames", every 4th kept). The graded surface is
+  // each sampled frame's md5, so frame boundaries, stride arithmetic,
+  // and payload slicing are all byte-exact. The oracle replays the same
+  // slicing with VARCHAR substr — byte-exact because the fixture corpus
+  // is pure ASCII (asserted: strlen = length for every document).
+  private val qM2 = Q("m2_frame_sample",
+    (s, d) => graft.ops.Multimodal.frameSample(s,
+        T(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")), 4)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx"),
+    Some("""SELECT doc_id, frame_idx,
+        md5(substring(text, frame_idx * 16 + 1, 16)) AS frame_md5
+      FROM (SELECT doc_id, text,
+          unnest(range(0, strlen(text) // 16)) AS frame_idx
+        FROM documents)
+      WHERE frame_idx % 4 = 0
+      ORDER BY doc_id, frame_idx"""))
+
   /** Unrolled DuckDB replay of [[graft.ops.Kmeans]]: c0 = first-C
     * vectors; per round, assignment a_i (min exact distance, lowest cell
     * on ties) and centroid update c_i (truncating integer mean via `//`,
@@ -1257,9 +1279,212 @@ object LlmQueries {
       FROM t1 LEFT JOIN t7 ON t1.qid = t7.qid AND t1.tid = t7.tid
       GROUP BY 1 ORDER BY t1.qid"""))
 
+  // -------------------------------------------------- product quantization
+
+  /** PQ geometry: PqM subspaces of EmbDims/PqM dims each, PqK centroids
+    * per subspace trained by [[graft.ops.Kmeans]] (PqIters Lloyd rounds —
+    * the same graded integer k-means as e6), so a vector compresses to
+    * PqM·log2(PqK) = 16 bits. Production runs M=8..64 with K=256 (one
+    * byte per subspace); the fixture geometry keeps the oracle's
+    * per-subspace Lloyd replay tractable while exercising the identical
+    * plan shape. Product quantization per Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search" (PAMI 2011).
+    */
+  private val PqM = 8
+  private val PqSub = EmbDims / PqM
+  private val PqK = 16
+  private val PqIters = 2
+  private val PqRerank = 20
+
+  /** Sub-vector slice of the quantized corpus for subspace `m` — a
+    * map-only projection; no shuffle.
+    */
+  private def pqSubVec(q: DataFrame, m: Int): DataFrame =
+    q.select(col("vec_id"), slice(col("q"), m * PqSub + 1, PqSub).as("q"))
+
+  /** Per-subspace codebooks: the e6 k-means trained on each slice. */
+  private def pqCents(q: DataFrame): Seq[Seq[Seq[Long]]] =
+    (0 until PqM).map(m =>
+      graft.ops.Kmeans.train(pqSubVec(q, m), "vec_id", PqK, PqIters))
+
+  /** PQ encoding: one (vec_id, sub, code, qerr) row per subspace —
+    * map-only assignment against broadcast centroid literals, with the
+    * exact integer quantization error the codebook is judged by.
+    */
+  private def pqCodes(q: DataFrame, cents: Seq[Seq[Seq[Long]]]): DataFrame =
+    (0 until PqM).map { m =>
+      graft.ops.Kmeans.assignWithDist(pqSubVec(q, m), cents(m))
+        .select(col("vec_id"), lit(m).as("sub"), col("cell").as("code"),
+          col("qerr"))
+    }.reduce(_.union(_))
+
+  /** DuckDB replay of the PQ codebooks: per subspace m, a rebased slice
+    * xp_m of the exploded form, the same Lloyd unroll as
+    * [[kmeansSqlCtes]] (CTE names suffixed _m), and the final code+qerr
+    * assignment; `pqcodes` unions the subspaces.
+    */
+  private def pqSqlCtes(): String = {
+    val subs = (0 until PqM).map { m =>
+      val xp = s"xp$m"
+      val init = s"""$xp AS (
+        SELECT vec_id, pos - ${m * PqSub} AS pos, xq FROM x
+        WHERE pos > ${m * PqSub} AND pos <= ${(m + 1) * PqSub}),
+      pkc0_$m AS (SELECT vec_id AS cell, pos, xq AS cq FROM $xp
+        WHERE vec_id < $PqK)"""
+      val rounds = (1 to PqIters).map { i =>
+        s"""pka${i}_$m AS (
+        SELECT vec_id, cell FROM (
+          SELECT t.vec_id, c.cell,
+            row_number() OVER (PARTITION BY t.vec_id
+              ORDER BY sum((t.xq - c.cq) * (t.xq - c.cq)), c.cell) AS rn
+          FROM $xp t JOIN pkc${i - 1}_$m c ON c.pos = t.pos
+          GROUP BY t.vec_id, c.cell) WHERE rn = 1),
+      pkc${i}_$m AS (
+        SELECT cell, pos, sum(xq) // count(*) AS cq
+        FROM $xp JOIN pka${i}_$m USING (vec_id) GROUP BY cell, pos
+        UNION ALL
+        SELECT cell, pos, cq FROM pkc${i - 1}_$m
+        WHERE cell NOT IN (SELECT DISTINCT cell FROM pka${i}_$m))"""
+      }
+      val fin = s"""pq$m AS (
+        SELECT vec_id, $m AS sub, cell AS code, CAST(d AS BIGINT) AS qerr
+        FROM (
+          SELECT t.vec_id, c.cell,
+            sum((t.xq - c.cq) * (t.xq - c.cq)) AS d,
+            row_number() OVER (PARTITION BY t.vec_id
+              ORDER BY sum((t.xq - c.cq) * (t.xq - c.cq)), c.cell) AS rn
+          FROM $xp t JOIN pkc${PqIters}_$m c ON c.pos = t.pos
+          GROUP BY t.vec_id, c.cell) WHERE rn = 1)"""
+      (init +: rounds :+ fin).mkString(",\n      ")
+    }
+    val union = (0 until PqM)
+      .map(m => s"SELECT * FROM pq$m").mkString(" UNION ALL ")
+    (subs :+ s"pqcodes AS ($union)").mkString(",\n      ")
+  }
+
+  // e8: PQ encoding — the compressed representation 100 TB of embeddings
+  // actually lives in (256 B/vector → PqM codes + tiny codebooks). The
+  // graded surface is every code AND the exact integer quantization
+  // error, so a codebook drift of one unit in one dimension fails the
+  // gate. Training replays bit-for-bit in the oracle (e6's guarantee,
+  // once per subspace).
+  private val qE8 = Q("e8_pq_codes",
+    (s, d) => {
+      val q = embQ(s, d)
+      pqCodes(q, pqCents(q)).transform(Q.sortedSmall(_, "vec_id", "sub"))
+    },
+    Some(s"""WITH $embSqlPrefix,
+      ${pqSqlCtes()}
+      SELECT vec_id, sub, code, qerr FROM pqcodes ORDER BY vec_id, sub"""))
+
+  // e9: PQ search — asymmetric distance computation (ADC): each probe
+  // builds a PqM×PqK lookup table of exact sub-vector dots against the
+  // broadcast codebooks (dimension metadata, like a3b's key set), every
+  // target is scored by code lookup alone (its full vector is never
+  // touched), the ADC top-PqRerank are re-scored with the exact integer
+  // cosine, and recall@3 vs e1's exact top-3 grades the whole stack.
+  // approx cosine = Σ_sub LUT[sub][code] / √(|q|²·Σ_sub |c_code|²) —
+  // integer sums into one IEEE division, so ranking is engine-exact.
+  private val qE9 = Q("e9_pq_recall",
+    (s, d) => {
+      val q = embQ(s, d)
+      val cents = pqCents(q)
+      val codes = pqCodes(q, cents).select("vec_id", "sub", "code")
+      // codebook relation: PqM·PqK rows of dimension metadata (centroid
+      // array + exact reconstructed squared norm), broadcast
+      val centRows = for (m <- 0 until PqM; c <- cents(m).indices)
+        yield (m, c, cents(m)(c), cents(m)(c).map(x => x * x).sum)
+      import s.implicits._
+      val centDf = centRows.toDF("sub", "code", "cq", "csq")
+      val probes = (0 until PqM).map { m =>
+        pqSubVec(q.where(col("vec_id") < 5), m)
+          .select(col("vec_id").as("qid"), lit(m).as("sub"),
+            col("q").as("qs"))
+      }.reduce(_.union(_))
+      val lut = probes.join(broadcast(centDf), Seq("sub"))
+        .select(col("qid"), col("sub"), col("code"),
+          Similarity.dotq(col("qs"), col("cq")).as("pdot"), col("csq"))
+      val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("tid"), col("pdot"), col("csq"))
+        .groupBy("qid", "tid")
+        .agg(sum("pdot").as("adot"), sum("csq").as("tcsq"))
+      val qn = q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sq").as("qsq"))
+      val wA = Window.partitionBy("qid").orderBy(col("acos").desc, col("tid"))
+      val cand = adc.join(broadcast(qn), Seq("qid"))
+        .withColumn("acos", col("adot").cast("double") /
+          sqrt(col("qsq").cast("double") * col("tcsq").cast("double")))
+        .withColumn("rn", row_number().over(wA))
+        .where(col("rn") <= PqRerank)
+        .select("qid", "tid")
+      val approx = Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
+        .select(col("qid"), col("tid")).withColumn("hit", lit(1))
+      val exact = e1Top(q).select(col("qid"), col("tid"))
+      exact.join(approx, Seq("qid", "tid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+        .transform(Q.sortedSmall(_, "qid"))
+    },
+    Some(s"""WITH $embSqlPrefix,
+      ${pqSqlCtes()},
+      pcent AS (${(0 until PqM).map(m =>
+        s"SELECT $m AS sub, cell AS code, pos, cq FROM pkc${PqIters}_$m")
+        .mkString(" UNION ALL ")}),
+      pcn AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS csq
+        FROM pcent GROUP BY 1, 2),
+      px AS (
+        SELECT vec_id AS qid, CAST((pos - 1) // $PqSub AS INT) AS sub,
+          ((pos - 1) % $PqSub) + 1 AS pos, xq
+        FROM x WHERE vec_id < 5),
+      plut AS (
+        SELECT p.qid, c.sub, c.code, CAST(sum(p.xq * c.cq) AS BIGINT)
+          AS pdot
+        FROM px p JOIN pcent c ON c.sub = p.sub AND c.pos = p.pos
+        GROUP BY 1, 2, 3),
+      adc AS (
+        SELECT l.qid, k.vec_id AS tid, CAST(sum(l.pdot) AS BIGINT) AS adot,
+          CAST(sum(cn.csq) AS BIGINT) AS tcsq
+        FROM pqcodes k
+          JOIN plut l ON l.sub = k.sub AND l.code = k.code
+          JOIN pcn cn ON cn.sub = k.sub AND cn.code = k.code
+        WHERE k.vec_id != l.qid
+        GROUP BY 1, 2),
+      radc AS (
+        SELECT qid, tid, row_number() OVER (PARTITION BY qid
+            ORDER BY CAST(adot AS DOUBLE) /
+              sqrt(CAST(qn.sq AS DOUBLE) * CAST(tcsq AS DOUBLE)) DESC,
+            tid) AS rn
+        FROM adc JOIN n qn ON qn.vec_id = qid),
+      cand9 AS (SELECT qid, tid FROM radc WHERE rn <= $PqRerank),
+      d9 AS (
+        SELECT c.qid, c.tid, sum(t.xq * q.xq) AS dot
+        FROM cand9 c JOIN x t ON t.vec_id = c.tid
+          JOIN x q ON q.vec_id = c.qid AND q.pos = t.pos
+        GROUP BY 1, 2),
+      c9 AS (
+        SELECT qid, tid, CAST(dot AS DOUBLE) /
+          sqrt(CAST(qn.sq AS DOUBLE) * CAST(tn.sq AS DOUBLE)) AS cosine
+        FROM d9 JOIN n qn ON qn.vec_id = qid JOIN n tn ON tn.vec_id = tid),
+      ranked9 AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, tid) AS rank FROM c9),
+      $e1SqlCtes,
+      t1 AS (SELECT qid, tid FROM ranked1 WHERE rank <= 3),
+      t9 AS (SELECT qid, tid FROM ranked9 WHERE rank <= 3)
+      SELECT t1.qid, count(*) AS n_exact,
+        CAST(sum(CASE WHEN t9.tid IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit,
+        round(CAST(sum(CASE WHEN t9.tid IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS recall
+      FROM t1 LEFT JOIN t9 ON t1.qid = t9.qid AND t1.tid = t9.tid
+      GROUP BY 1 ORDER BY t1.qid"""))
+
   val all: Seq[Q] =
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7,
-      qE1, qE2, qE3, qE4, qE5, qE6, qE7,
-      qM1, qC1)
+      qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9,
+      qM1, qM2, qC1)
 }

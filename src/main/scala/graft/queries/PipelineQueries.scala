@@ -143,6 +143,30 @@ object PipelineQueries {
     Some("""SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
       FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id"""))
 
+  // S11: schema-evolution read — two writer generations of the same
+  // table (v2 added a column) merged into one scan via
+  // [[Sinks.readParquetMerged]]; v1 rows surface the new column as NULL.
+  // The oracle rebuilds the same union from the source table, so the
+  // null-fill semantics and the merged column set are both graded.
+  private val qS11 = Q("s11_schema_merge",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_s11_")
+        .toString
+      docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(out + "/v1")
+      docs.where(col("doc_id") % 10 === 5)
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("overwrite").parquet(out + "/v2")
+      Sinks.readParquetMerged(s, out + "/v1", out + "/v2")
+        .select("doc_id", "lang", "n_chars", "source")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+        CASE WHEN doc_id % 10 = 5 THEN source END AS source
+      FROM documents WHERE doc_id % 10 IN (0, 5) ORDER BY doc_id"""))
+
   // E4/F13/P11: graph edge construction — correlation matrix ->
   // threshold rho > 0 -> label->index vertex join (row_number over the
   // sorted vertex dimension) -> directed edge list both ways
@@ -293,5 +317,5 @@ object PipelineQueries {
       WHERE bidx//5 < t.nc
       GROUP BY 1 ORDER BY chunk"""))
 
-  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qS9, qG1, qG2, qW4b)
+  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qS9, qS11, qG1, qG2, qW4b)
 }

@@ -85,6 +85,16 @@ object Sinks {
                 schema: StructType): DataFrame =
     spark.read.schema(schema).json(dir)
 
+  /** Schema-evolution read: union the schemas of every parquet path
+    * (`mergeSchema`), null-filling columns a writer generation lacked —
+    * the lake pattern for tables whose schema grew over time. The merge
+    * pass reads FOOTERS only (per-file metadata), never data; at 100 TB
+    * its cost is bounded by file count, and a declared unified schema
+    * (the [[graft.Catalog]] style) skips even that.
+    */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** S6: one CSV file per window, window encoded in the path
     * (correlation_matrix_exporter.py:227-235). Single-file output is the
     * contract (a downstream pandas consumer), hence the coalesce(1) —
