@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, BloomFilterMightContain, Cast, Divide, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.DoubleType
 import graft.functions.WinnowFingerprint
 
@@ -19,6 +20,15 @@ import graft.functions.WinnowFingerprint
   *  - `winnow_fingerprint(words, k, base, mod)` — the genuinely custom
   *    [[WinnowFingerprint]] expression (single-pass rolling-hash
   *    winnowing; built-ins would need a k-fold explode).
+  *  - `bloom_build(xxhash64_col, n_items, n_bits)` /
+  *    `bloom_might_contain(bloom, xxhash64_col)` — Spark's own
+  *    bloom-filter expressions (the pair its runtime-filter rewrite
+  *    injects), surfaced as SQL so pipelines can build a constant-size
+  *    membership sketch over one relation and prefilter another without
+  *    shuffling it. The aggregate is mergeable (map-side partials); the
+  *    probe is codegen'd. False positives are the contract — callers
+  *    that need exactness verify survivors with an exact join, which is
+  *    the standard sketch-then-verify shape (see d9_bloom_decontaminate).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -64,6 +74,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new IllegalArgumentException(
             "winnow_fingerprint(words[, k, base, mod])")
         }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+        "bloom_build"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_build(xxhash64_col, n_items, n_bits) takes 3 arguments")
+        new BloomFilterAggregate(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_might_contain(bloom, xxhash64_col) takes 2 arguments")
+        BloomFilterMightContain(args(0), args(1))
       }))
   }
 }

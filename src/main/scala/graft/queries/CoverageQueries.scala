@@ -205,5 +205,66 @@ object CoverageQueries {
         1 AS p50_within_2pct, 1 AS p95_within_2pct
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12)
+  /** Count-min sketch geometry: CmsD independent hash rows × CmsW
+    * buckets — the frequency member of the sketch family next to a11's
+    * HLL (cardinality) and a12's GK (quantiles).
+    */
+  private val CmsD = 4
+  private val CmsW = 512L
+
+  // A13: count-min frequency estimates — word counts over the corpus
+  // compressed into a CmsD×CmsW counter matrix. The relational form IS
+  // the sketch: groupBy (row, bucket) has ≤ D·W groups, so map-side
+  // partial aggregation reduces every partition to a bounded sketch and
+  // the shuffle moves D·W rows per partition regardless of corpus size —
+  // the mergeable-sketch property, expressed as partial aggregation.
+  // Unlike a11/a12's pinned-tolerance grading, the CMS is DETERMINISTIC
+  // (md5-derived bucket hashes, counter sums, min over rows), so the
+  // oracle replays the sketch bit-for-bit: estimates, collisions, and
+  // each probe's one-sided overcount are all hash-graded. Probes are the
+  // exact top-20 words (heavy hitters), whose estimate the CMS bounds
+  // from above.
+  private val qA13 = Q("a13_cms_counts",
+    (s, d) => {
+      import graft.ops.Text
+      val words = T(s, d, "documents")
+        .select(explode(Text.words(col("text"))).as("word"))
+      val jcol = explode(sequence(lit(0), lit(CmsD - 1))).as("j")
+      val bucket = Text.hash60(concat_ws(":", col("j"), col("word"))) % CmsW
+      val cms = words.select(col("word"), jcol)
+        .groupBy(col("j"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("word")).limit(20)
+      probes.select(col("word"), col("n_exact"), jcol)
+        .withColumn("bucket", bucket)
+        .join(broadcast(cms), Seq("j", "bucket"))
+        .groupBy("word", "n_exact")
+        .agg(min("cnt").as("n_cms"))
+        .select(col("word"), col("n_exact"), col("n_cms"),
+          (col("n_cms") - col("n_exact")).as("overcount"))
+        .transform(Q.sortedSmall(_, "word"))
+    },
+    Some(s"""WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      js AS (SELECT unnest(range(0, $CmsD)) AS j),
+      cms AS (
+        SELECT j, CAST(concat('0x', substr(md5(concat(j, ':', word)),
+            1, 15)) AS BIGINT) % $CmsW AS bucket, count(*) AS cnt
+        FROM w, js GROUP BY 1, 2),
+      wc AS (SELECT word, count(*) AS n_exact FROM w GROUP BY 1),
+      probes AS (
+        SELECT word, n_exact FROM wc
+        ORDER BY n_exact DESC, word LIMIT 20),
+      pj AS (
+        SELECT word, n_exact, j,
+          CAST(concat('0x', substr(md5(concat(j, ':', word)),
+            1, 15)) AS BIGINT) % $CmsW AS bucket
+        FROM probes, js)
+      SELECT word, n_exact, min(cnt) AS n_cms,
+        min(cnt) - n_exact AS overcount
+      FROM pj JOIN cms USING (j, bucket)
+      GROUP BY word, n_exact ORDER BY word"""))
+
+  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12, qA13)
 }

@@ -442,6 +442,53 @@ object LlmQueries {
       FROM delta d LEFT JOIN m ON d.doc_id = m.doc_id
       ORDER BY d.doc_id"""))
 
+  // d9: bloom-prefiltered decontamination — d7's problem at the 100 TB
+  // posture: the benchmark side is compressed into a CONSTANT-SIZE bloom
+  // sketch (built distributed by the mergeable `bloom_build` aggregate,
+  // delivered as a scalar subquery — Spark's own runtime-filter
+  // expression pair, surfaced via [[graft.GraftExtensions]]), the corpus
+  // is prefiltered map-side by `bloom_might_contain` BEFORE any join,
+  // and only the surviving sliver meets the exact gram set to kill false
+  // positives. The corpus is never shuffled and never joined at full
+  // width; the DuckDB oracle runs the exact join, so the sketch-then-
+  // verify pipeline is graded as exactly lossless. Runs through the
+  // engine's SQL surface end to end (views + extension functions).
+  private val qD9 = Q("d9_bloom_decontaminate",
+    (s, d) => {
+      graft.Catalog.registerAll(s, d)
+      s.sql(s"""
+        WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id, explode(array_distinct(transform(
+            sequence(1, size(w) - 2),
+            i -> concat_ws(' ', slice(w, i, 3))))) AS gram
+          FROM w WHERE size(w) >= 3),
+        bloom AS (
+          SELECT bloom_build(xxhash64(gram), 8192L, 131072L) AS bf
+          FROM (SELECT DISTINCT gram FROM g WHERE doc_id < 20)),
+        cand AS (
+          SELECT doc_id, gram FROM g
+          WHERE doc_id >= 20
+            AND bloom_might_contain((SELECT bf FROM bloom),
+                                    xxhash64(gram))),
+        bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        SELECT doc_id, count(*) AS n_hit
+        FROM cand JOIN bg USING (gram)
+        GROUP BY doc_id HAVING count(*) >= 2
+        ORDER BY doc_id""")
+    },
+    Some("""WITH g AS (
+        SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+          for i in range(1, len(w) - 1)]) AS gs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      bg AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id < 20),
+      tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id >= 20)
+      SELECT doc_id, count(*) AS n_hit
+      FROM tg JOIN bg USING (gram)
+      GROUP BY doc_id HAVING count(*) >= 2
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------- text analysis
 
   // t1: per-document statistics + quality score (length, type-token ratio,
@@ -1483,7 +1530,7 @@ object LlmQueries {
       GROUP BY 1 ORDER BY t1.qid"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8,
+    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9,
       qM1, qM2, qC1)
