@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Exact, Relational, Time}
@@ -610,6 +611,68 @@ object SparkEntry {
           AS valid_to
       FROM sp ORDER BY user_id, valid_from"""))
 
+  // W7: rolling window-frame statistics (ROWS BETWEEN 19 PRECEDING AND
+  // CURRENT ROW per entity) — the rolling-mean/min/max pass of a quant
+  // workflow. One shuffle by entity key, every frame computed in the
+  // same sort pass; the mean goes through the exact decimal sum
+  // ([[graft.ops.Exact]]'s contract applied per frame), so a 20-row
+  // frame means the same bits in any engine at any partitioning.
+  private val qW7 = Q("w7_rolling_stats",
+    (s, d) => {
+      val w20 = Window.partitionBy("user_id").orderBy("ems", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+      T(s, d, "events")
+        .where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ems"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          count(col("value")).over(w20).as("roll_n"),
+          round(try_divide(
+            sum(col("value").cast(DecimalType(18, 6))).over(w20)
+              .cast("double"),
+            count(col("value")).over(w20)), 6).as("roll_mean"),
+          min(col("value")).over(w20).as("roll_min"),
+          max(col("value")).over(w20).as("roll_max"))
+        .orderBy("event_id")
+    },
+    Some(s"""SELECT user_id, event_id,
+        count(value) OVER w AS roll_n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+              / count(value) OVER w, 6) AS roll_mean,
+        min(value) OVER w AS roll_min,
+        max(value) OVER w AS roll_max
+      FROM events
+      WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan8)}
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  // W8: cross-sectional top-k per period (daily leaderboard by value) —
+  // rank within each day, keep the top 10. The `rnk <= 10` filter is
+  // recognized by Spark's WindowGroupLimit rewrite: each map task keeps
+  // only its local top-10 per day BEFORE the shuffle, so a day's
+  // reducer receives (partitions × 10) pre-pruned rows, not the day's
+  // full volume — the two-phase top-k a hand-written job would do,
+  // derived from the declarative form (asserted in WindowLimitSpec).
+  private val qW8 = Q("w8_cross_rank",
+    (s, d) => {
+      val w = Window.partitionBy("day")
+        .orderBy(col("value").desc, col("event_id"))
+      T(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .orderBy("day", "rnk")
+    },
+    Some("""SELECT day, event_id, value, rnk FROM (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_id, value,
+          row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d')
+            ORDER BY value DESC, event_id) AS rnk
+        FROM events WHERE event_type = 'purchase')
+      WHERE rnk <= 10 ORDER BY day, rnk"""))
+
   // W4: multi-day tumbling chunks with the reference's drop-incomplete-tail
   // semantic (correlation_matrix_exporter.py:176): only chunks fully inside
   // the observed day span survive.
@@ -824,7 +887,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qW5, qW6, qA3, qA3b, qA3c, qA3d) ++
+    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all
 

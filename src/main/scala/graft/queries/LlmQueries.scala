@@ -1349,10 +1349,17 @@ object LlmQueries {
   private def pqSubVec(q: DataFrame, m: Int): DataFrame =
     q.select(col("vec_id"), slice(col("q"), m * PqSub + 1, PqSub).as("q"))
 
-  /** Per-subspace codebooks: the e6 k-means trained on each slice. */
-  private def pqCents(q: DataFrame): Seq[Seq[Seq[Long]]] =
-    (0 until PqM).map(m =>
-      graft.ops.Kmeans.train(pqSubVec(q, m), "vec_id", PqK, PqIters))
+  /** Per-subspace codebooks, trained JOINTLY: the long (vec_id, sub, q)
+    * form feeds [[graft.ops.Kmeans.trainProduct]], so each Lloyd round
+    * is one pass over the corpus for all PqM codebooks — per-subspace
+    * results identical to independent training (KmeansSpec asserts it).
+    */
+  private def pqCents(q: DataFrame): Seq[Seq[Seq[Long]]] = {
+    val subVecs = (0 until PqM).map { m =>
+      pqSubVec(q, m).select(col("vec_id"), lit(m).as("sub"), col("q"))
+    }.reduce(_.union(_))
+    graft.ops.Kmeans.trainProduct(subVecs, "vec_id", PqM, PqK, PqIters)
+  }
 
   /** PQ encoding: one (vec_id, sub, code, qerr) row per subspace —
     * map-only assignment against broadcast centroid literals, with the

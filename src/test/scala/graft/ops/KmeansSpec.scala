@@ -34,6 +34,23 @@ class KmeansSpec extends SparkTestBase {
     assert(got == got2)
   }
 
+  test("trainProduct matches independent per-subspace training") {
+    val (df, _) = planted()
+    // two "subspaces": the planted vectors and a shifted variant, so the
+    // codebooks genuinely differ per subspace
+    val subVecs = df.select(col("vec_id"), lit(0).as("sub"), col("q"))
+      .union(df.select(col("vec_id"), lit(1).as("sub"),
+        transform(col("q"), x => x + 1234567L).as("q")))
+    val joint = Kmeans.trainProduct(subVecs, "vec_id", 2, 3, 4)
+    val solo0 = Kmeans.train(df, "vec_id", 3, 4)
+    val solo1 = Kmeans.train(
+      df.select(col("vec_id"),
+        transform(col("q"), x => x + 1234567L).as("q")),
+      "vec_id", 3, 4)
+    assert(joint(0) == solo0)
+    assert(joint(1) == solo1)
+  }
+
   test("training does not increase total within-cell distance") {
     val (df, _) = planted()
     def sse(cents: Seq[Seq[Long]]): Double =
