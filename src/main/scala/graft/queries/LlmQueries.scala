@@ -757,6 +757,61 @@ object LlmQueries {
              (SELECT unnest(range(1, len(w))) AS i))
       GROUP BY gram ORDER BY n DESC, gram LIMIT $TopK"""))
 
+  // t8: n-gram language-model quality score (the CCNet-style filter): a
+  // bigram LM is "trained" as plain conditional counts over a reference
+  // slice (doc_id < 100), and every document is scored by the mean
+  // quantized conditional probability of its bigrams — the
+  // perplexity-style signal real pipelines rank corpora by. The
+  // probability is INTEGER-quantized (c2·10⁶ div c1, truncating), so
+  // training, scoring, and the per-doc mean are exact in any engine and
+  // the oracle replays them bit-for-bit — no floating log, no drift.
+  // Scale shape: the trained LM is reference-corpus-sized and BROADCAST
+  // (a production ref LM is bounded by construction), so scoring is a
+  // map-only pass over the corpus bigram stream plus one doc-keyed
+  // aggregate — no corpus-sized shuffle on the join keys.
+  private val qT8 = Q("t8_lm_score",
+    (s, d) => {
+      def bigrams(df: DataFrame) = {
+        val w = Text.words(col("text"))
+        df.select(col("doc_id"), explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      }
+      val docs = T(s, d, "documents")
+      val ref = bigrams(docs.where(col("doc_id") < 100))
+      val c2 = ref.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = ref.select(split(col("bg"), " ").getItem(0).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      bigrams(docs)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .join(broadcast(c2), Seq("bg"), "left")
+        .join(broadcast(c1), Seq("w1"), "left")
+        .withColumn("pq",
+          when(col("c2").isNull || col("c1").isNull, lit(0L))
+            .otherwise(expr("c2 * 1000000 div c1")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("pq").as("spq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("spq div n_bigrams").as("lm_q"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             (SELECT unnest(range(1, len(w))) AS i)),
+      c2 AS (SELECT bg, count(*) AS c2 FROM bg WHERE doc_id < 100
+        GROUP BY 1),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg WHERE doc_id < 100
+        GROUP BY 1),
+      sc AS (
+        SELECT b.doc_id,
+          CASE WHEN c2.c2 IS NULL OR c1.c1 IS NULL THEN 0
+               ELSE (c2.c2 * 1000000) // c1.c1 END AS pq
+        FROM bg b LEFT JOIN c2 USING (bg) LEFT JOIN c1 USING (w1))
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(pq) // count(*) AS BIGINT) AS lm_q
+      FROM sc GROUP BY 1 ORDER BY doc_id"""))
+
   // ------------------------------------------------------ similarity search
 
   /** Fixture embedding dimensionality (embeddings.parquet, 64 floats). */
@@ -1538,7 +1593,7 @@ object LlmQueries {
 
   val all: Seq[Q] =
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9,
-      qT1, qT2, qT3, qT4, qT5, qT6, qT7,
+      qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9,
       qM1, qM2, qC1)
 }
