@@ -266,5 +266,32 @@ object CoverageQueries {
       FROM pj JOIN cms USING (j, bucket)
       GROUP BY word, n_exact ORDER BY word"""))
 
-  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12, qA13)
+  // A14: equi-depth histogram / quantile binning (the feature-
+  // bucketization pass of an ML pipeline): exact deciles per group via
+  // ntile over a deterministic total order (value, event_id), rolled up
+  // to per-bucket count and bounds. Same honest funnel as c8's exact
+  // rank cut: few groups ⇒ one reducer per group in the exact form; the
+  // 100 TB path replaces the exact ntile with a12's sketch quantiles as
+  // bucket edges plus a map-only width assignment.
+  private val qA14 = Q("a14_ntile_histogram",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value", "event_id")
+      T(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"),
+          max("value").as("hi"))
+        .orderBy("event_type", "decile")
+    },
+    Some("""SELECT event_type, decile, count(*) AS n,
+        min(value) AS lo, max(value) AS hi
+      FROM (SELECT event_type, value,
+          ntile(10) OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS decile
+        FROM events)
+      GROUP BY 1, 2 ORDER BY event_type, decile"""))
+
+  val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12, qA13, qA14)
 }
