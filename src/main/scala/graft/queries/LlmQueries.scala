@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
 import graft.ops.{Relational, Similarity, Text}
+import graft.sources.Materialize
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
@@ -71,29 +72,49 @@ object LlmQueries {
       val (a, b) = Text.minhashAffine(x)
       s"min(((h % ${Text.MinhashMod}) * $a + $b) % ${Text.MinhashMod})"
     }.mkString(", ")
-  /** d2's verified near-dup pair relation (i, j, jac ≥ 0.95), shared by
-    * the pair query itself and d6's cluster construction.
+  /** Hashed unigram shingles (doc_id, h) — the one pass that reads the
+    * corpus text; strings never leave the projection. Cached: the set
+    * and band table builds below both consume it, and Spark's cache
+    * manager matches the identical plan across calls.
     */
-  private def d2Pairs(s: SparkSession, d: String): DataFrame = {
-      val docs = T(s, d, "documents")
-      // Hash each shingle to its 60-bit value ONCE and cache only
-      // (doc_id, h) longs — strings never shuffle. On a cluster this
-      // would be a checkpoint/cached intermediate of the dedup job.
-      val sh = Text.explodeShingles(docs, "doc_id", "text", 1)
-        .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
-        .cache()
-      // sig is consumed twice (both sides of the band self-join)
-      val sig = Text.minhashSignature(sh, "doc_id", 12).cache()
-      val bands = Text.bandKeys(sig, "doc_id", 2, 6)
-      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
-      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("j"))
-      // One row per doc carrying its sorted hash set — feeds both the
-      // size prefilter (sz) and both verify sides. Sorted only for a
-      // canonical representation; intersection is order-independent.
-      val sets = sh.groupBy("doc_id")
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    Text.explodeShingles(T(s, d, "documents"), "doc_id", "text", 1)
+      .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
+      .cache()
+
+  /** Persisted per-doc shingle-hash sets (doc_id, hs sorted, sz) — the
+    * signature table a production near-dup pass maintains in the lake.
+    * Sorted only for a canonical representation; intersection is
+    * order-independent.
+    */
+  private def dedupSets(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "dedup_sets") {
+      shingleHashes(s, d).groupBy("doc_id")
         .agg(array_sort(collect_list(col("h"))).as("hs"))
         .withColumn("sz", size(col("hs")))
-        .cache()
+    }
+
+  /** Persisted banded minhash keys (band, bkey, doc_id) — the LSH index
+    * table d2 buckets by and d8 probes incrementally.
+    */
+  private def dedupBands(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "dedup_bands") {
+      Text.bandKeys(
+        Text.minhashSignature(shingleHashes(s, d), "doc_id", 12),
+        "doc_id", 2, 6)
+    }
+
+  /** d2's verified near-dup pair relation (i, j, jac ≥ 0.95), persisted
+    * once and consumed by the pair query itself and d6's cluster
+    * construction — d6's plan is components-over-a-table-scan, never a
+    * re-run of the minhash pipeline.
+    */
+  private def d2Pairs(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "dedup_pairs") {
+      val bands = dedupBands(s, d)
+      val sets = dedupSets(s, d)
+      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
+      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("j"))
       // Size-ratio prefilter: jac <= min(|A|,|B|)/max(|A|,|B|), so pairs
       // whose sizes differ by more than the threshold can never verify.
       // Margin 0.949999 (not 0.95) keeps pairs whose exact jac rounds up
@@ -375,28 +396,22 @@ object LlmQueries {
   // WITHOUT re-pairing the corpus against itself. Only the delta's band
   // keys enter the candidate join's probe side, so the work per batch is
   // O(|delta| · bucket width), not O(|corpus|²) — re-running d2 over the
-  // whole lake per batch is exactly what this avoids. In production the
-  // corpus side of the join is the persisted signature/band table the
-  // last batch left behind (here derived in-query from the same fixture);
-  // the watermark is a one-value driver scalar (ingest metadata, like
-  // a3b's panel keys). Verdicts: dup_of_corpus (matches the lake),
-  // dup_of_delta (matches an earlier doc of its own batch), new.
+  // whole lake per batch is exactly what this avoids. The corpus side of
+  // the join IS the persisted signature/band table ([[dedupBands]] /
+  // [[dedupSets]]) — the plan probes a parquet scan, exactly the
+  // production shape; the watermark is a one-value driver scalar (ingest
+  // metadata, like a3b's panel keys). Verdicts: dup_of_corpus (matches
+  // the lake), dup_of_delta (matches an earlier doc of its own batch),
+  // new.
   private val qD8 = Q("d8_incremental_dedup",
     (s, d) => {
       val docs = T(s, d, "documents")
       val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
-      val sh = Text.explodeShingles(docs, "doc_id", "text", 1)
-        .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
-        .cache()
-      val sig = Text.minhashSignature(sh, "doc_id", 12)
-      val bands = Text.bandKeys(sig, "doc_id", 2, 6)
+      val bands = dedupBands(s, d)
       val a = bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
       val b = bands.where(col("doc_id") >= th)
         .select(col("band"), col("bkey"), col("doc_id").as("j"))
-      val sets = sh.groupBy("doc_id")
-        .agg(array_sort(collect_list(col("h"))).as("hs"))
-        .withColumn("sz", size(col("hs")))
-        .cache()
+      val sets = dedupSets(s, d)
       // same size-ratio prefilter + hash-set verify as d2 (provably
       // output-neutral, so the oracle skips the prefilter)
       val cand = a
@@ -887,6 +902,24 @@ object LlmQueries {
     Similarity.topK(cos, 3)
   }
 
+  /** Persisted exact top-3 baseline (qid, tid, rank, cosine) — computed
+    * once per fixture and read back by e1 itself and every recall grade
+    * (e3/e5/e7/e9). Each grading query's plan joins a parquet scan
+    * instead of re-running the brute-force baseline — the production
+    * shape of a ground-truth relation (IEEE doubles round-trip parquet
+    * exactly, so ranking is unchanged).
+    */
+  private def e1TopT(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "e1_top3")(e1Top(embQ(s, d)))
+
+  /** Persisted e2 LSH top-3 (same layout), read by e2 and e3. */
+  private def e2TopT(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "e2_top3")(e2Top(s, d, embQ(s, d)))
+
+  /** Persisted e4 IVF top-3 (same layout), read by e4 and e5. */
+  private def e4TopT(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "e4_top3")(e4Top(embQ(s, d)))
+
   /** e1's ranked CTE chain (expects x/n in scope): defines `ranked1`. */
   private val e1SqlCtes =
     """d1 AS (
@@ -909,7 +942,7 @@ object LlmQueries {
   // sums keep the result engine-exact (see Similarity's determinism
   // contract).
   private val qE1 = Q("e1_cosine_topk",
-    (s, d) => e1Top(embQ(s, d))
+    (s, d) => e1TopT(s, d)
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .transform(Q.sortedSmall(_, "qid", "rank")),
@@ -966,7 +999,7 @@ object LlmQueries {
   // corpus size (bucket population ≈ constant 64), then exact cosine
   // re-scoring. The oracle regenerates the identical md5-seeded planes.
   private val qE2 = Q("e2_ann_lsh",
-    (s, d) => e2Top(s, d, embQ(s, d))
+    (s, d) => e2TopT(s, d)
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .transform(Q.sortedSmall(_, "qid", "rank")),
@@ -984,9 +1017,8 @@ object LlmQueries {
   // near-duplicates sits at far smaller angles and needs fewer bands.
   private val qE3 = Q("e3_ann_recall",
     (s, d) => {
-      val q = embQ(s, d)
-      val exact = e1Top(q).select(col("qid"), col("tid"))
-      val approx = e2Top(s, d, q).select(col("qid"), col("tid"))
+      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
+      val approx = e2TopT(s, d).select(col("qid"), col("tid"))
         .withColumn("hit", lit(1))
       exact.join(approx, Seq("qid", "tid"), "left")
         .groupBy("qid")
@@ -1095,7 +1127,7 @@ object LlmQueries {
   // search + exact re-scoring. The second ANN family next to e2's LSH;
   // e5 grades its recall the way e3 grades e2's.
   private val qE4 = Q("e4_ivf_ann",
-    (s, d) => e4Top(embQ(s, d))
+    (s, d) => e4TopT(s, d)
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .transform(Q.sortedSmall(_, "qid", "rank")),
@@ -1107,9 +1139,8 @@ object LlmQueries {
   // e5: IVF recall grade vs e1's exact top-3 (same construction as e3).
   private val qE5 = Q("e5_ivf_recall",
     (s, d) => {
-      val q = embQ(s, d)
-      val exact = e1Top(q).select(col("qid"), col("tid"))
-      val approx = e4Top(q).select(col("qid"), col("tid"))
+      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
+      val approx = e4TopT(s, d).select(col("qid"), col("tid"))
         .withColumn("hit", lit(1))
       exact.join(approx, Seq("qid", "tid"), "left")
         .groupBy("qid")
@@ -1292,10 +1323,19 @@ object LlmQueries {
   // the graded surface is the final cell assignment plus cell sizes.
   private val KmC = 16
   private val KmIters = 3
+
+  /** Trained coarse-quantizer centroids, memoized per fixture — e6 and
+    * e7 share one training run (the codebook is C·dims longs of
+    * dimension metadata; production persists it beside the index).
+    */
+  private def kmCents(s: SparkSession, d: String): Seq[Seq[Long]] =
+    Materialize.value(d, "km_cents")(
+      graft.ops.Kmeans.train(embQ(s, d), "vec_id", KmC, KmIters))
+
   private val qE6 = Q("e6_kmeans_cells",
     (s, d) => {
       val q = embQ(s, d)
-      val cents = graft.ops.Kmeans.train(q, "vec_id", KmC, KmIters)
+      val cents = kmCents(s, d)
       graft.ops.Kmeans.assign(q, cents)
         .select(col("vec_id"), col("cell"))
         .withColumn("cell_size",
@@ -1324,7 +1364,7 @@ object LlmQueries {
   private val qE7 = Q("e7_trained_ivf_recall",
     (s, d) => {
       val q = embQ(s, d)
-      val cents = graft.ops.Kmeans.train(q, "vec_id", KmC, KmIters)
+      val cents = kmCents(s, d)
       val assigned = graft.ops.Kmeans.assign(q, cents)
         .select(col("vec_id").as("tid"), col("cell"))
       val probes = graft.ops.Kmeans
@@ -1335,7 +1375,7 @@ object LlmQueries {
         .select("qid", "tid")
       val approx = Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
         .select(col("qid"), col("tid")).withColumn("hit", lit(1))
-      val exact = e1Top(q).select(col("qid"), col("tid"))
+      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
       exact.join(approx, Seq("qid", "tid"), "left")
         .groupBy("qid")
         .agg(count(lit(1)).as("n_exact"),
@@ -1416,6 +1456,32 @@ object LlmQueries {
     graft.ops.Kmeans.trainProduct(subVecs, "vec_id", PqM, PqK, PqIters)
   }
 
+  /** Trained PQ codebooks, memoized per fixture — e8's encoding and
+    * e9's ADC search share one joint training run.
+    */
+  private def pqCentsShared(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] =
+    Materialize.value(d, "pq_cents")(pqCents(embQ(s, d)))
+
+  /** Persisted PQ code table (vec_id, sub, code, qerr) — the compressed
+    * representation the corpus lives in; e8 grades it and e9 searches
+    * it as a parquet scan, never re-encoding.
+    */
+  private def pqCodesT(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "pq_codes")(
+      pqCodes(embQ(s, d), pqCentsShared(s, d)))
+
+  /** Persisted codebook relation (sub, code, cq, csq) — PqM·PqK rows of
+    * dimension metadata, broadcast into e9's LUT build.
+    */
+  private def pqCentroidsT(s: SparkSession, d: String): DataFrame =
+    Materialize.table(s, d, "pq_centroids") {
+      val cents = pqCentsShared(s, d)
+      val centRows = for (m <- 0 until PqM; c <- cents(m).indices)
+        yield (m, c, cents(m)(c), cents(m)(c).map(x => x * x).sum)
+      import s.implicits._
+      centRows.toDF("sub", "code", "cq", "csq")
+    }
+
   /** PQ encoding: one (vec_id, sub, code, qerr) row per subspace —
     * map-only assignment against broadcast centroid literals, with the
     * exact integer quantization error the codebook is judged by.
@@ -1478,10 +1544,9 @@ object LlmQueries {
   // gate. Training replays bit-for-bit in the oracle (e6's guarantee,
   // once per subspace).
   private val qE8 = Q("e8_pq_codes",
-    (s, d) => {
-      val q = embQ(s, d)
-      pqCodes(q, pqCents(q)).transform(Q.sortedSmall(_, "vec_id", "sub"))
-    },
+    (s, d) => pqCodesT(s, d)
+      .select("vec_id", "sub", "code", "qerr")
+      .transform(Q.sortedSmall(_, "vec_id", "sub")),
     Some(s"""WITH $embSqlPrefix,
       ${pqSqlCtes()}
       SELECT vec_id, sub, code, qerr FROM pqcodes ORDER BY vec_id, sub"""))
@@ -1497,14 +1562,10 @@ object LlmQueries {
   private val qE9 = Q("e9_pq_recall",
     (s, d) => {
       val q = embQ(s, d)
-      val cents = pqCents(q)
-      val codes = pqCodes(q, cents).select("vec_id", "sub", "code")
+      val codes = pqCodesT(s, d).select("vec_id", "sub", "code")
       // codebook relation: PqM·PqK rows of dimension metadata (centroid
       // array + exact reconstructed squared norm), broadcast
-      val centRows = for (m <- 0 until PqM; c <- cents(m).indices)
-        yield (m, c, cents(m)(c), cents(m)(c).map(x => x * x).sum)
-      import s.implicits._
-      val centDf = centRows.toDF("sub", "code", "cq", "csq")
+      val centDf = pqCentroidsT(s, d)
       val probes = (0 until PqM).map { m =>
         pqSubVec(q.where(col("vec_id") < 5), m)
           .select(col("vec_id").as("qid"), lit(m).as("sub"),
@@ -1529,7 +1590,7 @@ object LlmQueries {
         .select("qid", "tid")
       val approx = Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
         .select(col("qid"), col("tid")).withColumn("hit", lit(1))
-      val exact = e1Top(q).select(col("qid"), col("tid"))
+      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
       exact.join(approx, Seq("qid", "tid"), "left")
         .groupBy("qid")
         .agg(count(lit(1)).as("n_exact"),
