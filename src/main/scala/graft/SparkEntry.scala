@@ -594,7 +594,10 @@ object SparkEntry {
         .withColumn("valid_to", lead(col("ems"), 1).over(wSpell))
         .select(col("user_id"), col("event_type"),
           col("ems").as("valid_from"), col("valid_to"))
-        .orderBy("user_id", "valid_from")
+        // event_type tie-break: two same-millisecond change events give
+        // two spells sharing valid_from — without it the row order (and
+        // the driver's hash compare) is engine-underdetermined
+        .orderBy("user_id", "valid_from", "event_type")
     },
     Some("""WITH e AS (
         SELECT user_id, event_id, epoch_ms(ts) AS ems, event_type
@@ -609,7 +612,7 @@ object SparkEntry {
       SELECT user_id, event_type, ems AS valid_from,
         lead(ems) OVER (PARTITION BY user_id ORDER BY ems, event_id)
           AS valid_to
-      FROM sp ORDER BY user_id, valid_from"""))
+      FROM sp ORDER BY user_id, valid_from, event_type"""))
 
   // W7: rolling window-frame statistics (ROWS BETWEEN 19 PRECEDING AND
   // CURRENT ROW per entity) — the rolling-mean/min/max pass of a quant
@@ -790,15 +793,16 @@ object SparkEntry {
         .select(array(users.map(u =>
           coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
           .as("vals"))
-      // coalesce(1) before the agg: the panel is only buckets-many rows
-      // (hundreds), but the aggregator's partial buffer is O(k²) doubles
-      // — at 32 post-shuffle partitions the plan serializes and merges 32
-      // multi-MB buffers to combine ~9 rows each (measured as most of
-      // this query's cost at sf0.1). One partition = one buffer; the
-      // update loop over a few hundred rows is far cheaper than one
-      // buffer merge. With millions of buckets, raise the count again —
-      // merge cost scales with partitions, not rows.
-      panel.coalesce(1)
+      // Shrink partitions before the agg: the panel is only buckets-many
+      // rows (hundreds), but the aggregator's partial buffer is O(k²)
+      // doubles — at 32 post-shuffle partitions the plan serializes and
+      // merges 32 multi-MB buffers to combine ~9 rows each (measured as
+      // most of this query's cost at sf0.1). The count is derived from
+      // the bucket count (≥256 panel rows per buffer), so at fixture
+      // scale it is 1 and with millions of buckets it grows with the
+      // input — merge cost scales with partitions, not rows.
+      val nBuckets = (jan3 - jan1) / 600
+      panel.coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
         .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
           .as("cells"))
         .select(explode(col("cells")).as("c"))

@@ -84,6 +84,13 @@ object Components {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
+    // label-relation partitioning for the loop below: the relation is
+    // node-count-sized, and tiny partitions cost more in per-task +
+    // checkpoint overhead than they buy, so target ~100k labels per
+    // partition — 1 at fixture scale, growing with the node count on a
+    // cluster (the knob the old hard-coded coalesce(1) lacked)
+    val labelParts =
+      Relational.boundedPartitions(labels.count(), 100000L)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -99,12 +106,8 @@ object Components {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
       // checkpoint BEFORE the pointer jump: the jump self-joins the
       // round's label relation, and without truncation both sides would
-      // re-execute the neighbor join + aggregate. coalesce(1): the label
-      // relation is node-count-sized (thousands), and 32 near-empty
-      // partitions cost more in per-task overhead than one full one —
-      // on a cluster with billions of nodes, drop the coalesce (the
-      // joins and the checkpoint parallelize per partition).
-      val base = next.coalesce(1).localCheckpoint()
+      // re-execute the neighbor join + aggregate
+      val base = next.coalesce(labelParts).localCheckpoint()
       // pointer jump: follow the fresh label to ITS fresh label — path
       // lengths halve per round, so convergence is O(log diameter)
       // instead of O(diameter). Labels only ever hold node ids and only
@@ -114,9 +117,9 @@ object Components {
           base.select(col("id").as("pid"), col("nl").as("pl")),
           col("nl") === col("pid"))
         .select(col("id"), col("lbl"), col("pl").as("nl"))
-      // second jump (path quartering): j1 is a pair of single-partition
-      // joins over the checkpointed base, so re-deriving it inside the
-      // join is cheap and saves a full neighbor round
+      // second jump (path quartering): j1 is a pair of small joins over
+      // the checkpointed base, so re-deriving it inside the join is
+      // cheap and saves a full neighbor round
       val jumped = j1.join(
           j1.select(col("id").as("pid2"), col("nl").as("pl2")),
           col("nl") === col("pid2"))

@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Partition count for a dimension-sized relation that pays a fixed
+    * per-partition cost (an O(k²) aggregation buffer, a per-partition
+    * checkpoint file): enough partitions that each holds ≥
+    * `targetRowsPerPartition` rows, never fewer than one. The knob that
+    * replaces a hard-coded coalesce(1) — at fixture scale it IS 1, at
+    * 100× it grows with the input instead of serializing it.
+    */
+  def boundedPartitions(rows: Long, targetRowsPerPartition: Long): Int = {
+    require(targetRowsPerPartition > 0)
+    math.max(1L, math.min(4096L, rows / targetRowsPerPartition)).toInt
+  }
+
   /** Inner equi + interval (theta) join: fact rows where `factDate` falls
     * inside the dimension's validity window `[fromCol, toCol]`.
     *

@@ -1274,7 +1274,8 @@ object LlmQueries {
   // each sampled frame's md5, so frame boundaries, stride arithmetic,
   // and payload slicing are all byte-exact. The oracle replays the same
   // slicing with VARCHAR substr — byte-exact because the fixture corpus
-  // is pure ASCII (asserted: strlen = length for every document).
+  // is pure ASCII (asserted by MultimodalSpec's octet_length(text) =
+  // length(text) check over the gate fixture).
   private val qM2 = Q("m2_frame_sample",
     (s, d) => graft.ops.Multimodal.frameSample(s,
         T(s, d, "documents").select(col("doc_id"),

@@ -9,4 +9,36 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.build("graft-test")
+
+  /** Temp dir registered for recursive deletion at JVM exit — specs
+    * write parquet/CSV fixtures without accreting /tmp garbage across
+    * test runs.
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    SparkTestBase.registerCleanup(p)
+    p.toString
+  }
+}
+
+object SparkTestBase {
+  private val cleanup =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanup.forEach { p =>
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: Throwable => () }
+      }))
+    ()
+  }
+
+  private[graft] def registerCleanup(p: java.nio.file.Path): Unit = {
+    hook
+    cleanup.add(p)
+    ()
+  }
 }

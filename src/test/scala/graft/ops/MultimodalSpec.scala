@@ -41,6 +41,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(a(0) != a(1)) // payload-sensitive
   }
 
+  test("documents fixture is pure ASCII (m2's byte=char slicing premise)") {
+    // m2_frame_sample's oracle slices with DuckDB's CHARACTER-based
+    // substring while the engine slices payload BYTES; they agree only
+    // while every document is single-byte text. Assert it on the gate
+    // fixture so a future non-ASCII fixture fails here, not as a silent
+    // oracle hash divergence.
+    val nonAscii = graft.Catalog
+      .load(spark, "/root/testdata/sf0.01", "documents")
+      .where(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L)
+  }
+
   test("frameSample slices fixed frames at the given stride") {
     val frames = Multimodal.frameSample(spark, media, stride = 2)
       .orderBy("doc_id", "frame_idx").collect()

@@ -36,8 +36,7 @@ class FlagshipSpec extends SparkTestBase {
   }
 
   test("run exports one CSV per window and tolerates empty windows") {
-    val out = java.nio.file.Files.createTempDirectory("graft_flag_")
-      .toString
+    val out = scratchDir("graft_flag_")
     val open = graft.SparkEntry.sec("2024-01-02T09:30:00")
     val close = graft.SparkEntry.sec("2024-01-02T16:00:00")
     val res = Flagship.run(spark, "/root/testdata/sf0.001", out,
@@ -58,8 +57,7 @@ class FlagshipSpec extends SparkTestBase {
   }
 
   test("run records failures per window and never throws (§2.11)") {
-    val out = java.nio.file.Files.createTempDirectory("graft_flagf_")
-      .toString
+    val out = scratchDir("graft_flagf_")
     val open = graft.SparkEntry.sec("2024-01-02T09:30:00")
     val close = graft.SparkEntry.sec("2024-01-02T16:00:00")
     // nonexistent fixture dir: every window's read fails; the reference

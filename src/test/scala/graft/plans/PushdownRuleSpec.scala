@@ -26,7 +26,7 @@ class PushdownRuleSpec extends SparkTestBase {
     // must return exactly the rows the unrewritten predicate returns
     val nanos = Seq(-1500L, -1000L, -999L, -1L, 0L, 1L, 999L, 1000L,
       1001L, 1999L, 2000L, 999999L, 1000000L, 1000001L)
-    val dir = Files.createTempDirectory("graft_rule_").toString
+    val dir = scratchDir("graft_rule_")
     import spark.implicits._
     nanos.toDF("ts").write.mode("overwrite").parquet(dir)
     val raw = spark.read

@@ -18,7 +18,7 @@ class RuntimeFilterSpec extends SparkTestBase {
   import spark.implicits._
 
   test("selective dim filter injects a bloom filter on the fact side") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rtf_")
+    val dir = scratchDir("graft_rtf_")
     (0 until 200000).map(i => (i.toLong % 1000, i.toLong))
       .toDF("k", "v").write.parquet(s"$dir/fact")
     (0 until 1000).map(i => (i.toLong, i % 7)).toDF("k", "grp")

@@ -16,7 +16,7 @@ class SpanDedupSpec extends SparkTestBase {
     (0 until n).map(i => s"$tag$i").mkString(" ")
 
   test("span dedup keeps first occurrences and reassembles exactly") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_span_").toString
+    val dir = scratchDir("graft_span_")
     val spanA = mkWords("a", 16) // doc0 span 0
     val spanB = mkWords("b", 16) // doc0 span 1
     val spanC = mkWords("c", 16) // doc2's unique second span

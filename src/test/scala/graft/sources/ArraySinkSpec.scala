@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class ArraySinkSpec extends SparkTestBase {
 
   test("graph features array column round-trips through parquet") {
-    val out = Files.createTempDirectory("graft_s8_").toString
+    val out = scratchDir("graft_s8_")
     val types = Seq("click", "error", "purchase", "signup", "view")
     val ev = graft.Catalog.load(spark, "/root/testdata/sf0.001", "events")
       .where(col("user_id") < 10)

@@ -13,7 +13,7 @@ class BucketingSpec extends SparkTestBase {
   import spark.implicits._
 
   test("bucketed+sorted tables join with zero shuffle exchanges") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_")
+    val dir = scratchDir("graft_bucket_")
     val left = (0 until 1000).map(i => (i.toLong % 50, i.toLong, i * 1.5))
       .toDF("user_id", "event_id", "value")
     val right = (0 until 500).map(i => (i.toLong % 50, s"tag$i"))
@@ -41,7 +41,7 @@ class BucketingSpec extends SparkTestBase {
   }
 
   test("aggregation on the bucket key reuses the bucketing: no exchange") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bucket_")
+    val dir = scratchDir("graft_bucket_")
     val df = (0 until 1000).map(i => (i.toLong % 50, i * 2.0))
       .toDF("user_id", "value")
     try {

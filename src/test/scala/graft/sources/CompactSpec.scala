@@ -8,7 +8,7 @@ class CompactSpec extends SparkTestBase {
   import spark.implicits._
 
   test("compactParquet collapses small files and preserves every row") {
-    val dir = Files.createTempDirectory("graft_compact_").toString
+    val dir = scratchDir("graft_compact_")
     // simulate micro-batch accretion: 12 tiny appends
     (1 to 12).foreach { i =>
       Seq.tabulate(50)(j => (i.toLong * 1000 + j, s"v$i-$j"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 class PartitionPruningSpec extends SparkTestBase {
 
   test("date-partitioned layout prunes to one directory (S3 semantics)") {
-    val out = Files.createTempDirectory("graft_prune_").toString
+    val out = scratchDir("graft_prune_")
     graft.Catalog.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("date").parquet(out)

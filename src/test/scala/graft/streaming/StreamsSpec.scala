@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class StreamsSpec extends SparkTestBase {
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    scratchDir(prefix)
 
   private def stageEvents(): String = {
     val in = tmp("graft_stream_in_")
