@@ -533,6 +533,49 @@ object SparkEntry {
       FROM g LEFT JOIN b ON g.bucket = b.bucket AND g.user_id = b.user_id
       ORDER BY g.user_id, g.bucket"""))
 
+  // W9: the reference's FINEST demonstrated frequency — 250 ms resample
+  // +ffill (notebook cell 15, README.md:12) over a 4-hour session. The
+  // point of the row is scale posture, not new semantics: the 250 ms
+  // grid is 57,600 buckets × keys (~300k filled rows at 5 users) — the
+  // grid DOMINATES the ticks, so a green row proves the distributed
+  // spark.range grid (Time.scala grid()) carries the panel, not the
+  // tick volume; an explode(sequence(...)) grid would funnel all of it
+  // through one task. Same one-shuffle resample shape as w1 at 240×
+  // its grid density.
+  private val qW9 = Q("w9_fine_grid_250ms",
+    (s, d) => {
+      val startMs = (jan2 + 34200L) * 1000L // jan2 09:30
+      val endMs = startMs + 4L * 3600L * 1000L
+      Time.resampleFfillMs(s,
+          T(s, d, "events").where(col("user_id") < 5),
+          "user_id", "ts", "value", startMs, endMs, 250L,
+          davg(col("value")))
+        .select(col("bucket"), col("user_id"), col("value").as("price"))
+        .orderBy("user_id", "bucket")
+    },
+    Some {
+      val startMs = (jan2 + 34200L) * 1000L
+      val endMs = startMs + 4L * 3600L * 1000L
+      s"""WITH b AS (
+        SELECT epoch_ms(ts) - epoch_ms(ts) % 250 AS bucket, user_id,
+          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                / count(value), 6) AS v
+        FROM events
+        WHERE user_id < 5 AND ts >= ${tsSql(jan2 + 34200L)}
+          AND ts < ${tsSql(jan2 + 34200L + 14400L)}
+        GROUP BY 1, 2),
+      g AS (
+        SELECT r.range AS bucket, k.user_id
+        FROM range($startMs, $endMs, 250) r CROSS JOIN
+             (SELECT DISTINCT user_id FROM b) k)
+      SELECT g.bucket, g.user_id,
+        last_value(b.v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+      FROM g LEFT JOIN b ON g.bucket = b.bucket AND g.user_id = b.user_id
+      ORDER BY g.user_id, g.bucket"""
+    })
+
   // W3: epoch-anchored tumbling 4h windows over the month
   private val qW3 = Q("w3_tumbling_4h",
     (s, d) => T(s, d, "events")
@@ -891,7 +934,8 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qA3, qA3b, qA3c, qA3d) ++
+    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9,
+    qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all
 

@@ -96,6 +96,34 @@ object Time {
     df.withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Millisecond-resolution [[resampleFfill]] — the reference's finest
+    * demonstrated frequency is 250 ms (notebook cell 15, README.md:12),
+    * below the epoch-second bucket math above. Identical shape: one
+    * bucket aggregate, a distributed `spark.range` grid in MILLIS (a
+    * session of 250 ms buckets is ~10⁵-10⁶ grid rows — generated one
+    * slice per core, never funneled through one task), one ffill window
+    * per key. Output bucket is epoch millis.
+    */
+  def resampleFfillMs(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                      tsCol: String, valueCol: String,
+                      startMs: Long, endMs: Long, stepMs: Long,
+                      agg: Column): DataFrame = {
+    val ems = unix_millis(col(tsCol))
+    val bucketed = ticks
+      .where(col(tsCol) >= timestamp_millis(lit(startMs)) &&
+             col(tsCol) < timestamp_millis(lit(endMs)))
+      .groupBy((ems - pmod(ems, lit(stepMs))).as("bucket"), col(keyCol))
+      .agg(agg.as(valueCol))
+      .cache()
+    cachedPanels.add(bucketed)
+    val keys = bucketed.select(keyCol).distinct()
+    val g = grid(spark, startMs, endMs, stepMs, keys)
+    val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
+    val filled = ffill(joined, keyCol, "bucket", valueCol).cache()
+    cachedPanels.add(filled)
+    filled
+  }
+
   /** Bucket + mean (the reference's dedup-mean of simultaneous ticks, A1:
     * correlation_matrix_exporter.py:109) then grid-join + ffill — the full
     * `resample(freq).ffill()` equivalent over [startSec, endSec).

@@ -76,10 +76,18 @@ object Flagship {
     * Every window is wrapped in Try: a failing window is recorded and
     * skipped, never failing the run (§2.11 of the survey — the
     * reference's lenient per-window contract).
+    *
+    * `layout` selects the sink: "long" writes the (i, j, rho) pair form
+    * per window; "wide" writes the reference's square matrix CSV — ids
+    * as header and index, unit diagonal ([[Sinks.writeWideMatrixCsv]],
+    * exporter:163,227-235).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           openSec: Long, closeSec: Long, windowSec: Long,
-          freqSec: Long, maxUsers: Int): Seq[WindowResult] = {
+          freqSec: Long, maxUsers: Int,
+          layout: String = "long"): Seq[WindowResult] = {
+    require(layout == "long" || layout == "wide",
+      s"unknown layout '$layout' (want long | wide)")
     val windows = sessionWindows(openSec, closeSec, windowSec)
     // setup failure (missing source, bad schema) degrades to "every
     // window failed", preserving the never-throw contract
@@ -111,7 +119,10 @@ object Flagship {
             .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("rho"))
             .orderBy("i", "j")
           val path = s"$outDir/corr_${ws}_$we"
-          val n = Sinks.writeWindowCsv(m, path)
+          val n =
+            if (layout == "wide")
+              Sinks.writeWideMatrixCsv(m, "i", "j", "rho", path).size.toLong
+            else Sinks.writeWindowCsv(m, path)
           WindowResult(ws, we, ok = true, n, path, "")
         } match {
           case Success(r) => r

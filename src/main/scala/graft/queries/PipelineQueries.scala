@@ -123,6 +123,47 @@ object PipelineQueries {
         FROM events GROUP BY 1)
       ORDER BY day"""))
 
+  // S6 wide layout, graded end to end: the session correlation matrix
+  // goes out through the reference's ACTUAL file layout — a square CSV
+  // with ids as header row and index column and a unit diagonal
+  // (pandas `data.corr().to_csv(fname)`, exporter:163,227-235) — is
+  // read back from the CSV text, unpivoted to the long pair form, and
+  // hash-compared against the oracle computing the same correlations
+  // straight from the ticks. A green row proves the square layout
+  // loses nothing: header/index alignment, cell order, and the 6-dp
+  // double text round-trip are all on the graded path.
+  private val qS6w = Q("s6_wide_corr_roundtrip",
+    (s, d) => {
+      val filled = SparkEntry.resampled(s, d, 8, open930, close1600, 300)
+      val a = filled.select(col("bucket"), col("user_id").as("i"),
+        col("value").as("va"))
+      val b = filled.select(col("bucket"), col("user_id").as("j"),
+        col("value").as("vb"))
+      val pairs = a.join(b, Seq("bucket")).where(col("i") < col("j"))
+        .groupBy("i", "j")
+        .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6)
+          .as("rho"))
+      val out = graft.sources.Materialize.path(d, "s6_wide_matrix")
+      Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
+      val raw0 = s.read.option("header", "true").csv(out)
+      // first column is the pandas-style empty-named index — rename
+      // positionally before touching it
+      val raw = raw0.toDF(("row_id" +: raw0.columns.tail.toSeq): _*)
+      raw.unpivot(Array(col("row_id")), raw.columns.tail.map(col),
+          "j", "rho")
+        .select(col("row_id").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          col("rho").cast("double").as("rho"))
+        .where(col("i") < col("j"))
+        .orderBy("i", "j")
+    },
+    Some(SparkEntry.ffillSqlCte(8, open930, close1600, 300) +
+      """ SELECT a.user_id AS i, b.user_id AS j,
+          round(corr(a.price, b.price), 6) AS rho
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2 ORDER BY i, j"""))
+
   // S9/JSONL: gzip JSONL round-trip — the interchange format LLM corpora
   // ship in (one JSON doc per line). A slice of `documents` goes out
   // through the JSONL sink and back through the schema'd read (no
@@ -282,6 +323,171 @@ object PipelineQueries {
         FROM agg ORDER BY vid"""
     })
 
+  // S8/E4 composed: the reference's per-day bundled graph sample —
+  // pyg_graphs.py:197-206 saves ONE Data(x, edge_index, edge_attr, y)
+  // object per period; this emits the same bundle as one relational row
+  // per 7-day window: vertex features x and labels y in vid order, the
+  // directed edge list (src/dst/weight) in (src, dst) order, all
+  // serialized to fixed %.6f CSV so the bundle is hash-graded
+  // end to end. One resample shuffle feeds every window's edges (the
+  // window is a derived column, e1_flagship's trick); features/labels
+  // are one aggregate over the raw ticks; the per-window ordered
+  // serialization groups by window — state never exceeds one bundle
+  // (vertices + edges of one sample), the same bound as the
+  // reference's in-memory Data object.
+  private val qG3 = Q("g3_graph_samples",
+    (s, d) => {
+      val jan1 = SparkEntry.jan1
+      val jan15 = SparkEntry.sec("2024-01-15T00:00:00")
+      val winSec = 7L * 86400L
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val filled = SparkEntry.resampled(s, d, 10, jan1, jan15, 300)
+      val v = graft.ops.Relational.globalRowIds(
+        filled.select("user_id").distinct(), "user_id", "vid")
+      // per-window correlation edges over the shared panel (g1's
+      // construction with the window as a derived column)
+      val a = filled.select(col("bucket"), col("user_id").as("ui"),
+        col("value").as("va"))
+      val b = filled.select(col("bucket"), col("user_id").as("uj"),
+        col("value").as("vb"))
+      val pairs = a.join(b, Seq("bucket")).where(col("ui") < col("uj"))
+        .withColumn("win", expr(s"(bucket - $jan1) div $winSec"))
+        .groupBy("win", "ui", "uj")
+        .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6)
+          .as("w"))
+        .where(col("w") > 0)
+      val e = graft.ops.Time.registerCached(pairs
+        .join(broadcast(v.select(col("user_id").as("ui"),
+          col("vid").as("src"))), Seq("ui"))
+        .join(broadcast(v.select(col("user_id").as("uj"),
+          col("vid").as("dst"))), Seq("uj"))
+        .cache())
+      val dir = e.select(col("win"), col("src"), col("dst"), col("w"))
+        .unionByName(e.select(col("win"), col("dst").as("src"),
+          col("src").as("dst"), col("w")))
+      def eSorted = array_sort(collect_list(struct(col("src"), col("dst"),
+        col("w"))))
+      val edges = dir.groupBy("win").agg(
+        count(lit(1)).as("n_edges"),
+        array_join(transform(eSorted,
+          x => x.getField("src").cast("string")), ",").as("edge_src"),
+        array_join(transform(eSorted,
+          x => x.getField("dst").cast("string")), ",").as("edge_dst"),
+        array_join(transform(eSorted,
+          x => format_string("%.6f", x.getField("w"))), ",").as("edge_w"))
+      // per-window vertex features (mean value per event type) + the
+      // half-vs-half direction label, over the FULL window × vid frame
+      // so a vertex with no events in a window still occupies its slot
+      val ev = T(s, d, "events")
+        .where(col("user_id") < 10 &&
+          col("ts") >= SparkEntry.tsLit(jan1) &&
+          col("ts") < SparkEntry.tsLit(jan15))
+        .withColumn("u", unix_timestamp(col("ts")))
+        .withColumn("win", expr(s"(u - $jan1) div $winSec"))
+        .withColumn("mid", expr(s"$jan1 + win * $winSec + ${winSec / 2}"))
+      val byType = ev.groupBy("win", "user_id")
+        .pivot("event_type", types).agg(davg(col("value")))
+      val halves = ev.groupBy("win", "user_id").agg(
+        davg(when(col("u") < col("mid"), col("value"))).as("h1"),
+        davg(when(col("u") >= col("mid"), col("value"))).as("h2"))
+      val frame = s.range(0, (jan15 - jan1) / winSec)
+        .select(col("id").as("win")).crossJoin(broadcast(v))
+      val feat = frame
+        .join(byType.join(halves, Seq("win", "user_id")),
+          Seq("win", "user_id"), "left")
+        .select(col("win"), col("vid"),
+          array_join(transform(
+            array(types.map(t => coalesce(col(t), lit(0.0))): _*),
+            x => format_string("%.6f", x)), ",").as("fcsv"),
+          (coalesce(col("h2"), lit(0.0)) > coalesce(col("h1"), lit(0.0)))
+            .cast("int").as("y"))
+      def vSorted = array_sort(collect_list(struct(col("vid"),
+        col("fcsv"), col("y"))))
+      val xs = feat.groupBy("win").agg(
+        count(lit(1)).as("n_vertices"),
+        array_join(transform(vSorted, x => x.getField("fcsv")), ";")
+          .as("x_csv"),
+        array_join(transform(vSorted,
+          x => x.getField("y").cast("string")), ",").as("y_csv"))
+      xs.join(edges, Seq("win"))
+        .select("win", "n_vertices", "x_csv", "y_csv", "n_edges",
+          "edge_src", "edge_dst", "edge_w")
+        .orderBy("win")
+    },
+    Some {
+      val jan1 = SparkEntry.jan1
+      val jan15 = SparkEntry.sec("2024-01-15T00:00:00")
+      val winSec = 7L * 86400L
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val f = (t: String) =>
+        s"""round(CAST(sum(CASE WHEN event_type = '$t'
+             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+           / count(CASE WHEN event_type = '$t' THEN value END), 6)"""
+      val half = (cmp: String) =>
+        s"""round(CAST(sum(CASE WHEN u $cmp mid
+             THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+           / count(CASE WHEN u $cmp mid THEN value END), 6)"""
+      SparkEntry.ffillSqlCte(10, jan1, jan15, 300) + s""",
+        v AS (
+          SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS vid
+          FROM (SELECT DISTINCT user_id FROM filled)),
+        pairs AS (
+          SELECT (a.bucket - $jan1)//$winSec AS win,
+            a.user_id AS ui, b.user_id AS uj,
+            round(corr(a.price, b.price), 6) AS w
+          FROM filled a JOIN filled b
+            ON a.bucket = b.bucket AND a.user_id < b.user_id
+          GROUP BY 1, 2, 3 HAVING round(corr(a.price, b.price), 6) > 0),
+        dir AS (
+          SELECT win, vs.vid AS src, vd.vid AS dst, w
+          FROM pairs JOIN v vs ON vs.user_id = ui
+                     JOIN v vd ON vd.user_id = uj
+          UNION ALL
+          SELECT win, vd.vid, vs.vid, w
+          FROM pairs JOIN v vs ON vs.user_id = ui
+                     JOIN v vd ON vd.user_id = uj),
+        edges AS (
+          SELECT win, count(*) AS n_edges,
+            string_agg(CAST(src AS VARCHAR), ',' ORDER BY src, dst)
+              AS edge_src,
+            string_agg(CAST(dst AS VARCHAR), ',' ORDER BY src, dst)
+              AS edge_dst,
+            string_agg(printf('%.6f', w), ',' ORDER BY src, dst)
+              AS edge_w
+          FROM dir GROUP BY win),
+        ev AS (
+          SELECT user_id, event_type, value, ${SparkEntry.EP} AS u,
+            (${SparkEntry.EP} - $jan1)//$winSec AS win,
+            $jan1 + ((${SparkEntry.EP} - $jan1)//$winSec) * $winSec
+              + ${winSec / 2} AS mid
+          FROM events
+          WHERE user_id < 10 AND ts >= ${SparkEntry.tsSql(jan1)}
+            AND ts < ${SparkEntry.tsSql(jan15)}),
+        agg AS (
+          SELECT win, user_id,
+            ${types.map(t => f(t) + s" AS f_$t").mkString(",\n            ")},
+            ${half("<")} AS h1, ${half(">=")} AS h2
+          FROM ev GROUP BY win, user_id),
+        wins AS (SELECT unnest(range(${(jan15 - jan1) / winSec})) AS win),
+        feat AS (
+          SELECT vt.win, vt.vid,
+            concat_ws(',', ${types.map(t =>
+              s"printf('%.6f', coalesce(f_$t, 0.0))").mkString(", ")})
+              AS fcsv,
+            CAST(coalesce(h2, 0.0) > coalesce(h1, 0.0) AS INT) AS y
+          FROM (SELECT w.win, v.user_id, v.vid
+                FROM wins w CROSS JOIN v) vt
+          LEFT JOIN agg ON agg.win = vt.win AND agg.user_id = vt.user_id),
+        xs AS (
+          SELECT win, count(*) AS n_vertices,
+            string_agg(fcsv, ';' ORDER BY vid) AS x_csv,
+            string_agg(CAST(y AS VARCHAR), ',' ORDER BY vid) AS y_csv
+          FROM feat GROUP BY win)
+        SELECT win, n_vertices, x_csv, y_csv, n_edges,
+          edge_src, edge_dst, edge_w
+        FROM xs JOIN edges USING (win) ORDER BY win"""
+    })
+
   // W4 with the reference's true business-day semantics: weekdays only,
   // indexed densely (so a Mon..Fri week is 5 consecutive indices
   // regardless of the weekend gap), chunked 5 business days at a time,
@@ -323,5 +529,6 @@ object PipelineQueries {
       WHERE bidx//5 < t.nc
       GROUP BY 1 ORDER BY chunk"""))
 
-  val all: Seq[Q] = Seq(qE1F, qW3b, qS7, qS9, qS11, qG1, qG2, qW4b)
+  val all: Seq[Q] =
+    Seq(qE1F, qW3b, qS7, qS6w, qS9, qS11, qG1, qG2, qG3, qW4b)
 }

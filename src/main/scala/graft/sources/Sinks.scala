@@ -110,4 +110,45 @@ object Sinks {
       n
     } finally cached.unpersist()
   }
+
+  /** S6, wide layout: the reference's actual square correlation-matrix
+    * CSV — series ids as BOTH the header row and the index column, unit
+    * diagonal, one value cell per ordered pair (pandas
+    * `data.corr().to_csv(fname)`: correlation_matrix_exporter.py:163,
+    * 227-235; README.md:43 shows the matrix form). Input is the long
+    * upper-triangle form (iCol < jCol, rhoCol); the full square is the
+    * mirrored union plus the diagonal, pivoted over the sorted id set.
+    * The id collect and the k×k pivot are dimension-sized (k series, a
+    * few hundred — same bound as the a3c panel); like
+    * [[writeWindowCsv]], single-file output is the downstream-pandas
+    * contract, not a bulk-data pattern. Returns the sorted ids (the
+    * column order, for read-back).
+    */
+  def writeWideMatrixCsv(pairs: DataFrame, iCol: String, jCol: String,
+                         rhoCol: String, path: String): Seq[Long] = {
+    val session = pairs.sparkSession
+    import session.implicits._
+    val p = pairs.select(col(iCol).cast("long").as("i"),
+        col(jCol).cast("long").as("j"),
+        col(rhoCol).cast("double").as("rho"))
+      .cache()
+    try {
+      val ids = p.select(explode(array(col("i"), col("j"))).as("id"))
+        .distinct().orderBy("id").as[Long].collect().toSeq
+      val diag = ids.toDF("i")
+        .select(col("i"), col("i").as("j"), lit(1.0).as("rho"))
+      val full = p
+        .unionByName(p.select(col("j").as("i"), col("i").as("j"),
+          col("rho")))
+        .unionByName(diag)
+      // pandas to_csv leaves the index header cell empty — mirror it
+      // (emptyValue="" writes the bare empty cell, not a quoted "")
+      full.groupBy("i").pivot("j", ids).agg(first(col("rho")))
+        .orderBy("i")
+        .withColumnRenamed("i", "")
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("emptyValue", "").csv(path)
+      ids
+    } finally { p.unpersist(); () }
+  }
 }

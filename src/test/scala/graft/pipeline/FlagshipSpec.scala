@@ -56,6 +56,32 @@ class FlagshipSpec extends SparkTestBase {
     assert(res.head.rows > 0)
   }
 
+  test("wide layout writes the reference's square matrix CSV") {
+    val out = scratchDir("graft_flagw_")
+    val open = graft.SparkEntry.sec("2024-01-02T09:30:00")
+    val close = graft.SparkEntry.sec("2024-01-02T16:00:00")
+    // one whole-session window keeps the assertion focused on layout
+    val res = Flagship.run(spark, "/root/testdata/sf0.001", out,
+      open, close, windowSec = 23400, freqSec = 300, maxUsers = 5,
+      layout = "wide")
+    assert(res.length == 1 && res.head.ok, res.head.error)
+    val csv = new java.io.File(res.head.path).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val lines = java.nio.file.Files.readAllLines(csv.toPath)
+    // pandas to_csv shape: empty index-header cell, ids as header row
+    // AND index column, k+1 lines for k ids, unit diagonal
+    val header = lines.get(0).split(",", -1)
+    assert(header.head == "")
+    val ids = header.tail
+    assert(ids.nonEmpty && lines.size == ids.length + 1)
+    (1 until lines.size).foreach { r =>
+      val fields = lines.get(r).split(",", -1)
+      assert(fields.length == ids.length + 1)
+      assert(fields.head == ids(r - 1))       // index column = header ids
+      assert(fields(r).toDouble == 1.0)       // diagonal cell
+    }
+  }
+
   test("run records failures per window and never throws (§2.11)") {
     val out = scratchDir("graft_flagf_")
     val open = graft.SparkEntry.sec("2024-01-02T09:30:00")
