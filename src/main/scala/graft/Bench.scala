@@ -35,6 +35,10 @@ object Bench {
     // resample panel, the shingle explode) would otherwise reuse a cache
     // a previous run populated and understate their own cost.
     val Runs = 3
+    // (median, min) per query: the median is the headline statistic;
+    // the min is the load-spike-resistant floor — a median 2× its own
+    // min means the HOST was busy during the sweep, not that the code
+    // regressed (observed repeatedly across rounds; see SCALE.md).
     val results = sorted.map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         spark.catalog.clearCache()
@@ -47,14 +51,19 @@ object Bench {
         }
       }
       if (times.size < Runs) failures += 1
-      name -> (if (times.size == Runs) times.sorted.apply(Runs / 2) else -1.0)
+      if (times.size == Runs)
+        name -> (times.sorted.apply(Runs / 2), times.min)
+      else name -> (-1.0, -1.0)
     }
-    val good = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val good = results.filter(_._2._1 >= 0)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = good.map(_._2).sum
+    val qsMin = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = good.map(_._2._1).sum
+    val totalMin = good.map(_._2._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir","failures":$failures}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .foreach(p => Files.writeString(Paths.get(p), line + "\n"))
