@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MaterializeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("table builds once per (dir, name) and reads back identically") {
+    var builds = 0
+    def build = {
+      builds += 1
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    }
+    // distinct per-run name so reruns in one test JVM never collide
+    val name = s"spec_tbl_${System.nanoTime()}"
+    val first = Materialize.table(spark, "/spec/fixture", name)(build)
+    val second = Materialize.table(spark, "/spec/fixture", name)(build)
+    assert(builds == 1) // second call must NOT re-build
+    assert(first.orderBy("id").collect().toSeq ==
+      second.orderBy("id").collect().toSeq)
+    assert(second.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the read is a plain parquet scan — no trace of the builder plan
+    assert(second.queryExecution.optimizedPlan.treeString
+      .toLowerCase.contains("relation"))
+  }
+
+  test("value memoizes per (dir, name); keys do not collide across dirs") {
+    var builds = 0
+    val name = s"spec_val_${System.nanoTime()}"
+    def get(dir: String) =
+      Materialize.value(dir, name) { builds += 1; builds }
+    assert(get("/spec/a") == 1 && get("/spec/a") == 1)
+    assert(get("/spec/b") == 2) // different dir → its own build
+    assert(builds == 2)
+  }
+
+  test("boundedPartitions: 1 at fixture scale, grows with input, capped") {
+    import graft.ops.Relational.boundedPartitions
+    assert(boundedPartitions(0L, 256) == 1)
+    assert(boundedPartitions(500L, 256) == 1)
+    assert(boundedPartitions(512L, 256) == 2)
+    assert(boundedPartitions(1_000_000L, 256) == 3906)
+    assert(boundedPartitions(Long.MaxValue, 1) == 4096) // runaway cap
+    intercept[IllegalArgumentException](boundedPartitions(10L, 0))
+  }
+}
