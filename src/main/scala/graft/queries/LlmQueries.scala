@@ -827,6 +827,128 @@ object LlmQueries {
         CAST(sum(pq) // count(*) AS BIGINT) AS lm_q
       FROM sc GROUP BY 1 ORDER BY doc_id"""))
 
+  // t9: BPE merge training — the actual tokenizer-training loop
+  // (Sennrich et al., "Neural Machine Translation of Rare Words with
+  // Subword Units", 2016), distributed: the sample corpus collapses to
+  // a (word, freq) table (BPE trains on word frequencies — the table is
+  // vocabulary-sized, not corpus-sized), words explode to character
+  // tokens, and each round (1) counts adjacent token pairs weighted by
+  // freq — one pair-keyed aggregate, (2) takes the global argmax
+  // (count DESC, pair ASC — a driver scalar like d8's watermark),
+  // (3) merges every non-overlapping occurrence left-to-right. The
+  // classic greedy left-to-right overlap rule (in "aaa", merge "a a"
+  // once, at the left) is relational: within each run of consecutive
+  // matching positions, keep the even-indexed ones — no sequential
+  // per-word scan, identical in both engines. Three rounds are graded:
+  // merged pair, its count, and the post-merge token/vocab sizes —
+  // a drift of one merge decision fails the gate. Scale shape: the
+  // corpus-sized work is ONE word-count aggregate; every round after
+  // it runs on the (distinct word × chars) relation, bounded by
+  // vocabulary size at any corpus scale.
+  private val BpeRounds = 3
+  private val BpeSample = 200
+  private val qT9 = Q("t9_bpe_merges",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy("word").orderBy("pos")
+      val w0 = T(s, d, "documents").where(col("doc_id") < BpeSample)
+        .select(explode(Text.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      var toks = w0.select(col("word"), col("freq"),
+          explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+        .withColumn("tok", expr("substr(word, pos + 1, 1)"))
+        .cache()
+      val rows = (1 to BpeRounds).map { i =>
+        val p = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        val best = p.where(col("nxt").isNotNull)
+          .groupBy("tok", "nxt").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+          .limit(1).head()
+        val (l, r, cnt) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        // left-to-right overlap rule: runs of consecutive matches keep
+        // their even-indexed positions (overlap only arises when l = r)
+        val mm = p.where(col("tok") === l && col("nxt") === r)
+          .select(col("word"), col("pos"))
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy("word", "grp").orderBy("pos")))
+          .where((col("rn2") - 1) % 2 === 0)
+          .select(col("word"), col("pos"), lit(1).as("mg"))
+        val next = p.join(mm, Seq("word", "pos"), "left")
+          .withColumn("pm", lag(col("mg"), 1).over(w))
+          .where(col("pm").isNull) // drop the right half of each merge
+          .select(col("word"), col("freq"), col("pos"),
+            when(col("mg") === 1, concat(col("tok"), col("nxt")))
+              .otherwise(col("tok")).as("tok"))
+          .withColumn("pos", row_number().over(w) - 1)
+          .cache()
+        val st = next.agg(sum("freq").as("nt"),
+          countDistinct("tok").as("nv")).head()
+        toks = next
+        (i, l, r, cnt, st.getLong(0), st.getLong(1))
+      }
+      rows.toDF("round", "merged_l", "merged_r", "pair_count",
+          "n_tokens_after", "n_vocab_after")
+        .orderBy("round")
+    },
+    Some {
+      val init = s"""w0 AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < $BpeSample)
+          GROUP BY 1),
+        t1 AS (
+          SELECT word, freq, pos, substr(word, pos + 1, 1) AS tok
+          FROM (SELECT word, freq, unnest(range(strlen(word))) AS pos
+                FROM w0))"""
+      val rounds = (1 to BpeRounds).map { i =>
+        s"""p$i AS (
+          SELECT word, freq, pos, tok,
+            lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM t$i),
+        best$i AS (
+          SELECT tok AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2
+          ORDER BY cnt DESC, l, r LIMIT 1),
+        mm$i AS (
+          SELECT word, pos FROM (
+            SELECT word, pos, row_number() OVER (
+                PARTITION BY word, grp ORDER BY pos) AS rn2
+            FROM (
+              SELECT p.word, p.pos, p.pos - row_number() OVER (
+                  PARTITION BY p.word ORDER BY p.pos) AS grp
+              FROM p$i p, best$i b
+              WHERE p.tok = b.l AND p.nxt = b.r))
+          WHERE (rn2 - 1) % 2 = 0),
+        tn$i AS (
+          SELECT q.word, q.freq, q.pos,
+            CASE WHEN m.pos IS NOT NULL THEN q.tok || q.nxt
+                 ELSE q.tok END AS tok,
+            CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END AS mg
+          FROM p$i q LEFT JOIN mm$i m
+            ON m.word = q.word AND m.pos = q.pos),
+        t${i + 1} AS (
+          SELECT word, freq,
+            row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+            tok
+          FROM (SELECT *, lag(mg) OVER (
+              PARTITION BY word ORDER BY pos) AS pm FROM tn$i)
+          WHERE pm IS NULL OR pm = 0),
+        r$i AS (
+          SELECT $i AS round, b.l AS merged_l, b.r AS merged_r,
+            b.cnt AS pair_count,
+            (SELECT CAST(sum(freq) AS BIGINT) FROM t${i + 1})
+              AS n_tokens_after,
+            (SELECT count(DISTINCT tok) FROM t${i + 1}) AS n_vocab_after
+          FROM best$i b)"""
+      }
+      val sel = (1 to BpeRounds).map(i => s"SELECT * FROM r$i")
+        .mkString(" UNION ALL ")
+      (init +: rounds).mkString("WITH ", ",\n        ", "") +
+        s" $sel ORDER BY round"
+    })
+
   // ------------------------------------------------------ similarity search
 
   /** Fixture embedding dimensionality (embeddings.parquet, 64 floats). */
@@ -1422,6 +1544,92 @@ object LlmQueries {
       FROM t1 LEFT JOIN t7 ON t1.qid = t7.qid AND t1.tid = t7.tid
       GROUP BY 1 ORDER BY t1.qid"""))
 
+  // e10: SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+  // efficient learning at web-scale through semantic deduplication",
+  // 2023): cluster the embeddings with the trained quantizer, compare
+  // ONLY within a cluster, and drop the less-central member of every
+  // near-duplicate pair (tie → higher id), keeping cluster
+  // representatives. Candidates are bounded by cell population — the
+  // k-means cells play the role d2's bands play for text — so the
+  // within-cell self-join is O(Σ|cell|²), with |cell| held near a
+  // constant in production by scaling C with the corpus (the graded
+  // geometry fixes C=16 for oracle tractability; Kmeans.train takes any
+  // C). Centrality = the exact integer quantization error to the
+  // assigned centroid (qerr), so keep/drop decisions replay bit-for-bit.
+  // This pairwise drop rule is the deterministic relational form of the
+  // paper's per-cluster greedy scan; both keep one representative per
+  // dense near-dup group, but the pairwise form needs no sequential
+  // per-cluster loop. Scored over a bounded shard (vec_id < SemShard —
+  // production semdedups per shard anyway) to keep the oracle's
+  // within-cell cross join replayable.
+  private val SemTau = 0.35
+  private val SemShard = 1500
+  private val qE10 = Q("e10_semdedup",
+    (s, d) => {
+      val q = embQ(s, d)
+      val shard = graft.ops.Kmeans
+        .assignWithDist(q.where(col("vec_id") < SemShard), kmCents(s, d))
+        .select(col("vec_id"), col("cell"), col("qerr"))
+      val a = shard.select(col("cell"), col("vec_id").as("i"),
+        col("qerr").as("qi"))
+      val bb = shard.select(col("cell"), col("vec_id").as("j"),
+        col("qerr").as("qj"))
+      val cand = a.join(bb, Seq("cell")).where(col("i") =!= col("j"))
+      val dominated = cosineOf(cand, q, "i", "j")
+        .withColumn("cosine", round(col("cosine"), 6))
+        .where(col("cosine") >= SemTau &&
+          (col("qj") < col("qi") ||
+            (col("qj") === col("qi") && col("j") < col("i"))))
+        .groupBy(col("i").as("vec_id"))
+        .agg(count(lit(1)).as("n_better_dups"), min("j").as("rep_id"))
+      shard.select("vec_id", "cell")
+        .join(dominated, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_better_dups"), lit(0L)).as("n_better_dups"),
+          col("rep_id"),
+          col("n_better_dups").isNull.cast("int").as("kept"))
+        .transform(Q.sortedSmall(_, "vec_id"))
+    },
+    Some(s"""WITH $embSqlPrefix,
+      ${kmeansSqlCtes(KmC, KmIters)},
+      af AS (
+        SELECT vec_id, cell, CAST(d AS BIGINT) AS qerr FROM (
+          SELECT t.vec_id, c.cell,
+            sum((t.xq - c.cq) * (t.xq - c.cq)) AS d,
+            row_number() OVER (PARTITION BY t.vec_id
+              ORDER BY sum((t.xq - c.cq) * (t.xq - c.cq)), c.cell) AS rn
+          FROM x t JOIN kc$KmIters c ON c.pos = t.pos
+          WHERE t.vec_id < $SemShard
+          GROUP BY t.vec_id, c.cell) WHERE rn = 1),
+      cd AS (
+        SELECT a.vec_id AS i, a.cell, a.qerr AS qi,
+          b.vec_id AS j, b.qerr AS qj
+        FROM af a JOIN af b
+          ON a.cell = b.cell AND a.vec_id != b.vec_id),
+      dt AS (
+        SELECT cd.i, cd.j, cd.qi, cd.qj, sum(xi.xq * xj.xq) AS dot
+        FROM cd JOIN x xi ON xi.vec_id = cd.i
+          JOIN x xj ON xj.vec_id = cd.j AND xj.pos = xi.pos
+        GROUP BY 1, 2, 3, 4),
+      sc AS (
+        SELECT i, j, qi, qj,
+          round(CAST(dot AS DOUBLE) /
+            sqrt(CAST(ni.sq AS DOUBLE) * CAST(nj.sq AS DOUBLE)), 6)
+            AS cosine
+        FROM dt JOIN n ni ON ni.vec_id = i JOIN n nj ON nj.vec_id = j),
+      dom AS (
+        SELECT i AS vec_id, count(*) AS n_better_dups, min(j) AS rep_id
+        FROM sc
+        WHERE cosine >= $SemTau
+          AND (qj < qi OR (qj = qi AND j < i))
+        GROUP BY 1)
+      SELECT af.vec_id, af.cell,
+        CAST(coalesce(dom.n_better_dups, 0) AS BIGINT) AS n_better_dups,
+        dom.rep_id,
+        CAST(dom.vec_id IS NULL AS INT) AS kept
+      FROM af LEFT JOIN dom ON dom.vec_id = af.vec_id
+      ORDER BY af.vec_id"""))
+
   // -------------------------------------------------- product quantization
 
   /** PQ geometry: PqM subspaces of EmbDims/PqM dims each, PqK centroids
@@ -1655,7 +1863,7 @@ object LlmQueries {
 
   val all: Seq[Q] =
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9,
-      qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8,
-      qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9,
+      qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9,
+      qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10,
       qM1, qM2, qC1)
 }
