@@ -282,5 +282,49 @@ object CurationQueries {
       FROM r WHERE rn <= CAST(ceil(n_total * 0.3) AS BIGINT)
       GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5, qC6, qC7, qC8)
+  // c10: split-leakage audit — the check every train/eval split needs
+  // before anyone trusts an eval number: near-duplicate pairs whose
+  // members land in DIFFERENT splits (c2's deterministic hash split)
+  // leak training signal into evaluation. Composes the PERSISTED d2
+  // pair table (graft.sources.Materialize: the plan scans parquet, it
+  // never re-runs the minhash pipeline) with the map-only split
+  // assignment — one broadcast-sized join and one rollup, so the audit
+  // is pair-table-sized at any corpus scale. A non-empty result is the
+  // actionable artifact: either re-split by near-dup cluster (d6's
+  // component id as the split key) or drop the leaky pairs.
+  private val qC10 = Q("c10_split_leakage",
+    (s, d) => {
+      val sp = T(s, d, "documents").select(col("doc_id"),
+        Sample.splitColumn("split", col("doc_id"), SplitCuts).as("sp"))
+      LlmQueries.d2Pairs(s, d)
+        .join(sp.select(col("doc_id").as("i"), col("sp").as("spi")),
+          Seq("i"))
+        .join(sp.select(col("doc_id").as("j"), col("sp").as("spj")),
+          Seq("j"))
+        .where(col("spi") =!= col("spj"))
+        .select(least(col("spi"), col("spj")).as("split_a"),
+          greatest(col("spi"), col("spj")).as("split_b"),
+          col("i"), col("j"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_leaky_pairs"),
+          min("i").as("sample_i"), min("j").as("sample_j"))
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""WITH ${LlmQueries.d2SqlCtes},
+      sp AS (
+        SELECT doc_id,
+          CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS sp
+        FROM (SELECT doc_id,
+            ${Sample.hashBucketSql("split", "doc_id", 100)} AS bucket
+          FROM documents))
+      SELECT least(si.sp, sj.sp) AS split_a,
+        greatest(si.sp, sj.sp) AS split_b,
+        count(*) AS n_leaky_pairs,
+        min(i) AS sample_i, min(j) AS sample_j
+      FROM pairs JOIN sp si ON si.doc_id = i JOIN sp sj ON sj.doc_id = j
+      WHERE si.sp != sj.sp
+      GROUP BY 1, 2 ORDER BY split_a, split_b"""))
+
+  val all: Seq[Q] = Seq(qC2, qC3, qC4, qC5, qC6, qC7, qC8, qC10)
 }

@@ -109,7 +109,7 @@ object LlmQueries {
     * construction — d6's plan is components-over-a-table-scan, never a
     * re-run of the minhash pipeline.
     */
-  private def d2Pairs(s: SparkSession, d: String): DataFrame =
+  private[queries] def d2Pairs(s: SparkSession, d: String): DataFrame =
     Materialize.table(s, d, "dedup_pairs") {
       val bands = dedupBands(s, d)
       val sets = dedupSets(s, d)
@@ -153,7 +153,7 @@ object LlmQueries {
     Some(s"""WITH $d2SqlCtes
       SELECT i, j, jac FROM pairs ORDER BY i, j"""))
 
-  private lazy val d2SqlCtes = s"""ex AS (
+  private[queries] lazy val d2SqlCtes = s"""ex AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
         FROM documents),
       hs AS (

@@ -80,4 +80,20 @@ class TimeSpec extends SparkTestBase {
       Row(2L, 180L, 5.0))
     assert(out == want)
   }
+
+  test("resampleFfillMs golden: 250 ms buckets, sub-second fills") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ticks = Seq(
+      (ts(120), 1L, 10.0), (ts(240), 1L, 30.0), // both bucket 0 -> mean 20
+      (ts(610), 1L, 40.0),                      // bucket 500; 250 ffills 20
+      (ts(1750), 1L, 50.0))                     // outside [0, 1000) -> clipped
+    val out = Time.resampleFfillMs(spark,
+        ticks.toDF("ts", "user_id", "value"),
+        "user_id", "ts", "value", 0L, 1000L, 250L, avg(col("value")))
+      .orderBy("bucket")
+      .select("bucket", "value").collect().toSeq
+    val want = Seq(
+      Row(0L, 20.0), Row(250L, 20.0), Row(500L, 40.0), Row(750L, 40.0))
+    assert(out == want)
+  }
 }
