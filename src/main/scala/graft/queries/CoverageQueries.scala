@@ -384,6 +384,78 @@ object CoverageQueries {
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  // W11: gap-based sessionization in BATCH — the batch twin of the
+  // streaming `session_window` (Streams.sessionStream): a new session
+  // starts where the gap since the user's previous event exceeds 30
+  // minutes; the session id is the running count of session starts
+  // (lag + cumulative sum over ONE shuffle by user). This is the
+  // standard sessionization idiom — no UDF, no per-user loop; both
+  // windows share the (user_id, u, event_id) sort so Spark reuses the
+  // exchange.
+  private val qW11 = Q("w11_gap_sessions",
+    (s, d) => {
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("u", "event_id")
+      T(s, d, "events")
+        .where(col("ts") >= SparkEntry.tsLit(SparkEntry.jan1) &&
+          col("ts") < SparkEntry.tsLit(SparkEntry.jan8))
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("u"))
+        .withColumn("new_sess",
+          (coalesce(col("u") - lag(col("u"), 1).over(wo), lit(Long.MaxValue))
+            > 1800L).cast("long"))
+        .withColumn("sid", sum("new_sess").over(wo))
+        .groupBy("user_id", "sid")
+        .agg(min("u").as("sess_start"), max("u").as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sid")
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_id, ${SparkEntry.EP} AS u
+        FROM events
+        WHERE ts >= ${SparkEntry.tsSql(SparkEntry.jan1)}
+          AND ts < ${SparkEntry.tsSql(SparkEntry.jan8)}),
+      g AS (
+        SELECT user_id, event_id, u,
+          CASE WHEN u - lag(u) OVER w IS NULL
+                 OR u - lag(u) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY u, event_id)),
+      sess AS (
+        SELECT user_id, u,
+          sum(ns) OVER (PARTITION BY user_id ORDER BY u, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        min(u) AS sess_start, max(u) AS sess_end, count(*) AS n_events
+      FROM sess GROUP BY 1, 2 ORDER BY user_id, sid"""))
+
+  // A16: cohort retention — the product-analytics rollup: each user's
+  // cohort is their first active day, and the (cohort, day-offset) cell
+  // counts users still active that many days later. Two aggregates
+  // (per-user first day, then the cohort×offset rollup over the
+  // distinct user-day relation); output is calendar-bounded
+  // (days × days cells) at any user count.
+  private val qA16 = Q("a16_cohort_retention",
+    (s, d) => {
+      val ud = T(s, d, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .distinct()
+      val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ud.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day"))
+          .as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some(s"""WITH ud AS (
+        SELECT DISTINCT user_id, ${SparkEntry.EP}//86400 AS day
+        FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+      SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+        count(*) AS n_users
+      FROM ud JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+
   val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12, qA13,
-    qA14, qA15, qW10)
+    qA14, qA15, qA16, qW10, qW11)
 }
