@@ -456,6 +456,57 @@ object CoverageQueries {
       FROM ud JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
 
+  // A17: ordered funnel — per user-day, the strict view → click →
+  // purchase sequence (each stage's timestamp must FOLLOW the previous
+  // stage's first occurrence; a click before the first view does not
+  // count). Three stage aggregates chained by (user, day) equi-joins —
+  // every relation is user-day-sized, the sequencing constraint is a
+  // residual predicate on the join, and no per-user event scan or UDF
+  // exists at any scale. The final rollup counts survivors per day.
+  private val qA17 = Q("a17_funnel",
+    (s, d) => {
+      val ev = T(s, d, "events")
+        .where(col("ts") >= SparkEntry.tsLit(SparkEntry.jan1) &&
+          col("ts") < SparkEntry.tsLit(SparkEntry.jan31))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("u"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "day").agg(min("u").as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id", "day")).where(col("u") > col("t1"))
+        .groupBy("user_id", "day").agg(min("u").as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id", "day")).where(col("u") > col("t2"))
+        .groupBy("user_id", "day").agg(min("u").as("t3"))
+      v.join(c, Seq("user_id", "day"), "left")
+        .join(p, Seq("user_id", "day"), "left")
+        .groupBy("day")
+        .agg(count("t1").as("n_view"),
+          count("t2").as("n_view_click"),
+          count("t3").as("n_full_funnel"))
+        .orderBy("day")
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_type, ${SparkEntry.EP} AS u,
+          ${SparkEntry.EP}//86400 AS day
+        FROM events
+        WHERE ts >= ${SparkEntry.tsSql(SparkEntry.jan1)}
+          AND ts < ${SparkEntry.tsSql(SparkEntry.jan31)}),
+      v AS (SELECT user_id, day, min(u) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1, 2),
+      c AS (SELECT e.user_id, e.day, min(e.u) AS t2
+        FROM e JOIN v USING (user_id, day)
+        WHERE e.event_type = 'click' AND e.u > v.t1 GROUP BY 1, 2),
+      p AS (SELECT e.user_id, e.day, min(e.u) AS t3
+        FROM e JOIN c USING (user_id, day)
+        WHERE e.event_type = 'purchase' AND e.u > c.t2 GROUP BY 1, 2)
+      SELECT v.day, count(v.t1) AS n_view, count(c.t2) AS n_view_click,
+        count(p.t3) AS n_full_funnel
+      FROM v LEFT JOIN c USING (user_id, day)
+             LEFT JOIN p USING (user_id, day)
+      GROUP BY 1 ORDER BY day"""))
+
   val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12, qA13,
-    qA14, qA15, qA16, qW10, qW11)
+    qA14, qA15, qA16, qA17, qW10, qW11)
 }
