@@ -1746,6 +1746,26 @@ object LlmQueries {
     (subs :+ s"pqcodes AS ($union)").mkString(",\n      ")
   }
 
+  /** Oracle CTE block for the ADC lookup table (pcent/pcn/px/plut) —
+    * expects `x` and [[pqSqlCtes]]'s pkc tables in scope. Shared by the
+    * e9 and e11 oracles.
+    */
+  private lazy val pqLutSqlCtes =
+    s"""pcent AS (${(0 until PqM).map(m =>
+        s"SELECT $m AS sub, cell AS code, pos, cq FROM pkc${PqIters}_$m")
+        .mkString(" UNION ALL ")}),
+      pcn AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS csq
+        FROM pcent GROUP BY 1, 2),
+      px AS (
+        SELECT vec_id AS qid, CAST((pos - 1) // $PqSub AS INT) AS sub,
+          ((pos - 1) % $PqSub) + 1 AS pos, xq
+        FROM x WHERE vec_id < 5),
+      plut AS (
+        SELECT p.qid, c.sub, c.code, CAST(sum(p.xq * c.cq) AS BIGINT)
+          AS pdot
+        FROM px p JOIN pcent c ON c.sub = p.sub AND c.pos = p.pos
+        GROUP BY 1, 2, 3)"""
+
   // e8: PQ encoding — the compressed representation 100 TB of embeddings
   // actually lives in (256 B/vector → PqM codes + tiny codebooks). The
   // graded surface is every code AND the exact integer quantization
@@ -1768,21 +1788,27 @@ object LlmQueries {
   // cosine, and recall@3 vs e1's exact top-3 grades the whole stack.
   // approx cosine = Σ_sub LUT[sub][code] / √(|q|²·Σ_sub |c_code|²) —
   // integer sums into one IEEE division, so ranking is engine-exact.
+  /** Per-probe ADC lookup table (qid, sub, code, pdot, csq): exact
+    * sub-vector dots against the persisted codebook relation — PqM·PqK
+    * rows per probe, dimension metadata broadcast into the scoring
+    * join. Shared by e9 (exhaustive ADC) and e11 (IVF-PQ).
+    */
+  private def pqLut(s: SparkSession, d: String): DataFrame = {
+    val probes = (0 until PqM).map { m =>
+      pqSubVec(embQ(s, d).where(col("vec_id") < 5), m)
+        .select(col("vec_id").as("qid"), lit(m).as("sub"),
+          col("q").as("qs"))
+    }.reduce(_.union(_))
+    probes.join(broadcast(pqCentroidsT(s, d)), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        Similarity.dotq(col("qs"), col("cq")).as("pdot"), col("csq"))
+  }
+
   private val qE9 = Q("e9_pq_recall",
     (s, d) => {
       val q = embQ(s, d)
       val codes = pqCodesT(s, d).select("vec_id", "sub", "code")
-      // codebook relation: PqM·PqK rows of dimension metadata (centroid
-      // array + exact reconstructed squared norm), broadcast
-      val centDf = pqCentroidsT(s, d)
-      val probes = (0 until PqM).map { m =>
-        pqSubVec(q.where(col("vec_id") < 5), m)
-          .select(col("vec_id").as("qid"), lit(m).as("sub"),
-            col("q").as("qs"))
-      }.reduce(_.union(_))
-      val lut = probes.join(broadcast(centDf), Seq("sub"))
-        .select(col("qid"), col("sub"), col("code"),
-          Similarity.dotq(col("qs"), col("cq")).as("pdot"), col("csq"))
+      val lut = pqLut(s, d)
       val adc = codes.join(broadcast(lut), Seq("sub", "code"))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("tid"), col("pdot"), col("csq"))
@@ -1809,20 +1835,7 @@ object LlmQueries {
     },
     Some(s"""WITH $embSqlPrefix,
       ${pqSqlCtes()},
-      pcent AS (${(0 until PqM).map(m =>
-        s"SELECT $m AS sub, cell AS code, pos, cq FROM pkc${PqIters}_$m")
-        .mkString(" UNION ALL ")}),
-      pcn AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS csq
-        FROM pcent GROUP BY 1, 2),
-      px AS (
-        SELECT vec_id AS qid, CAST((pos - 1) // $PqSub AS INT) AS sub,
-          ((pos - 1) % $PqSub) + 1 AS pos, xq
-        FROM x WHERE vec_id < 5),
-      plut AS (
-        SELECT p.qid, c.sub, c.code, CAST(sum(p.xq * c.cq) AS BIGINT)
-          AS pdot
-        FROM px p JOIN pcent c ON c.sub = p.sub AND c.pos = p.pos
-        GROUP BY 1, 2, 3),
+      $pqLutSqlCtes,
       adc AS (
         SELECT l.qid, k.vec_id AS tid, CAST(sum(l.pdot) AS BIGINT) AS adot,
           CAST(sum(cn.csq) AS BIGINT) AS tcsq
@@ -1861,9 +1874,115 @@ object LlmQueries {
       FROM t1 LEFT JOIN t9 ON t1.qid = t9.qid AND t1.tid = t9.tid
       GROUP BY 1 ORDER BY t1.qid"""))
 
+  // e11: IVF-PQ — the production composition SCALE.md documents: the
+  // trained coarse quantizer prunes to nprobe cells (e7's fan-out), the
+  // survivors are scored by PQ code lookup alone against the persisted
+  // code table (e9's ADC — the corpus's full vectors are never touched
+  // between encoding and the final re-rank), the ADC top-PqRerank are
+  // re-scored with the exact integer cosine, and recall@3 vs e1's exact
+  // top-3 grades the whole two-tier index. Per probe the work is
+  // O(nprobe · cell + rerank · dims) — independent of corpus size once
+  // C scales with N — and every tier (training, assignment, codes, LUT,
+  // ranking) replays bit-for-bit in the oracle.
+  private val qE11 = Q("e11_ivfpq_recall",
+    (s, d) => {
+      val q = embQ(s, d)
+      val cents = kmCents(s, d)
+      val assigned = graft.ops.Kmeans.assign(q, cents)
+        .select(col("vec_id").as("tid"), col("cell"))
+      val probeCells = graft.ops.Kmeans
+        .nearestCells(q.where(col("vec_id") < 5), "vec_id", cents,
+          KmNprobe)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val cand = assigned.join(broadcast(probeCells), Seq("cell"))
+        .where(col("tid") =!= col("qid"))
+        .select("qid", "tid")
+      val codes = pqCodesT(s, d)
+        .select(col("vec_id").as("tid"), col("sub"), col("code"))
+      val adc = cand.join(codes, Seq("tid"))
+        .join(broadcast(pqLut(s, d)), Seq("qid", "sub", "code"))
+        .groupBy("qid", "tid")
+        .agg(sum("pdot").as("adot"), sum("csq").as("tcsq"))
+      val qn = q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sq").as("qsq"))
+      val wA = Window.partitionBy("qid")
+        .orderBy(col("acos").desc, col("tid"))
+      val rer = adc.join(broadcast(qn), Seq("qid"))
+        .withColumn("acos", col("adot").cast("double") /
+          sqrt(col("qsq").cast("double") * col("tcsq").cast("double")))
+        .withColumn("rn", row_number().over(wA))
+        .where(col("rn") <= PqRerank)
+        .select("qid", "tid")
+      val approx = Similarity.topK(cosineOf(rer, q, "qid", "tid"), 3)
+        .select(col("qid"), col("tid")).withColumn("hit", lit(1))
+      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
+      exact.join(approx, Seq("qid", "tid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+        .transform(Q.sortedSmall(_, "qid"))
+    },
+    Some(s"""WITH $embSqlPrefix,
+      ${kmeansSqlCtes(KmC, KmIters)},
+      ${pqSqlCtes()},
+      $pqLutSqlCtes,
+      cdist AS (
+        SELECT t.vec_id, c.cell, sum((t.xq - c.cq) * (t.xq - c.cq)) AS d
+        FROM x t JOIN kc$KmIters c ON c.pos = t.pos GROUP BY 1, 2),
+      rcd AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d, cell) AS rn FROM cdist),
+      kassign AS (SELECT vec_id AS tid, cell FROM rcd WHERE rn = 1),
+      kprobe AS (
+        SELECT vec_id AS qid, cell FROM rcd
+        WHERE vec_id < 5 AND rn <= $KmNprobe),
+      cand11 AS (
+        SELECT p.qid, a.tid FROM kassign a JOIN kprobe p
+          ON a.cell = p.cell WHERE a.tid != p.qid),
+      adc11 AS (
+        SELECT c.qid, c.tid, CAST(sum(l.pdot) AS BIGINT) AS adot,
+          CAST(sum(cn.csq) AS BIGINT) AS tcsq
+        FROM cand11 c
+          JOIN pqcodes k ON k.vec_id = c.tid
+          JOIN plut l ON l.qid = c.qid AND l.sub = k.sub
+            AND l.code = k.code
+          JOIN pcn cn ON cn.sub = k.sub AND cn.code = k.code
+        GROUP BY 1, 2),
+      radc11 AS (
+        SELECT qid, tid, row_number() OVER (PARTITION BY qid
+            ORDER BY CAST(adot AS DOUBLE) /
+              sqrt(CAST(qn.sq AS DOUBLE) * CAST(tcsq AS DOUBLE)) DESC,
+            tid) AS rn
+        FROM adc11 JOIN n qn ON qn.vec_id = qid),
+      cnd11 AS (SELECT qid, tid FROM radc11 WHERE rn <= $PqRerank),
+      d11 AS (
+        SELECT c.qid, c.tid, sum(t.xq * q.xq) AS dot
+        FROM cnd11 c JOIN x t ON t.vec_id = c.tid
+          JOIN x q ON q.vec_id = c.qid AND q.pos = t.pos
+        GROUP BY 1, 2),
+      c11 AS (
+        SELECT qid, tid, CAST(dot AS DOUBLE) /
+          sqrt(CAST(qn.sq AS DOUBLE) * CAST(tn.sq AS DOUBLE)) AS cosine
+        FROM d11 JOIN n qn ON qn.vec_id = qid
+                 JOIN n tn ON tn.vec_id = tid),
+      ranked11 AS (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, tid) AS rank FROM c11),
+      $e1SqlCtes,
+      t1 AS (SELECT qid, tid FROM ranked1 WHERE rank <= 3),
+      t11 AS (SELECT qid, tid FROM ranked11 WHERE rank <= 3)
+      SELECT t1.qid, count(*) AS n_exact,
+        CAST(sum(CASE WHEN t11.tid IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit,
+        round(CAST(sum(CASE WHEN t11.tid IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*), 6) AS recall
+      FROM t1 LEFT JOIN t11 ON t1.qid = t11.qid AND t1.tid = t11.tid
+      GROUP BY 1 ORDER BY t1.qid"""))
+
   val all: Seq[Q] =
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9,
-      qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10,
+      qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
       qM1, qM2, qC1)
 }
