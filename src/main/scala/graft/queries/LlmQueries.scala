@@ -87,7 +87,7 @@ object LlmQueries {
     * Sorted only for a canonical representation; intersection is
     * order-independent.
     */
-  private def dedupSets(s: SparkSession, d: String): DataFrame =
+  private[graft] def dedupSets(s: SparkSession, d: String): DataFrame =
     Materialize.table(s, d, "dedup_sets") {
       shingleHashes(s, d).groupBy("doc_id")
         .agg(array_sort(collect_list(col("h"))).as("hs"))
@@ -97,7 +97,7 @@ object LlmQueries {
   /** Persisted banded minhash keys (band, bkey, doc_id) — the LSH index
     * table d2 buckets by and d8 probes incrementally.
     */
-  private def dedupBands(s: SparkSession, d: String): DataFrame =
+  private[graft] def dedupBands(s: SparkSession, d: String): DataFrame =
     Materialize.table(s, d, "dedup_bands") {
       Text.bandKeys(
         Text.minhashSignature(shingleHashes(s, d), "doc_id", 12),
@@ -403,15 +403,23 @@ object LlmQueries {
   // metadata, like a3b's panel keys). Verdicts: dup_of_corpus (matches
   // the lake), dup_of_delta (matches an earlier doc of its own batch),
   // new.
-  private val qD8 = Q("d8_incremental_dedup",
-    (s, d) => {
-      val docs = T(s, d, "documents")
-      val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
-      val bands = dedupBands(s, d)
-      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
-      val b = bands.where(col("doc_id") >= th)
-        .select(col("band"), col("bkey"), col("doc_id").as("j"))
-      val sets = dedupSets(s, d)
+  /** d8's verdict pipeline over explicit relations, so the batch query
+    * and the streaming micro-batch twin
+    * ([[graft.streaming.Streams.incrementalDedupStream]]) share ONE
+    * implementation. `allBands`/`allSets` = corpus ∪ delta signature
+    * relations (duplicate rows are harmless — candidates are
+    * `distinct`ed); `deltaBands` is the probe side; `deltaIds` the
+    * (doc_id) relation being verdicted; `th` the corpus/delta id
+    * watermark separating dup_of_corpus from dup_of_delta.
+    */
+  private[graft] def deltaVerdicts(allBands: DataFrame,
+      deltaBands: DataFrame, allSets: DataFrame, deltaIds: DataFrame,
+      th: Long): DataFrame = {
+      val a = allBands.select(col("band"), col("bkey"),
+        col("doc_id").as("i"))
+      val b = deltaBands.select(col("band"), col("bkey"),
+        col("doc_id").as("j"))
+      val sets = allSets
       // same size-ratio prefilter + hash-set verify as d2 (provably
       // output-neutral, so the oracle skips the prefilter)
       val cand = a
@@ -434,13 +442,22 @@ object LlmQueries {
         .where(col("jac") >= 0.95)
         .groupBy(col("j").as("doc_id"))
         .agg(min("i").as("match_id"), count(lit(1)).as("n_matches"))
-      docs.where(col("doc_id") >= th).select("doc_id")
+      deltaIds.select("doc_id")
         .join(m, Seq("doc_id"), "left")
         .select(col("doc_id"), col("match_id"),
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
           when(col("match_id").isNull, "new")
             .when(col("match_id") < th, "dup_of_corpus")
             .otherwise("dup_of_delta").as("verdict"))
+  }
+
+  private val qD8 = Q("d8_incremental_dedup",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
+      val bands = dedupBands(s, d)
+      deltaVerdicts(bands, bands.where(col("doc_id") >= th),
+          dedupSets(s, d), docs.where(col("doc_id") >= th), th)
         .orderBy("doc_id")
     },
     Some(s"""WITH $d2SqlCtes,

@@ -129,6 +129,61 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming incremental near-dedup — the d8 pipeline as a
+    * micro-batch ingest gate: each arriving batch of documents is
+    * shingled/minhashed ONCE, probed against the PERSISTED corpus
+    * signature tables ([[graft.queries.LlmQueries.dedupBands]]/
+    * [[graft.queries.LlmQueries.dedupSets]] — parquet scans, the lake
+    * state d8's batch form reads), and its verdicts (new /
+    * dup_of_corpus / dup_of_delta) append to the output. One shared
+    * implementation with d8 (`LlmQueries.deltaVerdicts`), so the
+    * streaming and batch answers cannot drift (StreamsSpec asserts
+    * equality).
+    *
+    * Within-delta matches are found inside a micro-batch; a
+    * continuously running deployment appends each batch's signatures
+    * to the persisted band/set tables after verdicting, so later
+    * batches see earlier deltas as corpus — exactly the lake
+    * maintenance loop d8's scaladoc describes.
+    */
+  def incrementalDedupStream(spark: SparkSession, srcDir: String,
+                             corpusDir: String, outDir: String,
+                             checkpointDir: String, th: Long): Unit = {
+    import graft.ops.Text
+    val src = spark.readStream.schema(Catalog.schemas("documents"))
+      .parquet(srcDir)
+    val q = src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = Text.explodeShingles(batch, "doc_id", "text", 1)
+          .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
+          .cache()
+        val dSets = sh.groupBy("doc_id")
+          .agg(array_sort(collect_list(col("h"))).as("hs"))
+          .withColumn("sz", size(col("hs")))
+        val dBands = Text.bandKeys(
+          Text.minhashSignature(sh, "doc_id", 12), "doc_id", 2, 6)
+        // the corpus tables must not double-carry docs that are also in
+        // the arriving batch (the spec replays the fixture's own top
+        // decile as the delta) — anti-join the batch ids out so the
+        // union is disjoint and per-pair match counts stay exact
+        val ids = broadcast(batch.select("doc_id"))
+        val cBands = graft.queries.LlmQueries.dedupBands(spark, corpusDir)
+          .join(ids, Seq("doc_id"), "left_anti")
+        val cSets = graft.queries.LlmQueries.dedupSets(spark, corpusDir)
+          .join(ids, Seq("doc_id"), "left_anti")
+        graft.queries.LlmQueries.deltaVerdicts(
+            cBands.unionByName(dBands), dBands,
+            cSets.unionByName(dSets), batch.select("doc_id"), th)
+          .write.mode("append").parquet(outDir)
+        sh.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming keep-first dedup on event_id: emits each key's first-seen
     * row, drops repeats while state lives.
     *

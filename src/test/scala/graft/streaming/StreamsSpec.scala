@@ -100,4 +100,23 @@ class StreamsSpec extends SparkTestBase {
     assert(got.count() == distinctIds)
     assert(got.select("event_id").distinct().count() == distinctIds)
   }
+
+  test("incrementalDedupStream verdicts equal d8's batch form") {
+    val fx = "/root/testdata/sf0.001"
+    val docs = graft.Catalog.load(spark, fx, "documents")
+    val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
+    // stage the top decile (d8's delta) as the arriving stream
+    val in = tmp("graft_incr_in_")
+    docs.where(col("doc_id") >= th)
+      .write.mode("overwrite").parquet(in)
+    val out = tmp("graft_incr_out_")
+    val ck = tmp("graft_incr_ck_")
+    Streams.incrementalDedupStream(spark, in, fx, out, ck, th)
+    val streamed = spark.read.parquet(out)
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.SparkEntry.queries("d8_incremental_dedup")(spark, fx)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
