@@ -576,6 +576,41 @@ object SparkEntry {
       ORDER BY g.user_id, g.bucket"""
     })
 
+  // W12: realized variance — the quant statistic the reference's
+  // resampled panel exists to feed: per series, the sum of squared
+  // 5-minute price changes over one trading day (the price-DIFF form,
+  // not log returns — log's last-ulp differs between libm
+  // implementations and would flake a hash gate; the diff form is
+  // exact decimal end to end). One resample shuffle + one lag window
+  // on the same key partitioning + one aggregate.
+  private val qW12 = Q("w12_realized_var",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+      resampled(s, d, 8, jan2, jan3, 300)
+        .withColumn("prev", lag("value", 1).over(w))
+        .where(col("value").isNotNull && col("prev").isNotNull)
+        .withColumn("diff", col("value").cast(DecimalType(18, 6)) -
+          col("prev").cast(DecimalType(18, 6)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(col("diff") * col("diff")).cast("double"), 6)
+            .as("realized_var"))
+        .orderBy("user_id")
+    },
+    Some(ffillSqlCte(8, jan2, jan3, 300) + """,
+      r AS (
+        SELECT user_id, price,
+          lag(price) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+        FROM filled)
+      SELECT user_id, count(*) AS n_intervals,
+        round(CAST(sum((CAST(price AS DECIMAL(18,6)) -
+                        CAST(prev AS DECIMAL(18,6))) *
+                       (CAST(price AS DECIMAL(18,6)) -
+                        CAST(prev AS DECIMAL(18,6)))) AS DOUBLE), 6)
+          AS realized_var
+      FROM r WHERE price IS NOT NULL AND prev IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   // W3: epoch-anchored tumbling 4h windows over the month
   private val qW3 = Q("w3_tumbling_4h",
     (s, d) => T(s, d, "events")
@@ -934,7 +969,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9,
+    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12,
     qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all
