@@ -611,6 +611,50 @@ object SparkEntry {
       FROM r WHERE price IS NOT NULL AND prev IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  // W13: maximum drawdown — the running-peak statistic quant risk
+  // reporting computes over every series: drawdown(t) = price(t) −
+  // max(price ≤ t), reported as the deepest trough and its bucket.
+  // The running max shares the resample's series-key shuffle; exact
+  // decimal subtraction throughout, and the trough pick (earliest
+  // bucket reaching the per-series min drawdown) is a plain
+  // min-over-a-join — deterministic in both engines.
+  private val qW13 = Q("w13_max_drawdown",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = resampled(s, d, 8, jan2, jan3, 300)
+        .where(col("value").isNotNull)
+        .withColumn("p", col("value").cast(DecimalType(18, 6)))
+        .withColumn("runmax", max("p").over(w))
+        .withColumn("drawdown", col("p") - col("runmax"))
+      val md = dd.groupBy("user_id").agg(min("drawdown").as("md"))
+      dd.join(md, Seq("user_id"))
+        .groupBy("user_id", "md")
+        .agg(min(when(col("drawdown") === col("md"), col("bucket")))
+          .as("trough_bucket"))
+        .select(col("user_id"),
+          round(col("md").cast("double"), 6).as("max_drawdown"),
+          col("trough_bucket"))
+        .orderBy("user_id")
+    },
+    Some(ffillSqlCte(8, jan2, jan3, 300) + """,
+      dd AS (
+        SELECT user_id, bucket,
+          CAST(price AS DECIMAL(18,6)) -
+            max(CAST(price AS DECIMAL(18,6))) OVER (
+              PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS drawdown
+        FROM filled WHERE price IS NOT NULL),
+      m AS (
+        SELECT user_id, min(drawdown) AS md FROM dd GROUP BY user_id)
+      SELECT dd.user_id,
+        round(CAST(m.md AS DOUBLE), 6) AS max_drawdown,
+        min(CASE WHEN dd.drawdown = m.md THEN dd.bucket END)
+          AS trough_bucket
+      FROM dd JOIN m ON dd.user_id = m.user_id
+      GROUP BY dd.user_id, m.md ORDER BY dd.user_id"""))
+
   // W3: epoch-anchored tumbling 4h windows over the month
   private val qW3 = Q("w3_tumbling_4h",
     (s, d) => T(s, d, "events")
@@ -969,7 +1013,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12,
+    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13,
     qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all
