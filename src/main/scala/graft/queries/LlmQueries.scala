@@ -1430,6 +1430,58 @@ object LlmQueries {
       WHERE frame_idx % 4 = 0
       ORDER BY doc_id, frame_idx"""))
 
+  // m3: resize plumbing — [[graft.ops.Multimodal.resizeStub]]'s
+  // byte-domain downsample (every 4th byte) graded end to end: the
+  // oracle rebuilds the same byte subsequence with character-position
+  // arithmetic (byte = char on the ASCII fixture, the m2 premise) and
+  // the md5 compares the full resized payload, not just its length.
+  private val qM3 = Q("m3_resize",
+    (s, d) => graft.ops.Multimodal.resizeStub(s,
+        T(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")), 4)
+      .select(col("doc_id"), col("n_bytes"),
+        md5(col("payload")).as("resized_md5"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST((strlen(text) + 3) // 4 AS INT) AS n_bytes,
+        md5(string_agg(substr(text, i, 1), '' ORDER BY i)) AS resized_md5
+      FROM (SELECT doc_id, text,
+          unnest(range(1, strlen(text) + 1, 4)) AS i
+        FROM documents)
+      GROUP BY doc_id, text ORDER BY doc_id"""))
+
+  // m4: feature-extraction plumbing —
+  // [[graft.ops.Multimodal.featureExtractStub]]'s deterministic 4-lane
+  // float embedding, graded EXACTLY: each float is v/2³¹ for a 32-bit
+  // md5 lane v, and v/2³¹ is exact in double (power-of-two divisor), so
+  // float(v/2³¹) is the correctly-rounded float in BOTH engines; the
+  // graded surface scales the float back by 2³¹ into a long, making the
+  // comparison bit-exact with no fp-text round-trip. The oracle parses
+  // the same md5 lanes, applies the same signed-int32 reinterpretation,
+  // and replays the double→REAL→double rounding chain.
+  private val qM4 = Q("m4_feature_extract",
+    (s, d) => graft.ops.Multimodal.featureExtractStub(s,
+        T(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")))
+      .select(col("doc_id"), posexplode(col("features"))
+        .as(Seq("lane", "f")))
+      .select(col("doc_id"), col("lane"),
+        (col("f").cast("double") * 2147483648.0).cast("long")
+          .as("f_scaled"))
+      .orderBy("doc_id", "lane"),
+    Some("""WITH lanes AS (
+        SELECT doc_id, k AS lane,
+          CAST(concat('0x', substr(md5(text), 8 * k + 1, 8)) AS BIGINT)
+            AS v
+        FROM documents, (SELECT unnest(range(4)) AS k)),
+      signed AS (
+        SELECT doc_id, lane,
+          CASE WHEN v >= 2147483648 THEN v - 4294967296 ELSE v END AS sv
+        FROM lanes)
+      SELECT doc_id, CAST(lane AS INT) AS lane,
+        CAST(CAST(CAST(CAST(sv AS DOUBLE) / 2147483648 AS REAL)
+          AS DOUBLE) * 2147483648 AS BIGINT) AS f_scaled
+      FROM signed ORDER BY doc_id, lane"""))
+
   /** Unrolled DuckDB replay of [[graft.ops.Kmeans]]: c0 = first-C
     * vectors; per round, assignment a_i (min exact distance, lowest cell
     * on ties) and centroid update c_i (truncating integer mean via `//`,
@@ -2001,5 +2053,5 @@ object LlmQueries {
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
-      qM1, qM2, qC1)
+      qM1, qM2, qM3, qM4, qC1)
 }
