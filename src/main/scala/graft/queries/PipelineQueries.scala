@@ -184,6 +184,33 @@ object PipelineQueries {
     Some("""SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
       FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id"""))
 
+  // S12: small-file compaction roundtrip — the lake-maintenance op
+  // (Sinks.compactParquet, CompactSpec asserts the file-count
+  // collapse) graded for LOSSLESSNESS: a deliberately fragmented write
+  // (16 part files for a few hundred rows — the micro-batch accretion
+  // shape) is compacted in place and read back; the oracle recomputes
+  // the same rows from the source table, so a row lost, duplicated, or
+  // corrupted by the rewrite-and-swap fails the hash. Setup writes are
+  // memoized per JVM; the compaction itself runs once (idempotent on
+  // the compacted state).
+  private val qS12 = Q("s12_compact_roundtrip",
+    (s, d) => {
+      val out = graft.sources.Materialize.value(d, "s12_compacted") {
+        val p = graft.sources.Materialize.path(d, "s12_compact")
+        T(s, d, "documents").where(col("doc_id") % 7 === 0)
+          .select("doc_id", "lang", "source", "n_chars")
+          .repartition(16)
+          .write.mode("overwrite").parquet(p)
+        Sinks.compactParquet(s, p, 64L * 1024 * 1024)
+        p
+      }
+      s.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id"""))
+
   // S11: schema-evolution read — two writer generations of the same
   // table (v2 added a column) merged into one scan via
   // [[Sinks.readParquetMerged]]; v1 rows surface the new column as NULL.
@@ -530,5 +557,5 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY chunk"""))
 
   val all: Seq[Q] =
-    Seq(qE1F, qW3b, qS7, qS6w, qS9, qS11, qG1, qG2, qG3, qW4b)
+    Seq(qE1F, qW3b, qS7, qS6w, qS9, qS11, qS12, qG1, qG2, qG3, qW4b)
 }
