@@ -73,14 +73,40 @@ object LlmQueries {
       s"min(((h % ${Text.MinhashMod}) * $a + $b) % ${Text.MinhashMod})"
     }.mkString(", ")
   /** Hashed unigram shingles (doc_id, h) — the one pass that reads the
-    * corpus text; strings never leave the projection. Cached: the set
-    * and band table builds below both consume it, and Spark's cache
-    * manager matches the identical plan across calls.
+    * corpus text; strings never leave the projection. NOT cached here:
+    * [[dedupTable]] caches it for the duration of the one-time set/band
+    * builds and releases it when both are written, so nothing stays
+    * pinned in executor memory for the JVM lifetime.
     */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     Text.explodeShingles(T(s, d, "documents"), "doc_id", "text", 1)
       .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
-      .cache()
+
+  /** Builds (once per JVM) BOTH persisted signature tables from a single
+    * cached pass over the corpus shingles, then unpersists — the cache
+    * exists only for the build's lifetime, never the session's.
+    */
+  private def dedupTable(s: SparkSession, d: String,
+                         which: String): DataFrame = {
+    if (!Materialize.isBuilt(d, "dedup_sets") ||
+        !Materialize.isBuilt(d, "dedup_bands")) {
+      val sh = shingleHashes(s, d).cache()
+      try {
+        Materialize.table(s, d, "dedup_sets") {
+          sh.groupBy("doc_id")
+            .agg(array_sort(collect_list(col("h"))).as("hs"))
+            .withColumn("sz", size(col("hs")))
+        }
+        Materialize.table(s, d, "dedup_bands") {
+          Text.bandKeys(Text.minhashSignature(sh, "doc_id", 12),
+            "doc_id", 2, 6)
+        }
+        ()
+      } finally { sh.unpersist(); () }
+    }
+    // both built above — the by-name builder is never forced
+    Materialize.table(s, d, which)(sys.error(s"$which already built"))
+  }
 
   /** Persisted per-doc shingle-hash sets (doc_id, hs sorted, sz) — the
     * signature table a production near-dup pass maintains in the lake.
@@ -88,21 +114,13 @@ object LlmQueries {
     * order-independent.
     */
   private[graft] def dedupSets(s: SparkSession, d: String): DataFrame =
-    Materialize.table(s, d, "dedup_sets") {
-      shingleHashes(s, d).groupBy("doc_id")
-        .agg(array_sort(collect_list(col("h"))).as("hs"))
-        .withColumn("sz", size(col("hs")))
-    }
+    dedupTable(s, d, "dedup_sets")
 
   /** Persisted banded minhash keys (band, bkey, doc_id) — the LSH index
     * table d2 buckets by and d8 probes incrementally.
     */
   private[graft] def dedupBands(s: SparkSession, d: String): DataFrame =
-    Materialize.table(s, d, "dedup_bands") {
-      Text.bandKeys(
-        Text.minhashSignature(shingleHashes(s, d), "doc_id", 12),
-        "doc_id", 2, 6)
-    }
+    dedupTable(s, d, "dedup_bands")
 
   /** d2's verified near-dup pair relation (i, j, jac ≥ 0.95), persisted
     * once and consumed by the pair query itself and d6's cluster

@@ -20,9 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - Keyed by (fixture dir, table name); memoized per JVM, so a fresh
   *     Verify/Bench run always rebuilds from the current fixture (no
   *     trust in on-disk state across runs).
-  *   - The scratch root is a FIXED path under java.io.tmpdir, written
-  *     with mode=overwrite — re-runs replace files in place instead of
-  *     accreting createTempDirectory garbage.
+  *   - The scratch root is per-user and per-process (removed at JVM
+  *     exit), so concurrent runs on one host cannot clobber each
+  *     other; `GRAFT_SCRATCH` overrides it with a caller-managed
+  *     location for deliberate cross-process sharing.
   *   - Builds are serialized under the registry lock (reentrant, so a
   *     table build may itself consume other materialized tables);
   *     queries execute single-threaded in Verify/Bench, so the lock is
@@ -40,9 +41,29 @@ object Materialize {
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Fixed scratch root — reused (and overwritten) across runs. */
-  val root: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_scratch"
+  /** Scratch root. Honors `GRAFT_SCRATCH` (a deliberately shared,
+    * caller-managed location — never deleted by us); otherwise a
+    * per-user per-process directory under tmpdir, removed at JVM exit.
+    * Per-process scoping means two concurrent runs (sbt test alongside
+    * Verify/Bench, or two sessions on one host) can never overwrite
+    * each other's tables mid-scan, and a pre-existing /tmp path owned
+    * by another user is never reused.
+    */
+  val root: String = sys.env.get("GRAFT_SCRATCH").getOrElse {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val user = sanitize(sys.props.getOrElse("user.name", "anon"))
+    val pid = ProcessHandle.current().pid()
+    val p = s"$tmp/graft_scratch_${user}_$pid"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        val f = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(f))
+          java.nio.file.Files.walk(f)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(x => { java.nio.file.Files.deleteIfExists(x); () })
+      } catch { case _: Throwable => () }))
+    p
+  }
 
   /** Scratch path for a named table of a fixture dir (also used by the
     * sink roundtrip queries for their fixed write locations).
@@ -64,6 +85,13 @@ object Materialize {
     }
     spark.read.parquet(p)
   }
+
+  /** Whether the named table has already been built this JVM — lets a
+    * caller group several table builds around one shared cached input
+    * and release it when all are written.
+    */
+  def isBuilt(dir: String, name: String): Boolean =
+    synchronized(builtTables.contains((dir, name)))
 
   /** Driver-side memoized value (codebooks and other dimension-sized
     * metadata) for fixture `dir`.

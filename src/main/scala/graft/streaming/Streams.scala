@@ -140,17 +140,35 @@ object Streams {
     * streaming and batch answers cannot drift (StreamsSpec asserts
     * equality).
     *
-    * Within-delta matches are found inside a micro-batch; a
-    * continuously running deployment appends each batch's signatures
-    * to the persisted band/set tables after verdicting, so later
-    * batches see earlier deltas as corpus — exactly the lake
-    * maintenance loop d8's scaladoc describes.
+    * Within-delta matches are found inside a micro-batch; across
+    * micro-batches, each batch's signatures are APPENDED to
+    * stream-private copies of the band/set tables after verdicting, so
+    * later batches see earlier deltas as corpus — the lake maintenance
+    * loop d8's scaladoc describes, made real. (A cross-batch delta dup
+    * is therefore labeled `dup_of_corpus`, first-seen-wins; the batch
+    * twin, which sees the whole delta at once, labels it
+    * `dup_of_delta` — same pair, same keep decision.) The state copies
+    * live under `checkpointDir` so the shared fixture tables are never
+    * mutated, and the append skips docs already present in state, so a
+    * retried micro-batch's append is a no-op.
     */
   def incrementalDedupStream(spark: SparkSession, srcDir: String,
                              corpusDir: String, outDir: String,
-                             checkpointDir: String, th: Long): Unit = {
+                             checkpointDir: String, th: Long,
+                             maxFilesPerTrigger: Option[Int] = None)
+                            : Unit = {
     import graft.ops.Text
-    val src = spark.readStream.schema(Catalog.schemas("documents"))
+    // stream-owned state: seeded from the persisted corpus tables once,
+    // then grown by each micro-batch's signatures
+    val stBands = s"$checkpointDir/state_bands"
+    val stSets = s"$checkpointDir/state_sets"
+    graft.queries.LlmQueries.dedupBands(spark, corpusDir)
+      .write.mode("overwrite").parquet(stBands)
+    graft.queries.LlmQueries.dedupSets(spark, corpusDir)
+      .write.mode("overwrite").parquet(stSets)
+    val reader = spark.readStream.schema(Catalog.schemas("documents"))
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
     val q = src.writeStream
       .trigger(Trigger.AvailableNow())
@@ -159,25 +177,39 @@ object Streams {
         val sh = Text.explodeShingles(batch, "doc_id", "text", 1)
           .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
           .cache()
-        val dSets = sh.groupBy("doc_id")
-          .agg(array_sort(collect_list(col("h"))).as("hs"))
-          .withColumn("sz", size(col("hs")))
-        val dBands = Text.bandKeys(
-          Text.minhashSignature(sh, "doc_id", 12), "doc_id", 2, 6)
-        // the corpus tables must not double-carry docs that are also in
-        // the arriving batch (the spec replays the fixture's own top
-        // decile as the delta) — anti-join the batch ids out so the
-        // union is disjoint and per-pair match counts stay exact
-        val ids = broadcast(batch.select("doc_id"))
-        val cBands = graft.queries.LlmQueries.dedupBands(spark, corpusDir)
-          .join(ids, Seq("doc_id"), "left_anti")
-        val cSets = graft.queries.LlmQueries.dedupSets(spark, corpusDir)
-          .join(ids, Seq("doc_id"), "left_anti")
-        graft.queries.LlmQueries.deltaVerdicts(
-            cBands.unionByName(dBands), dBands,
-            cSets.unionByName(dSets), batch.select("doc_id"), th)
-          .write.mode("append").parquet(outDir)
-        sh.unpersist()
+        try {
+          val dSets = sh.groupBy("doc_id")
+            .agg(array_sort(collect_list(col("h"))).as("hs"))
+            .withColumn("sz", size(col("hs")))
+          val dBands = Text.bandKeys(
+            Text.minhashSignature(sh, "doc_id", 12), "doc_id", 2, 6)
+          // the state tables must not double-carry docs that are also in
+          // the arriving batch (the spec replays the fixture's own top
+          // decile as the delta) — anti-join the batch ids out so the
+          // union is disjoint and per-pair match counts stay exact
+          val ids = broadcast(batch.select("doc_id"))
+          val cBands = spark.read.parquet(stBands)
+            .join(ids, Seq("doc_id"), "left_anti")
+          val cSets = spark.read.parquet(stSets)
+            .join(ids, Seq("doc_id"), "left_anti")
+          graft.queries.LlmQueries.deltaVerdicts(
+              cBands.unionByName(dBands), dBands,
+              cSets.unionByName(dSets), batch.select("doc_id"), th)
+            .write.mode("append").parquet(outDir)
+          // lake maintenance: this batch's signatures become corpus for
+          // every later micro-batch. Docs already present in state are
+          // NOT re-appended (the fixture replays corpus docs as the
+          // delta; a duplicate set row would double a pair's verified
+          // match count in deltaVerdicts) — this also makes a retried
+          // batch's append a no-op.
+          val known = spark.read.parquet(stSets).select("doc_id")
+          val freshB = dBands.join(known, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          val freshS = dSets.join(known, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          freshB.write.mode("append").parquet(stBands)
+          freshS.write.mode("append").parquet(stSets)
+        } finally { sh.unpersist(); () }
         ()
       }
       .start()

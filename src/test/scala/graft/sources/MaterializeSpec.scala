@@ -12,8 +12,12 @@ class MaterializeSpec extends SparkTestBase {
       builds += 1
       Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     }
-    // distinct per-run name so reruns in one test JVM never collide
+    // distinct per-run name so reruns in one test JVM never collide;
+    // registered for deletion at JVM exit (the per-process scratch root
+    // self-deletes too — this covers a GRAFT_SCRATCH-overridden root)
     val name = s"spec_tbl_${System.nanoTime()}"
+    SparkTestBase.registerCleanup(
+      java.nio.file.Paths.get(Materialize.path("/spec/fixture", name)))
     val first = Materialize.table(spark, "/spec/fixture", name)(build)
     val second = Materialize.table(spark, "/spec/fixture", name)(build)
     assert(builds == 1) // second call must NOT re-build

@@ -119,4 +119,61 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("incrementalDedupStream multi-batch: later batches see earlier " +
+    "deltas as corpus (state append)") {
+    import org.apache.spark.sql.Row
+    // the sf0.001 fixture has no within-delta dup, so synthesize one:
+    // two new top-id docs share a nonsense text that appears nowhere in
+    // the corpus — the second can only be verdicted via the first
+    val base = graft.Catalog.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val m = base.agg(max("doc_id")).head().getLong(0)
+    val nonsense = (1 to 40).map(i => s"zqxv$i").mkString(" ")
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(m + 1, nonsense, "en", "synthetic", nonsense.length.toLong),
+        Row(m + 2, nonsense, "en", "synthetic", nonsense.length.toLong)),
+      graft.Catalog.schemas("documents"))
+    val fx = tmp("graft_incr_mb_fx_")
+    base.unionByName(extra).write.mode("overwrite")
+      .parquet(s"$fx/documents.parquet")
+    val docs = graft.Catalog.load(spark, fx, "documents")
+    val th = (m + 2) * 9 / 10
+    val batch = graft.SparkEntry.queries("d8_incremental_dedup")(spark, fx)
+      .collect().toSeq
+    // splitting the delta at j* = m+2 guarantees the (m+1, m+2) pair
+    // spans two micro-batches, so the verdict for m+2 is only correct
+    // if batch 1's signatures were appended to the stream's state
+    val jStar = batch.find(_.getString(3) == "dup_of_delta")
+      .getOrElse(fail("synthetic within-delta dup missing"))
+    val mid = jStar.getLong(0)
+    assert(mid == m + 2 && jStar.getLong(1) == m + 1)
+    val delta = docs.where(col("doc_id") >= th)
+    val in = tmp("graft_incr_mb_in_")
+    // two parquet files; mtimes force FileStreamSource to take the
+    // lower-id file first, so every cross-file pair (i < j) has i in the
+    // earlier batch — the only order under which batch-equality is the
+    // documented semantics
+    def stage(df: org.apache.spark.sql.DataFrame, name: String,
+              mtime: Long): Unit = {
+      val t = tmp("graft_incr_mb_stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = Paths.get(in, name)
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    stage(delta.where(col("doc_id") < mid), "a_low.parquet", now - 120000)
+    stage(delta.where(col("doc_id") >= mid), "b_high.parquet", now)
+    val out = tmp("graft_incr_mb_out_")
+    val ck = tmp("graft_incr_mb_ck_")
+    Streams.incrementalDedupStream(spark, in, fx, out, ck, th,
+      maxFilesPerTrigger = Some(1))
+    val streamed = spark.read.parquet(out)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
 }
