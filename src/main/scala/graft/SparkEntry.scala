@@ -37,7 +37,7 @@ object SparkEntry {
 
   private[graft] val jan1 = sec("2024-01-01T00:00:00")
   private[graft] val jan2 = sec("2024-01-02T00:00:00")
-  private val jan3 = sec("2024-01-03T00:00:00")
+  private[graft] val jan3 = sec("2024-01-03T00:00:00")
   private[graft] val jan5 = sec("2024-01-05T00:00:00")
   private[graft] val jan8 = sec("2024-01-08T00:00:00")
   private val jan15 = sec("2024-01-15T00:00:00")
@@ -858,30 +858,40 @@ object SparkEntry {
           ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2 ORDER BY i, j"""
 
+  /** The wide one-pass panel: (sorted distinct series ids, one k-wide
+    * Array[Double] row per bucket, NaN = missing) — the input shape of
+    * [[graft.functions.CorrMatrixAgg]]. Shared by the a3 one-pass tiers
+    * and the wide graph-edge builder (g4). The key set is collected from
+    * the cheap pruned raw scan (k ids — dimension metadata, not data),
+    * which avoids materializing the ffill window a second time just to
+    * enumerate columns; the filled panel itself comes from the shared
+    * resample cache.
+    */
+  private[graft] def widePanel(s: SparkSession, d: String, nUsers: Int,
+      a: Long, b: Long, step: Long): (Seq[Long], DataFrame) = {
+    import s.implicits._
+    val filled = resampled(s, d, nUsers, a, b, step)
+    val users: Seq[Long] = T(s, d, "events")
+      .where(col("user_id") < nUsers &&
+        col("ts") >= tsLit(a) && col("ts") < tsLit(b))
+      .select("user_id").distinct()
+      .orderBy("user_id").as[Long].collect().toSeq
+    val panel = filled.groupBy("bucket").agg(
+      map_from_entries(collect_list(struct(col("user_id").cast("int"),
+        coalesce(col("value"), lit(Double.NaN))))).as("m"))
+      .select(array(users.map(u =>
+        coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
+        .as("vals"))
+    (users, panel)
+  }
+
   // A3 tier iii (SURVEY §2.9/§7): the one-pass pairwise-complete co-moment
   // UDAF — co-moment state crosses the shuffle instead of k² rows per
-  // bucket (see [[graft.functions.CorrMatrixAgg]]). The tiny driver-side
-  // collect fetches only the k distinct series ids (dimension metadata,
-  // not data).
+  // bucket (see [[graft.functions.CorrMatrixAgg]]).
   private val qA3b = Q("a3b_corr_onepass",
     (s, d) => {
-      import s.implicits._
-      val filled = resampled(s, d, 10, jan1, jan8, 300)
-      // the panel's key set == distinct users of the filtered raw ticks;
-      // collecting it from the cheap pruned scan avoids materializing
-      // the ffill window a second time just to enumerate columns
-      val users: Seq[Long] = T(s, d, "events")
-        .where(col("user_id") < 10 &&
-          col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
-        .select("user_id").distinct()
-        .orderBy("user_id").as[Long].collect().toSeq
+      val (users, panel) = widePanel(s, d, 10, jan1, jan8, 300)
       val k = users.size
-      val panel = filled.groupBy("bucket").agg(
-        map_from_entries(collect_list(struct(col("user_id").cast("int"),
-          coalesce(col("value"), lit(Double.NaN))))).as("m"))
-        .select(array(users.map(u =>
-          coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
-          .as("vals"))
       panel.agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
           .as("cells"))
         .select(explode(col("cells")).as("c"))
@@ -901,20 +911,8 @@ object SparkEntry {
   // the pair-join tier with pair-pruning wins again — both stay exposed.
   private val qA3c = Q("a3c_corr_onepass_wide",
     (s, d) => {
-      import s.implicits._
-      val filled = resampled(s, d, 300, jan1, jan3, 600)
-      val users: Seq[Long] = T(s, d, "events")
-        .where(col("user_id") < 300 &&
-          col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan3))
-        .select("user_id").distinct()
-        .orderBy("user_id").as[Long].collect().toSeq
+      val (users, panel) = widePanel(s, d, 300, jan1, jan3, 600)
       val k = users.size
-      val panel = filled.groupBy("bucket").agg(
-        map_from_entries(collect_list(struct(col("user_id").cast("int"),
-          coalesce(col("value"), lit(Double.NaN))))).as("m"))
-        .select(array(users.map(u =>
-          coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
-          .as("vals"))
       // Shrink partitions before the agg: the panel is only buckets-many
       // rows (hundreds), but the aggregator's partial buffer is O(k²)
       // doubles — at 32 post-shuffle partitions the plan serializes and

@@ -164,6 +164,52 @@ object PipelineQueries {
           ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2 ORDER BY i, j"""))
 
+  // S6 at the reference's real matrix width: the exporter's artifact is
+  // a ~500-column square CSV (README.md:43), not the k=8 toy above. The
+  // full fixture panel (k=150 at sf0.01, capped 300) flows through the
+  // one-pass co-moment UDAF — never a per-bucket k² pair join — out to
+  // the square CSV (151 columns, ids as header + index, unit diagonal,
+  // EMPTY cells for undefined pairs: 1,636 of the 11,175 pairs here
+  // have <2 complete observations), back in through the CSV reader, and
+  // is unpivoted and hash-graded against the oracle correlating the raw
+  // ticks — so header/index alignment, cell order, the 4-dp double text
+  // round-trip AND the empty-cell (NaN) fidelity are all on the graded
+  // path at real width.
+  private val qS6b = Q("s6b_wide_corr_matrix",
+    (s, d) => {
+      val jan1 = SparkEntry.jan1
+      val jan3 = SparkEntry.jan3
+      val (users, panel) = SparkEntry.widePanel(s, d, 300, jan1, jan3, 600)
+      val k = users.size
+      val nBuckets = (jan3 - jan1) / 600
+      val pairs = panel
+        .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
+        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+          .as("cells"))
+        .select(explode(col("cells")).as("c"))
+        .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
+          element_at(typedLit(users), col("c.j") + 1).as("j"),
+          round(col("c.rho"), 4).as("rho"))
+      val out = graft.sources.Materialize.path(d, "s6b_wide_matrix")
+      Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
+      val raw0 = s.read.option("header", "true").csv(out)
+      val raw = raw0.toDF(("row_id" +: raw0.columns.tail.toSeq): _*)
+      raw.unpivot(Array(col("row_id")), raw.columns.tail.map(col),
+          "j", "rho_s")
+        .select(col("row_id").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          col("rho_s").cast("double").as("rho"))
+        .where(col("i") < col("j"))
+        .transform(Q.sortedSmall(_, "i", "j"))
+    },
+    Some(SparkEntry.ffillSqlCte(300, SparkEntry.jan1, SparkEntry.jan3,
+      600) +
+      """ SELECT a.user_id AS i, b.user_id AS j,
+          round(corr(a.price, b.price), 4) AS rho
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2 ORDER BY i, j"""))
+
   // S9/JSONL: gzip JSONL round-trip — the interchange format LLM corpora
   // ship in (one JSON doc per line). A slice of `documents` goes out
   // through the JSONL sink and back through the schema'd read (no
@@ -515,6 +561,57 @@ object PipelineQueries {
         FROM xs JOIN edges USING (win) ORDER BY win"""
     })
 
+  // E4/F13/P11 at the reference's real panel width: pyg_graphs.py:90-94
+  // builds its edge list over the full S&P universe (k≈500 tickers),
+  // where g1's per-bucket pair self-join would shuffle buckets·k²/2 rows
+  // before aggregating — the exact blowup the one-pass co-moment UDAF
+  // exists to avoid. Here the edges come from that tier at every fixture
+  // user (k=150 at sf0.01, capped at 300): ONE resample shuffle feeds a
+  // k-wide panel row per bucket, the aggregate moves k(k-1)/2×10 doubles
+  // of co-moment state (not data) across the merge, and the UDAF's
+  // 0-based index into the sorted vertex dimension IS the vid (the
+  // reference's tickers.index(src)), so the label→index join costs
+  // nothing. 4-dp rounding for the same fp-boundary-density reason as
+  // a3c. PlanGuardSpec asserts the plan shape: no bucket-keyed k² join.
+  private val qG4 = Q("g4_wide_edges",
+    (s, d) => {
+      val jan1 = SparkEntry.jan1
+      val jan3 = SparkEntry.jan3
+      val (users, panel) = SparkEntry.widePanel(s, d, 300, jan1, jan3, 600)
+      val k = users.size
+      val nBuckets = (jan3 - jan1) / 600
+      val e = graft.ops.Time.registerCached(panel
+        .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
+        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+          .as("cells"))
+        .select(explode(col("cells")).as("c"))
+        .select(col("c.i").cast("long").as("src"),
+          col("c.j").cast("long").as("dst"),
+          round(col("c.rho"), 4).as("weight"))
+        .where(col("weight") > 0)
+        .cache())
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
+          col("weight")))
+        .transform(Q.sortedSmall(_, "src", "dst"))
+    },
+    Some(SparkEntry.ffillSqlCte(300, SparkEntry.jan1, SparkEntry.jan3,
+      600) + s""",
+      pairs AS (
+        SELECT a.user_id AS ui, b.user_id AS uj,
+          round(corr(a.price, b.price), 4) AS w
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id
+        GROUP BY 1, 2 HAVING round(corr(a.price, b.price), 4) > 0),
+      v AS (
+        SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS vid
+        FROM (SELECT DISTINCT user_id FROM filled))
+      SELECT vs.vid AS src, vd.vid AS dst, w AS weight
+      FROM pairs JOIN v vs ON vs.user_id = ui JOIN v vd ON vd.user_id = uj
+      UNION ALL
+      SELECT vd.vid, vs.vid, w
+      FROM pairs JOIN v vs ON vs.user_id = ui JOIN v vd ON vd.user_id = uj
+      ORDER BY src, dst"""))
+
   // W4 with the reference's true business-day semantics: weekdays only,
   // indexed densely (so a Mon..Fri week is 5 consecutive indices
   // regardless of the weekend gap), chunked 5 business days at a time,
@@ -557,5 +654,6 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY chunk"""))
 
   val all: Seq[Q] =
-    Seq(qE1F, qW3b, qS7, qS6w, qS9, qS11, qS12, qG1, qG2, qG3, qW4b)
+    Seq(qE1F, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qG1, qG2, qG3, qG4,
+      qW4b)
 }

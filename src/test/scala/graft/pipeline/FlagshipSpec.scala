@@ -82,6 +82,34 @@ class FlagshipSpec extends SparkTestBase {
     }
   }
 
+  test("wide matrix CSV holds its layout at real width (k=150)") {
+    val d = "/root/testdata/sf0.01"
+    // s6b writes the square matrix as a side effect of its roundtrip
+    graft.SparkEntry.queries("s6b_wide_corr_matrix")(spark, d).collect()
+    val out = new java.io.File(
+      graft.sources.Materialize.path(d, "s6b_wide_matrix"))
+    val csv = out.listFiles().filter(_.getName.endsWith(".csv")).head
+    val lines = java.nio.file.Files.readAllLines(csv.toPath)
+    val header = lines.get(0).split(",", -1)
+    assert(header.head == "")
+    val ids = header.tail
+    // the reference exports ~500 columns (README.md:43); the fixture
+    // panel is every sf0.01 user — layout must hold at this width
+    assert(ids.length >= 150, s"expected k>=150 columns, got ${ids.length}")
+    assert(lines.size == ids.length + 1)
+    var empties = 0
+    (1 until lines.size).foreach { r =>
+      val fields = lines.get(r).split(",", -1)
+      assert(fields.length == ids.length + 1)
+      assert(fields.head == ids(r - 1))       // index column = header ids
+      assert(fields(r).toDouble == 1.0)       // unit diagonal
+      empties += fields.tail.count(_.isEmpty)
+    }
+    // undefined pairs are EMPTY cells (pandas NaN → empty), not zeros —
+    // and the matrix is symmetric, so their count is even
+    assert(empties > 0 && empties % 2 == 0)
+  }
+
   test("run records failures per window and never throws (§2.11)") {
     val out = scratchDir("graft_flagf_")
     val open = graft.SparkEntry.sec("2024-01-02T09:30:00")
