@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan-shape regression gates — the scale claims in SCALE.md, turned
+  * into assertions. Each test pins the PHYSICAL plan property that makes
+  * an operator survive 100×, so a refactor that silently re-introduces a
+  * recompute, loses a broadcast hint, or falls back to a cartesian
+  * product fails the suite instead of only showing up in the bench.
+  *
+  * Plans are inspected as the pre-execution physical plan string (AQE
+  * initial plan): broadcast decisions asserted here come from explicit
+  * `broadcast()` hints and cartesian products from join conditions, both
+  * of which are visible statically.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def plan(name: String): String =
+    planOf(SparkEntry.queries(name)(spark, sf))
+
+  test("d6's pair input is a parquet scan — no minhash subtree") {
+    // force the one-time materialization, then inspect what consumers see
+    val pairs = LlmQueries.d2Pairs(spark, sf)
+    val p = planOf(pairs)
+    assert(p.contains("Scan parquet"), p)
+    assert(p.contains("dedup_pairs"), p)
+    // a recompute would carry the shingle explode (Generate) and the
+    // minhash aggregation — a table scan carries neither
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("d8's incremental probe reads persisted signatures, dims broadcast") {
+    val p = plan("d8_incremental_dedup")
+    assert(p.contains("dedup_bands"), p)
+    assert(p.contains("dedup_sets"), p)
+    // the size-prefilter/set sides ride broadcast hints — the corpus-
+    // sized band table must never be the shuffled-both-sides build
+    assert(p.contains("BroadcastHashJoin"), p)
+    // probing persisted signatures must not re-shingle the corpus text
+    assert(!p.contains("Generate explode"), p)
+  }
+
+  test("d4's hot-shingle cut and size prefilter are broadcast joins") {
+    val p = plan("d4_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the max-df cut is a broadcast ANTI join against the tiny hot set
+    assert(p.contains("LeftAnti, BuildRight"), p)
+  }
+
+  test("e9/e11 ADC plans scan persisted codes — never retrain/re-encode") {
+    val p9 = plan("e9_pq_recall")
+    assert(p9.contains("pq_codes"), p9)
+    val p11 = plan("e11_ivfpq_recall")
+    assert(p11.contains("pq_codes"), p11)
+  }
+
+  test("g4's wide edges contain the co-moment aggregate and no join") {
+    val p = plan("g4_wide_edges")
+    // the UDAF aggregate is the plan's centerpiece...
+    assert(p.toLowerCase.contains("corrmatrixagg"), p)
+    // ...and the only join anywhere is the resample grid's LeftOuter
+    // ffill join: no Inner join means no bucket-keyed k² pair expansion
+    // (g1's shape), and no shuffled join of any kind exists
+    assert(!p.contains("Inner"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p)
+  }
+
+  test("no CartesianProduct in any query plan") {
+    // broadcast-tiny plane/profile generators surface as
+    // BroadcastNestedLoopJoin, which is fine; an unhinted non-equi join
+    // falling back to CartesianProduct is never fine
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}
