@@ -29,9 +29,14 @@ object Streams {
   /** Events-schema'd streaming source over a directory of parquet files.
     * Same nanos-as-long read contract as the batch catalog.
     */
-  def eventsStream(spark: SparkSession, srcDir: String): DataFrame =
-    spark.readStream.schema(Catalog.schemas("events")).parquet(srcDir)
+  def eventsStream(spark: SparkSession, srcDir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(Catalog.schemas("events"))
+    maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** 1-minute windowed per-user mean with a 1-hour watermark, written as
     * date-partitioned parquet through foreachBatch. Blocks until the
@@ -39,9 +44,10 @@ object Streams {
     * micro-batches executed.
     */
   def windowedMeans(spark: SparkSession, srcDir: String, outDir: String,
-                    checkpointDir: String): Long = {
+                    checkpointDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): Long = {
     var batches = 0L
-    val agg = eventsStream(spark, srcDir)
+    val agg = eventsStream(spark, srcDir, maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 minute"), col("user_id"))
       .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
@@ -74,8 +80,9 @@ object Streams {
     */
   def sessionStream(spark: SparkSession, srcDir: String, outDir: String,
                     checkpointDir: String, gap: String = "30 minutes",
-                    watermark: String = "1 hour"): Unit = {
-    val agg = eventsStream(spark, srcDir)
+                    watermark: String = "1 hour",
+                    maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val agg = eventsStream(spark, srcDir, maxFilesPerTrigger)
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))

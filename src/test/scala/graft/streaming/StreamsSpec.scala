@@ -9,6 +9,31 @@ class StreamsSpec extends SparkTestBase {
   private def tmp(prefix: String): String =
     scratchDir(prefix)
 
+  /** One synthetic events row — ts is epoch SECONDS here, stored in the
+    * fixture's nanos-as-long convention.
+    */
+  private def evRow(id: Long, tsSec: Long, user: Long, value: Double) =
+    org.apache.spark.sql.Row(id, tsSec * 1000000000L, user, "click",
+      value, "{}")
+
+  /** Write rows as one parquet file named `name` under `dir` with a
+    * controlled mtime — FileStreamSource orders files by modification
+    * time, so mtimes pin the micro-batch order.
+    */
+  private def stageFile(dir: String, name: String, mtime: Long,
+                        rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val t = tmp("graft_late_stage_")
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        graft.Catalog.schemas("events"))
+      .coalesce(1).write.mode("overwrite").parquet(t)
+    val part = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = Paths.get(dir, name)
+    Files.copy(part.toPath, dst)
+    assert(dst.toFile.setLastModified(mtime))
+  }
+
   private def stageEvents(): String = {
     val in = tmp("graft_stream_in_")
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
@@ -99,6 +124,94 @@ class StreamsSpec extends SparkTestBase {
       .select("event_id").distinct().count()
     assert(got.count() == distinctIds)
     assert(got.select("event_id").distinct().count() == distinctIds)
+  }
+
+  test("windowedMeans drops late rows past the watermark, accepts the " +
+    "rest") {
+    val base = graft.SparkEntry.sec("2024-01-02T10:00:00")
+    val h = 3600L
+    val in = tmp("graft_late_win_in_")
+    val now = System.currentTimeMillis()
+    // Spark applies the late-event filter with the watermark as of the
+    // PREVIOUS batch (eviction uses the updated one), so the watermark
+    // advance must land a full batch before the late row arrives:
+    // batch 1 (two 10:00-window rows + a 13:00 row) raises the
+    // watermark (1h delay) to 12:00, batch 2 keeps the clock moving,
+    // batch 3 carries the late rows.
+    stageFile(in, "b1.parquet", now - 180000, Seq(
+      evRow(1, base, 1, 1.0),
+      evRow(2, base + 30, 1, 3.0),
+      evRow(3, base + 3 * h, 1, 5.0)))
+    stageFile(in, "b2.parquet", now - 120000, Seq(
+      evRow(4, base + 3 * h + 1800, 1, 5.0)))
+    // batch 3: a row for the long-finalized 10:00 window (2h behind the
+    // 12:00 watermark -> DROPPED), a 12:45 row behind max-seen event
+    // time but inside the watermark -> ACCEPTED, and a 14:00 row that
+    // advances the final watermark to 13:00 so the survivor emits
+    stageFile(in, "b3.parquet", now, Seq(
+      evRow(5, base + 10, 1, 100.0), // late past watermark
+      evRow(6, base + 2 * h + 2700, 1, 7.0), // late, within watermark
+      evRow(7, base + 4 * h, 1, 9.0)))
+    val out = tmp("graft_late_win_out_")
+    val ck = tmp("graft_late_win_ck_")
+    val batches = Streams.windowedMeans(spark, in, out, ck,
+      maxFilesPerTrigger = Some(1))
+    assert(batches >= 3)
+    val got = spark.read.parquet(out)
+      .select(unix_timestamp(col("bucket_start")).as("b"),
+        col("avg_value"), col("n"))
+      .orderBy("b").collect().toSeq.map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // 10:00 window holds ONLY batch 1's rows (n=2, avg=2.0): the late
+    // v=100 row was dropped against its already-evicted window, not
+    // merged and not re-emitted. The 12:45 window emits the accepted
+    // late row. The 13:00/13:30/14:00 windows stay open (the 13:00
+    // watermark has not passed their ends) — exactly two closed rows.
+    assert(got == Seq(
+      (base, 2.0, 2L),
+      (base + 2 * h + 2700, 7.0, 1L)))
+  }
+
+  test("sessionStream drops late rows past the watermark, accepts the " +
+    "rest") {
+    val base = graft.SparkEntry.sec("2024-01-02T10:00:00")
+    val h = 3600L
+    val in = tmp("graft_late_sess_in_")
+    val now = System.currentTimeMillis()
+    // same one-batch-lag watermark staging as the windowed test:
+    // batch 1: a two-event session at 10:00-10:40 (gap 30m) + a 13:00
+    // event that pushes the watermark to 12:00
+    stageFile(in, "b1.parquet", now - 180000, Seq(
+      evRow(1, base, 1, 1.0),
+      evRow(2, base + 600, 1, 1.0),
+      evRow(3, base + 3 * h, 1, 1.0)))
+    // batch 2: a 13:05 event merging into the 13:00 session
+    stageFile(in, "b2.parquet", now - 120000, Seq(
+      evRow(4, base + 3 * h + 300, 1, 1.0)))
+    // batch 3: a 10:05 row inside the long-closed first session (past
+    // the watermark -> DROPPED, count stays 2), a 12:20 row inside the
+    // watermark -> its own session, and a 15:00 row that advances the
+    // final watermark to 14:00 so every earlier session closes
+    stageFile(in, "b3.parquet", now, Seq(
+      evRow(5, base + 300, 1, 1.0), // late past watermark
+      evRow(6, base + 2 * h + 1200, 1, 1.0), // late, within watermark
+      evRow(7, base + 5 * h, 1, 1.0)))
+    val out = tmp("graft_late_sess_out_")
+    val ck = tmp("graft_late_sess_ck_")
+    Streams.sessionStream(spark, in, out, ck,
+      maxFilesPerTrigger = Some(1))
+    val got = spark.read.parquet(out)
+      .select("session_start", "session_end", "n_events")
+      .orderBy("session_start").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // first session is [10:00, 10:40) with n=2 — the dropped 10:05 row
+    // neither raised the count nor re-opened the session; the accepted
+    // 12:20 row is its own closed session; 13:00+13:05 merged into
+    // [13:00, 13:35); 15:00's session stays open
+    assert(got == Seq(
+      (base, base + 600 + 1800, 2L),
+      (base + 2 * h + 1200, base + 2 * h + 3000, 1L),
+      (base + 3 * h, base + 3 * h + 300 + 1800, 2L)))
   }
 
   test("incrementalDedupStream verdicts equal d8's batch form") {
