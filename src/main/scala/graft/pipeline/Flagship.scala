@@ -72,6 +72,63 @@ object Flagship {
   def chunksDropTail[T](xs: Seq[T], n: Int): Seq[Seq[T]] =
     xs.grouped(n).filter(_.size == n).toSeq
 
+  /** The reference's daily resample-export loop (taq_chunks.py:112-147):
+    * each listed day's panel is resampled + forward-filled INDEPENDENTLY
+    * (no value carries across days; a day's buckets before its first
+    * tick stay empty — exactly the per-day query the reference issues
+    * per iteration) and written as ONE gzip CSV at the reference's
+    * literal artifact path, `outDir/{year}/{month:02d}/
+    * taq_resampled_{yyyy-MM-dd}.csv.gz` (taq_chunks.py:136-142). Days
+    * with no ticks are skipped (`ok = true, rows = 0`, no file —
+    * taq_chunks.py:131-134's skip-empty), failures recorded per day
+    * under the same never-throw contract as [[run]].
+    *
+    * Single-file-per-day is the downstream consumer contract (as with
+    * [[Sinks.writeWindowCsv]]); the at-scale form of this computation is
+    * one span-wide job with the day as a derived column and one
+    * partitioned write (e1_flagship's shape) — FlagshipSpec grades this
+    * loop's files byte-for-byte against exactly that single query.
+    */
+  def runDailyExport(spark: SparkSession, sfDir: String, outDir: String,
+                     days: Seq[LocalDate], freqSec: Long,
+                     maxUsers: Int): Seq[WindowResult] = {
+    import java.nio.file.{Files, Paths}
+    days.map { day =>
+      val ws = day.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC)
+      val we = ws + 86400L
+      Try {
+        val ticks = Catalog.load(spark, sfDir, "events")
+          .where(col("user_id") < maxUsers)
+        val filled = Time.resampleFfill(spark, ticks, "user_id", "ts",
+          "value", ws, we, freqSec, Exact.davg(col("value")))
+        try {
+          val monthDir = f"$outDir/${day.getYear}/${day.getMonthValue}%02d"
+          val target = s"$monthDir/taq_resampled_$day.csv.gz"
+          val tmp = s"$outDir/_tmp_$day"
+          val n = filled.count()
+          if (n == 0) WindowResult(ws, we, ok = true, 0, "", "")
+          else {
+            filled.orderBy("bucket", "user_id").coalesce(1)
+              .write.mode("overwrite").option("header", "true")
+              .option("compression", "gzip").csv(tmp)
+            Files.createDirectories(Paths.get(monthDir))
+            val part = new java.io.File(tmp).listFiles()
+              .filter(_.getName.endsWith(".csv.gz")).head
+            Files.move(part.toPath, Paths.get(target),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            new java.io.File(tmp).listFiles().foreach(_.delete())
+            Files.deleteIfExists(Paths.get(tmp))
+            WindowResult(ws, we, ok = true, n, target, "")
+          }
+        } finally Time.unpersistPanels()
+      } match {
+        case Success(r) => r
+        case Failure(e) =>
+          WindowResult(ws, we, ok = false, 0, "", String.valueOf(e.getMessage))
+      }
+    }
+  }
+
   /** Run the per-window correlation export over one trading session.
     * Every window is wrapped in Try: a failing window is recorded and
     * skipped, never failing the run (§2.11 of the survey — the

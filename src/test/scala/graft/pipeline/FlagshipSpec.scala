@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.time.LocalDate
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class FlagshipSpec extends SparkTestBase {
 
@@ -108,6 +109,68 @@ class FlagshipSpec extends SparkTestBase {
     // undefined pairs are EMPTY cells (pandas NaN → empty), not zeros —
     // and the matrix is symmetric, so their count is even
     assert(empties > 0 && empties % 2 == 0)
+  }
+
+  test("daily export writes the month layout and matches one span query") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val out = scratchDir("graft_daily_")
+    val d = "/root/testdata/sf0.001"
+    val days = Flagship.businessDays(
+      java.time.LocalDate.of(2024, 1, 2),
+      java.time.LocalDate.of(2024, 1, 26))
+    assert(days.size == 19) // multi-week span
+    val res = Flagship.runDailyExport(spark, d, out, days, 600, 5)
+    assert(res.forall(_.ok), res.filterNot(_.ok).map(_.error).mkString(";"))
+    assert(res.forall(_.rows > 0))
+    // layout: one gzip CSV per day at {year}/{month:02d}/taq_resampled_*
+    // (taq_chunks.py:136-142), zero-padded month dir, nothing else
+    val mdir = new java.io.File(s"$out/2024/01")
+    assert(mdir.isDirectory)
+    assert(mdir.listFiles().map(_.getName).toSet ==
+      days.map(dd => s"taq_resampled_$dd.csv.gz").toSet)
+    // read every day file back...
+    val schema = StructType(Seq(StructField("bucket", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val back = spark.read.option("header", "true").schema(schema)
+      .csv(s"$out/2024/01/*.csv.gz")
+    // ...and compare against ONE span-wide query: same resample, with
+    // the ffill window partitioned by (user, day) and each day's key
+    // set scoped to users who ticked that day — the single-job form of
+    // the reference's per-day loop
+    val ws0 = days.head.toEpochDay * 86400L
+    val we0 = (days.last.toEpochDay + 1) * 86400L
+    val bucketed = graft.Catalog.load(spark, d, "events")
+      .where(col("user_id") < 5 &&
+        col("ts") >= timestamp_seconds(lit(ws0)) &&
+        col("ts") < timestamp_seconds(lit(we0)))
+      .groupBy(graft.ops.Time.bucketSec(col("ts"), 600).as("bucket"),
+        col("user_id"))
+      .agg(graft.ops.Exact.davg(col("value")).as("value"))
+    val keysByDay = bucketed
+      .select((col("bucket") / 86400).cast("long").as("day"),
+        col("user_id")).distinct()
+    val grid = spark.range(ws0, we0, 600)
+      .select(col("id").as("bucket"))
+      .withColumn("day", (col("bucket") / 86400).cast("long"))
+      .join(broadcast(keysByDay), Seq("day"))
+    val w = Window.partitionBy("user_id", "day").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = grid.join(bucketed, Seq("bucket", "user_id"), "left")
+      .withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      .where(col("day").isInCollection(days.map(_.toEpochDay)))
+      .select("bucket", "user_id", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("bucket", "user_id").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val got = rows(back)
+    assert(got.nonEmpty && got == rows(want))
+    // day independence: a day after the first still has empty buckets
+    // before its first tick — a span-wide user-partitioned ffill would
+    // have carried the previous day's close into them
+    assert(got.exists { case (b, _, v) =>
+      v.isEmpty && b >= days(1).toEpochDay * 86400L })
   }
 
   test("run records failures per window and never throws (§2.11)") {
