@@ -144,16 +144,17 @@ object PipelineQueries {
         .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6)
           .as("rho"))
       val out = graft.sources.Materialize.path(d, "s6_wide_matrix")
-      Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
-      val raw0 = s.read.option("header", "true").csv(out)
-      // first column is the pandas-style empty-named index — rename
-      // positionally before touching it
-      val raw = raw0.toDF(("row_id" +: raw0.columns.tail.toSeq): _*)
-      raw.unpivot(Array(col("row_id")), raw.columns.tail.map(col),
-          "j", "rho")
-        .select(col("row_id").cast("long").as("i"),
-          col("j").cast("long").as("j"),
-          col("rho").cast("double").as("rho"))
+      val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
+      // schema'd read from the writer's returned column order — no
+      // inference pass over the CSV; the first (pandas-style
+      // empty-named) index column maps positionally to row_id
+      val schema = StructType(StructField("row_id", LongType) +:
+        ids.map(id => StructField(id.toString, DoubleType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+        .unpivot(Array(col("row_id")),
+          ids.map(id => col(s"`$id`")).toArray, "j", "rho")
+        .select(col("row_id").as("i"), col("j").cast("long").as("j"),
+          col("rho"))
         .where(col("i") < col("j"))
         .orderBy("i", "j")
     },
@@ -191,14 +192,17 @@ object PipelineQueries {
           element_at(typedLit(users), col("c.j") + 1).as("j"),
           round(col("c.rho"), 4).as("rho"))
       val out = graft.sources.Materialize.path(d, "s6b_wide_matrix")
-      Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
-      val raw0 = s.read.option("header", "true").csv(out)
-      val raw = raw0.toDF(("row_id" +: raw0.columns.tail.toSeq): _*)
-      raw.unpivot(Array(col("row_id")), raw.columns.tail.map(col),
-          "j", "rho_s")
-        .select(col("row_id").cast("long").as("i"),
-          col("j").cast("long").as("j"),
-          col("rho_s").cast("double").as("rho"))
+      val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
+      // schema'd read (see s6): at 301 columns the inference pass costs
+      // a full extra scan of the CSV; the writer's returned id order IS
+      // the schema
+      val schema = StructType(StructField("row_id", LongType) +:
+        ids.map(id => StructField(id.toString, DoubleType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+        .unpivot(Array(col("row_id")),
+          ids.map(id => col(s"`$id`")).toArray, "j", "rho")
+        .select(col("row_id").as("i"), col("j").cast("long").as("j"),
+          col("rho"))
         .where(col("i") < col("j"))
         .transform(Q.sortedSmall(_, "i", "j"))
     },
