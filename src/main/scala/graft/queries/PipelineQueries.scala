@@ -295,6 +295,9 @@ object PipelineQueries {
   // threshold rho > 0 -> label->index vertex join (row_number over the
   // sorted vertex dimension) -> directed edge list both ways
   // (pyg_graphs.py:90-94: edges from adj_df > 0, tickers.index(src)).
+  // This is the small-k pair-join tier (k=10 here); the same edge list
+  // at the reference's real width runs through the one-pass co-moment
+  // aggregate instead — see qG4 below.
   private val qG1 = Q("g1_edges",
     (s, d) => {
       val filled = SparkEntry.resampled(s, d, 10, SparkEntry.jan1,
