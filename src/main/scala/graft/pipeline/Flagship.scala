@@ -107,7 +107,7 @@ object Flagship {
           val tmp = s"$outDir/_tmp_$day"
           val n = filled.count()
           if (n == 0) WindowResult(ws, we, ok = true, 0, "", "")
-          else {
+          else try {
             filled.orderBy("bucket", "user_id").coalesce(1)
               .write.mode("overwrite").option("header", "true")
               .option("compression", "gzip").csv(tmp)
@@ -116,9 +116,14 @@ object Flagship {
               .filter(_.getName.endsWith(".csv.gz")).head
             Files.move(part.toPath, Paths.get(target),
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            new java.io.File(tmp).listFiles().foreach(_.delete())
-            Files.deleteIfExists(Paths.get(tmp))
             WindowResult(ws, we, ok = true, n, target, "")
+          } finally {
+            // failed/partial staging must not leave debris inside the
+            // artifact tree a consumer globs recursively
+            val t = new java.io.File(tmp)
+            Option(t.listFiles()).foreach(_.foreach(_.delete()))
+            Files.deleteIfExists(t.toPath)
+            ()
           }
         } finally Time.unpersistPanels()
       } match {

@@ -151,13 +151,16 @@ object Streams {
     * micro-batches, each batch's signatures are APPENDED to
     * stream-private copies of the band/set tables after verdicting, so
     * later batches see earlier deltas as corpus — the lake maintenance
-    * loop d8's scaladoc describes, made real. (A cross-batch delta dup
-    * is therefore labeled `dup_of_corpus`, first-seen-wins; the batch
-    * twin, which sees the whole delta at once, labels it
-    * `dup_of_delta` — same pair, same keep decision.) The state copies
-    * live under `checkpointDir` so the shared fixture tables are never
-    * mutated, and the append skips docs already present in state, so a
-    * retried micro-batch's append is a no-op.
+    * loop d8's scaladoc describes, made real. (Labels depend only on
+    * `match_id < th`, never on which batch carried the signature, so a
+    * cross-batch delta dup gets the same `dup_of_delta` verdict the
+    * batch twin assigns — StreamsSpec's multi-batch equality test holds
+    * exactly.) The state copies live under `checkpointDir` so the
+    * shared fixture tables are never mutated; they are seeded from the
+    * corpus only when absent, so a restart resumes with every earlier
+    * batch's appended signatures intact (matching the checkpoint's
+    * file-log position); and the append skips docs already present in
+    * state, so a retried micro-batch's append is a no-op.
     */
   def incrementalDedupStream(spark: SparkSession, srcDir: String,
                              corpusDir: String, outDir: String,
@@ -165,14 +168,18 @@ object Streams {
                              maxFilesPerTrigger: Option[Int] = None)
                             : Unit = {
     import graft.ops.Text
-    // stream-owned state: seeded from the persisted corpus tables once,
-    // then grown by each micro-batch's signatures
+    // stream-owned state: seeded from the persisted corpus tables only
+    // when absent — overwriting on every invocation would wipe the
+    // signatures earlier batches appended while the checkpoint's file
+    // log suppresses their re-processing (restart = silent data loss)
     val stBands = s"$checkpointDir/state_bands"
     val stSets = s"$checkpointDir/state_sets"
-    graft.queries.LlmQueries.dedupBands(spark, corpusDir)
-      .write.mode("overwrite").parquet(stBands)
-    graft.queries.LlmQueries.dedupSets(spark, corpusDir)
-      .write.mode("overwrite").parquet(stSets)
+    if (!new java.io.File(stSets).exists()) {
+      graft.queries.LlmQueries.dedupBands(spark, corpusDir)
+        .write.mode("overwrite").parquet(stBands)
+      graft.queries.LlmQueries.dedupSets(spark, corpusDir)
+        .write.mode("overwrite").parquet(stSets)
+    }
     val reader = spark.readStream.schema(Catalog.schemas("documents"))
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -209,13 +216,22 @@ object Streams {
           // delta; a duplicate set row would double a pair's verified
           // match count in deltaVerdicts) — this also makes a retried
           // batch's append a no-op.
+          // localCheckpoint breaks the read-stSets-while-appending-to-
+          // stSets dependency; released right after the appends so a
+          // long-running stream does not pin two relations per batch
           val known = spark.read.parquet(stSets).select("doc_id")
           val freshB = dBands.join(known, Seq("doc_id"), "left_anti")
             .localCheckpoint()
           val freshS = dSets.join(known, Seq("doc_id"), "left_anti")
             .localCheckpoint()
-          freshB.write.mode("append").parquet(stBands)
-          freshS.write.mode("append").parquet(stSets)
+          try {
+            freshB.write.mode("append").parquet(stBands)
+            freshS.write.mode("append").parquet(stSets)
+          } finally {
+            freshB.unpersist()
+            freshS.unpersist()
+            ()
+          }
         } finally { sh.unpersist(); () }
         ()
       }

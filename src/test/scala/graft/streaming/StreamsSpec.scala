@@ -233,12 +233,17 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
-  test("incrementalDedupStream multi-batch: later batches see earlier " +
-    "deltas as corpus (state append)") {
+  /** Synthetic fixture with a GUARANTEED within-delta dup (the sf0.001
+    * fixture has none): two new top-id docs share a nonsense text absent
+    * from the corpus, so the second can only be verdicted via the
+    * first's signatures. Returns (fixture dir, threshold, batch d8
+    * verdicts, delta docs, the split id m+2 whose verdict requires
+    * cross-batch state).
+    */
+  private def syntheticDupFixture(): (String, Long,
+      Seq[org.apache.spark.sql.Row], org.apache.spark.sql.DataFrame,
+      Long) = {
     import org.apache.spark.sql.Row
-    // the sf0.001 fixture has no within-delta dup, so synthesize one:
-    // two new top-id docs share a nonsense text that appears nowhere in
-    // the corpus — the second can only be verdicted via the first
     val base = graft.Catalog.load(spark, "/root/testdata/sf0.001",
       "documents")
     val m = base.agg(max("doc_id")).head().getLong(0)
@@ -248,43 +253,71 @@ class StreamsSpec extends SparkTestBase {
         Row(m + 1, nonsense, "en", "synthetic", nonsense.length.toLong),
         Row(m + 2, nonsense, "en", "synthetic", nonsense.length.toLong)),
       graft.Catalog.schemas("documents"))
-    val fx = tmp("graft_incr_mb_fx_")
+    val fx = tmp("graft_incr_fx_")
     base.unionByName(extra).write.mode("overwrite")
       .parquet(s"$fx/documents.parquet")
     val docs = graft.Catalog.load(spark, fx, "documents")
     val th = (m + 2) * 9 / 10
     val batch = graft.SparkEntry.queries("d8_incremental_dedup")(spark, fx)
       .collect().toSeq
-    // splitting the delta at j* = m+2 guarantees the (m+1, m+2) pair
-    // spans two micro-batches, so the verdict for m+2 is only correct
-    // if batch 1's signatures were appended to the stream's state
     val jStar = batch.find(_.getString(3) == "dup_of_delta")
       .getOrElse(fail("synthetic within-delta dup missing"))
-    val mid = jStar.getLong(0)
-    assert(mid == m + 2 && jStar.getLong(1) == m + 1)
-    val delta = docs.where(col("doc_id") >= th)
+    assert(jStar.getLong(0) == m + 2 && jStar.getLong(1) == m + 1)
+    (fx, th, batch, docs.where(col("doc_id") >= th), m + 2)
+  }
+
+  private def stageParquet(in: String, df: org.apache.spark.sql.DataFrame,
+                           name: String, mtime: Long): Unit = {
+    val t = tmp("graft_incr_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(t)
+    val part = new java.io.File(t).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val dst = Paths.get(in, name)
+    Files.copy(part.toPath, dst)
+    assert(dst.toFile.setLastModified(mtime))
+  }
+
+  test("incrementalDedupStream multi-batch: later batches see earlier " +
+    "deltas as corpus (state append)") {
+    val (fx, th, batch, delta, mid) = syntheticDupFixture()
     val in = tmp("graft_incr_mb_in_")
     // two parquet files; mtimes force FileStreamSource to take the
     // lower-id file first, so every cross-file pair (i < j) has i in the
     // earlier batch — the only order under which batch-equality is the
-    // documented semantics
-    def stage(df: org.apache.spark.sql.DataFrame, name: String,
-              mtime: Long): Unit = {
-      val t = tmp("graft_incr_mb_stage_")
-      df.coalesce(1).write.mode("overwrite").parquet(t)
-      val part = new java.io.File(t).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dst = Paths.get(in, name)
-      Files.copy(part.toPath, dst)
-      assert(dst.toFile.setLastModified(mtime))
-    }
+    // documented semantics. The (m+1, m+2) pair spans the two
+    // micro-batches, so m+2's verdict is only correct if batch 1's
+    // signatures were appended to the stream's state
     val now = System.currentTimeMillis()
-    stage(delta.where(col("doc_id") < mid), "a_low.parquet", now - 120000)
-    stage(delta.where(col("doc_id") >= mid), "b_high.parquet", now)
+    stageParquet(in, delta.where(col("doc_id") < mid), "a_low.parquet",
+      now - 120000)
+    stageParquet(in, delta.where(col("doc_id") >= mid), "b_high.parquet",
+      now)
     val out = tmp("graft_incr_mb_out_")
     val ck = tmp("graft_incr_mb_ck_")
     Streams.incrementalDedupStream(spark, in, fx, out, ck, th,
       maxFilesPerTrigger = Some(1))
+    val streamed = spark.read.parquet(out)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("incrementalDedupStream restart: appended state survives a second " +
+    "invocation on the same checkpoint") {
+    val (fx, th, batch, delta, mid) = syntheticDupFixture()
+    val in = tmp("graft_incr_rs_in_")
+    val out = tmp("graft_incr_rs_out_")
+    val ck = tmp("graft_incr_rs_ck_")
+    // invocation 1 drains only the low-id half
+    stageParquet(in, delta.where(col("doc_id") < mid), "a_low.parquet",
+      System.currentTimeMillis() - 120000)
+    Streams.incrementalDedupStream(spark, in, fx, out, ck, th)
+    // invocation 2 on the SAME checkpoint sees only the newly staged
+    // high-id half (the file log suppresses re-processing) — its dup
+    // verdict is only correct if invocation 1's appended signatures
+    // survived, i.e. the state seed must not overwrite on restart
+    stageParquet(in, delta.where(col("doc_id") >= mid), "b_high.parquet",
+      System.currentTimeMillis())
+    Streams.incrementalDedupStream(spark, in, fx, out, ck, th)
     val streamed = spark.read.parquet(out)
       .orderBy("doc_id").collect().toSeq
     assert(streamed == batch)
