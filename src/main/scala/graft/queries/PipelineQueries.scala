@@ -214,6 +214,32 @@ object PipelineQueries {
           ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2 ORDER BY i, j"""))
 
+  // S13/ORC: columnar-format roundtrip beyond parquet — ORC is the
+  // other lake format Spark reads natively (same vectorized scan,
+  // pushdown, pruning), and mixed parquet+ORC lakes are common. A slice
+  // of orders goes out through the ORC writer and back through the
+  // schema'd read; grading the read-back against the ORIGINAL parquet
+  // table proves the write+read lossless across long, string, double
+  // and timestamp columns (the timestamp graded via its formatted
+  // value, the same convention as f4/f5).
+  private val qS13 = Q("s13_orc_roundtrip",
+    (s, d) => {
+      val src = T(s, d, "orders").where(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+      val out = graft.sources.Materialize.path(d, "s13_orc")
+      Sinks.writeOrc(src, out)
+      Sinks.readOrc(s, out, src.schema)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("o_date"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date
+      FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""))
+
   // S9/JSONL: gzip JSONL round-trip — the interchange format LLM corpora
   // ship in (one JSON doc per line). A slice of `documents` goes out
   // through the JSONL sink and back through the schema'd read (no
@@ -661,6 +687,6 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY chunk"""))
 
   val all: Seq[Q] =
-    Seq(qE1F, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qG1, qG2, qG3, qG4,
-      qW4b)
+    Seq(qE1F, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qS13, qG1, qG2,
+      qG3, qG4, qW4b)
 }

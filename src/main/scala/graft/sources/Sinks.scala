@@ -85,6 +85,21 @@ object Sinks {
                 schema: StructType): DataFrame =
     spark.read.schema(schema).json(dir)
 
+  /** ORC write — the other columnar lake format Spark supports natively
+    * (same vectorized reader, predicate pushdown, and column pruning as
+    * parquet), for lakes that mix both. Snappy-compressed, splittable,
+    * parallel per partition like any columnar sink.
+    */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
+  /** Schema'd ORC read — declared schema, no inference, so scans prune
+    * columns and fail fast on drift exactly as the parquet catalog does.
+    */
+  def readOrc(spark: SparkSession, dir: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
   /** Schema-evolution read: union the schemas of every parquet path
     * (`mergeSchema`), null-filling columns a writer generation lacked —
     * the lake pattern for tables whose schema grew over time. The merge
