@@ -55,6 +55,7 @@ object Multimodal {
     */
   def resizeStub(spark: SparkSession, media: DataFrame,
                  factor: Int): DataFrame = {
+    require(factor > 0, s"resizeStub: factor must be positive, got $factor")
     import spark.implicits._
     media.as[MediaRow].map { m =>
       val out = m.payload.indices.collect {
@@ -95,6 +96,7 @@ object Multimodal {
     */
   def frameSample(spark: SparkSession, media: DataFrame,
                   stride: Int): DataFrame = {
+    require(stride > 0, s"frameSample: stride must be positive, got $stride")
     import spark.implicits._
     media.as[MediaRow].flatMap { m =>
       val frameSize = 16

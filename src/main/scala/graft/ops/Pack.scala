@@ -60,9 +60,13 @@ object Pack {
     require(budget > 0, s"concatChunk: budget must be positive, got $budget")
     globalCumSum(df, orderCol, tokCol, "offset")
       .withColumn("seq_id", floor(col("offset") / budget))
+      // a zero-token document occupies no tokens and can never straddle;
+      // without the guard, one sitting exactly on a chunk boundary would
+      // evaluate floor((offset - 1)/budget) = seq_id - 1 and flag itself
       .withColumn("straddles",
-        (floor((col("offset") + col(tokCol) - 1) / budget) =!=
-          col("seq_id")).cast("int"))
+        (col(tokCol) > 0 &&
+          floor((col("offset") + col(tokCol) - 1) / budget) =!=
+            col("seq_id")).cast("int"))
   }
 
   // top-level visibility: encoder codegen instantiates these from

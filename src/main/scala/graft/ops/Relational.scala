@@ -55,11 +55,19 @@ object Relational {
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
                    ord: String, seq: String, payload: String): DataFrame = {
+    // The payload rides inside a struct that is non-null exactly for
+    // RIGHT rows: `last(ignoreNulls)` then tracks the latest right ROW,
+    // so a right row whose payload value is null still wins (and yields
+    // null), matching pandas merge_asof — a bare last(payload,
+    // ignoreNulls) would skip it and resurrect an older value.
+    val pType = new org.apache.spark.sql.types.StructType()
+      .add(payload, right.schema(payload).dataType)
     val l = left.withColumn("__side", lit(1))
-      .withColumn(payload, lit(null).cast(right.schema(payload).dataType))
-    val r = right.select(col(key), col(ord), col(seq), col(payload))
+      .withColumn("__p", lit(null).cast(pType))
+    val r = right.select(col(key), col(ord), col(seq),
+        struct(col(payload)).as("__p"))
       .withColumn("__side", lit(0))
-    val unioned = l.select((left.columns.map(col) :+ col(payload) :+
+    val unioned = l.select((left.columns.map(col) :+ col("__p") :+
       col("__side")): _*)
       .unionByName(r, allowMissingColumns = true)
     // right rows (__side=0) sort before left rows at equal ord, so a right
@@ -67,10 +75,10 @@ object Relational {
     val w = Window.partitionBy(key).orderBy(col(ord), col("__side"), col(seq))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__asof", last(col(payload), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop(payload, "__side")
-      .withColumnRenamed("__asof", payload)
+      .withColumn(payload, col("__asof")(payload))
+      .drop("__p", "__side", "__asof")
   }
 
   /** pandas `drop_duplicates(keep='first')` with an explicit order: the

@@ -27,12 +27,19 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
                 partial: Seq[Column], fin: Seq[Column]): DataFrame = {
-    // deterministic salt: hash of the full row tuple would be
-    // non-deterministic under retries on nondeterministic input order —
-    // use a stable column hash mod salt (any roughly-uniform stable
-    // expression works; callers can pre-compute their own)
+    // Salt from the row's POSITION (partition id + row index via
+    // monotonically_increasing_id), never from row content: the
+    // archetypal hot key is billions of IDENTICAL rows (a viral event
+    // counted over and over), and any content hash maps them all to ONE
+    // salt — the exact single-reducer pin this operator exists to
+    // prevent. Position-derived salts are uniform by construction. The
+    // final result is independent of the salt assignment because the
+    // caller supplies a (partial, final) decomposition, so the usual
+    // nondeterminism caveat on monotonically_increasing_id (values can
+    // differ across task retries) cannot change the answer — any
+    // assignment of rows to salts combines to the same finals.
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -21,9 +21,13 @@ object Stats {
     * produces a garbage ±1 instead of NULL. Scaling the quantized inputs
     * to exact integer micros (DECIMAL(38,0)) makes every co-moment exact:
     * zero variance is exactly zero, the guard is sound, and the final
-    * ρ = cov/√(vx·vy) is one deterministic double expression. Bounds: for
-    * |x| ≤ 1e9 and n ≤ 1e6 rows per group, every intermediate stays well
-    * inside 38 digits.
+    * ρ = cov/√(vx·vy) is one deterministic double expression. Bounds:
+    * the largest intermediates are n·Σx² and (Σx)², both ≤ n²·(|x|·1e6)²,
+    * so 38 digits hold while |x| ≤ 1e13/n — e.g. |x| ≤ 1e7 at n = 1e6
+    * rows per group. The engine's inputs (6-dp-quantized values ≲ 1e6
+    * over windows of ≤ ~1e5 buckets) sit four orders inside that; past
+    * it, ANSI mode fails loudly with a Decimal overflow rather than
+    * returning silently wrong values.
     *
     * All sums are codegen'd built-ins — map-side partial aggregation and
     * whole-stage codegen apply as usual.

@@ -88,7 +88,8 @@ object CurationQueries {
       .orderBy("doc_id"),
     Some("""SELECT doc_id, n_tokens, "offset",
         "offset" // 256 AS seq_id,
-        CAST(("offset" + n_tokens - 1) // 256 != "offset" // 256 AS INT)
+        CAST(n_tokens > 0 AND
+             ("offset" + n_tokens - 1) // 256 != "offset" // 256 AS INT)
           AS straddles
       FROM (SELECT doc_id, n_tokens,
           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id

@@ -29,6 +29,17 @@ class PackSpec extends SparkTestBase {
       (4L, 12L, 1L, 1), (5L, 22L, 2L, 0)))
   }
 
+  test("concatChunk: a zero-token doc on a chunk boundary never straddles") {
+    // doc 1 fills chunk 0 exactly; doc 2 is empty and sits at offset 10
+    // (the boundary) — it occupies no tokens, so straddles must be 0
+    // (the unguarded formula evaluates floor(9/10)=0 != seq_id 1)
+    val df = Seq((1L, 10), (2L, 0), (3L, 3)).toDF("id", "tok")
+    val got = Pack.concatChunk(df, "id", "tok", 10)
+      .orderBy("id").select("id", "offset", "seq_id", "straddles")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L, 0), (2L, 10L, 1L, 0), (3L, 10L, 1L, 0)))
+  }
+
   test("greedyPack golden: new bin on overflow, oversized doc isolated") {
     val df = Seq(("a", 1L, 6), ("a", 2L, 3), ("a", 3L, 4), // 6+3 | 4
       ("a", 4L, 25),                                        // oversized alone

@@ -38,6 +38,18 @@ class RelationalSpec extends SparkTestBase {
     assert(got == 222.0)
   }
 
+  test("asofBackward: a latest right row with NULL payload wins as null " +
+    "(merge_asof), never resurrecting an older value") {
+    val left = Seq((1L, 6L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 3L, 1L, Some(7.0)), (1L, 5L, 2L, None))
+      .toDF("k", "t", "seq", "payload")
+    val got = Relational.asofBackward(left, right, "k", "t", "seq", "payload")
+      .select("payload").collect().map(r => Option(r.get(0))).toSeq
+    // the t=5 row IS the as-of match; its null payload is the answer —
+    // skipping it and returning 7.0 would be silently wrong data
+    assert(got == Seq(None))
+  }
+
   test("keepFirst is deterministic under the given order") {
     val df = Seq((1L, 3L, "c"), (1L, 1L, "a"), (1L, 2L, "b"), (2L, 9L, "z"))
       .toDF("k", "o", "v")
