@@ -28,28 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
-  /** Exclusive global running sum of `tokCol` in `orderCol` order.
-    * Range-partition by the order column, cumsum within partitions, then
-    * shift each partition by the total of all earlier partitions —
-    * computed with a triangular join on the partition-count-sized side
-    * relation, never a global window. `orderCol` values must be distinct.
+  /** Exclusive global running sum of `tokCol` in `orderCol` order —
+    * [[Relational.globalCumSum]] (one shared implementation of the
+    * range-partition + per-partition-offset scheme; see its scaladoc for
+    * the shape and the distinct-`orderCol` precondition).
     */
   def globalCumSum(df: DataFrame, orderCol: String, tokCol: String,
-                   outCol: String): DataFrame = {
-    val parted = df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-      .cache()
-    val sums = parted.groupBy("__pid").agg(sum(tokCol).as("__s"))
-    val offs = sums.as("a")
-      .join(sums.as("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__s")), lit(0L)).as("__off"))
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
-    parted.join(broadcast(offs), Seq("__pid"))
-      .withColumn(outCol,
-        col("__off") + sum(tokCol).over(w) - col(tokCol))
-      .drop("__pid", "__off")
-  }
+                   outCol: String): DataFrame =
+    Relational.globalCumSum(df, orderCol, tokCol, outCol)
 
   /** Concat-and-chunk: assign each document its global token offset, the
     * sequence id it starts in, and whether it straddles a cut. Emits

@@ -92,37 +92,48 @@ object Relational {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Dense 0-based ids in ascending `orderCol` order — the distributed
-    * replacement for `row_number().over(Window.orderBy(orderCol))`, whose
-    * empty PARTITION BY funnels the whole input through ONE task (Spark
-    * logs `WindowExec: No Partition Defined` and serializes).
+  /** Exclusive global running sum of `sumCol` in ascending `orderCol`
+    * order — the distributed replacement for a
+    * `sum().over(Window.orderBy(orderCol))`, whose empty PARTITION BY
+    * funnels the whole input through ONE task (Spark logs `WindowExec:
+    * No Partition Defined` and serializes).
     *
     * Shape: range-repartition by the order column (partition i holds
-    * smaller keys than partition i+1), number rows within each partition
-    * (a partitioned window), then shift by per-partition offsets — the
-    * running sum of partition counts, computed on the partition-count-
+    * smaller keys than partition i+1), cumsum within each partition (a
+    * partitioned window), then shift by per-partition offsets — the
+    * running sum of partition totals, computed on the partition-count-
     * sized side relation with a tiny triangular self-join (≤ shuffle
     * partitions² rows) so no global window appears anywhere. The input is
-    * cached for the two passes (counts + join) so both see the same
+    * cached for the two passes (totals + join) so both see the same
     * physical partitioning; callers' harnesses clear caches per query.
     *
-    * `orderCol` values must be distinct (ids from a `.distinct()` key
-    * dimension) — with duplicates the order among equals would be
-    * nondeterministic, which is exactly when a global id is ill-defined.
+    * `orderCol` values must be distinct — with duplicates the order
+    * among equals would be nondeterministic, which is exactly when a
+    * global running sum is ill-defined.
     */
-  def globalRowIds(df: DataFrame, orderCol: String,
+  def globalCumSum(df: DataFrame, orderCol: String, sumCol: String,
                    outCol: String): DataFrame = {
     val parted = df.repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .cache()
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
-    val offs = counts.as("a")
-      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+    val sums = parted.groupBy("__pid").agg(sum(sumCol).as("__s"))
+    val offs = sums.as("a")
+      .join(sums.as("b"), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+      .agg(coalesce(sum(col("b.__s")), lit(0L)).as("__off"))
     val w = Window.partitionBy("__pid").orderBy(orderCol)
     parted.join(broadcast(offs), Seq("__pid"))
-      .withColumn(outCol, col("__off") + row_number().over(w) - 1)
+      .withColumn(outCol,
+        col("__off") + sum(sumCol).over(w) - col(sumCol))
       .drop("__pid", "__off")
   }
+
+  /** Dense 0-based ids in ascending `orderCol` order: the exclusive
+    * running COUNT — [[globalCumSum]] over a constant 1. Same distinct-
+    * `orderCol` precondition (ids from a `.distinct()` key dimension).
+    */
+  def globalRowIds(df: DataFrame, orderCol: String,
+                   outCol: String): DataFrame =
+    globalCumSum(df.withColumn("__one", lit(1L)), orderCol, "__one",
+      outCol).drop("__one")
 }

@@ -109,15 +109,43 @@ object Time {
                       startMs: Long, endMs: Long, stepMs: Long,
                       agg: Column): DataFrame = {
     val ems = unix_millis(col(tsCol))
-    val bucketed = ticks
-      .where(col(tsCol) >= timestamp_millis(lit(startMs)) &&
-             col(tsCol) < timestamp_millis(lit(endMs)))
-      .groupBy((ems - pmod(ems, lit(stepMs))).as("bucket"), col(keyCol))
+    resampleFfillCore(spark, ticks, keyCol, valueCol,
+      col(tsCol) >= timestamp_millis(lit(startMs)) &&
+        col(tsCol) < timestamp_millis(lit(endMs)),
+      ems - pmod(ems, lit(stepMs)),
+      startMs, endMs, stepMs, agg)
+  }
+
+  /** The shared resample body behind [[resampleFfill]] (epoch-second
+    * buckets) and [[resampleFfillMs]] (epoch-milli buckets): tick
+    * filter, bucket aggregate, grid join, ffill — parameterized by the
+    * range filter and the bucket expression so the caching/lifecycle
+    * rationale lives in exactly one place.
+    *
+    * Both intermediate cachings are load-bearing:
+    *  - the BUCKETED panel feeds both the key-universe distinct and the
+    *    grid join; uncached, Spark scans + aggregates the tick table
+    *    twice (verified in the physical plan — no ReusedExchange fires
+    *    across the two subtrees);
+    *  - the FILLED panel is scanned from two sides by every correlation
+    *    consumer (the i/j pair join); uncached, each side re-runs the
+    *    grid join + ffill window.
+    * Both cached relations are dimension-sized (≤ grid buckets × keys
+    * rows, never tick-sized — this holds at 100 TB of ticks) and are
+    * registered for the same lifecycle release.
+    */
+  private def resampleFfillCore(spark: SparkSession, ticks: DataFrame,
+                                keyCol: String, valueCol: String,
+                                rangeFilter: Column, bucketExpr: Column,
+                                start: Long, end: Long, step: Long,
+                                agg: Column): DataFrame = {
+    val bucketed = ticks.where(rangeFilter)
+      .groupBy(bucketExpr.as("bucket"), col(keyCol))
       .agg(agg.as(valueCol))
       .cache()
     cachedPanels.add(bucketed)
     val keys = bucketed.select(keyCol).distinct()
-    val g = grid(spark, startMs, endMs, stepMs, keys)
+    val g = grid(spark, start, end, step, keys)
     val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
     val filled = ffill(joined, keyCol, "bucket", valueCol).cache()
     cachedPanels.add(filled)
@@ -134,30 +162,10 @@ object Time {
   def resampleFfill(spark: SparkSession, ticks: DataFrame, keyCol: String,
                     tsCol: String, valueCol: String,
                     startSec: Long, endSec: Long, stepSec: Long,
-                    agg: Column): DataFrame = {
-    // Cached: both the key-universe distinct and the grid join consume
-    // this relation, and without the cache Spark scans + aggregates the
-    // tick table twice (verified in the physical plan — no
-    // ReusedExchange fires across the two subtrees). The cached panel is
-    // dimension-sized (≤ grid buckets × keys rows), never tick-sized, so
-    // this holds at 100 TB of ticks.
-    val bucketed = ticks
-      .where(col(tsCol) >= timestamp_seconds(lit(startSec)) &&
-             col(tsCol) < timestamp_seconds(lit(endSec)))
-      .groupBy(bucketSec(col(tsCol), stepSec).as("bucket"), col(keyCol))
-      .agg(agg.as(valueCol))
-      .cache()
-    cachedPanels.add(bucketed)
-    val keys = bucketed.select(keyCol).distinct()
-    val g = grid(spark, startSec, endSec, stepSec, keys)
-    val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
-    // The FILLED panel is cached as well: every correlation consumer
-    // scans it from two sides (the i/j pair join), and without the cache
-    // each side re-runs the grid join + ffill window. Both cached
-    // relations are dimension-sized (≤ grid × keys rows) and registered
-    // for the same lifecycle release.
-    val filled = ffill(joined, keyCol, "bucket", valueCol).cache()
-    cachedPanels.add(filled)
-    filled
-  }
+                    agg: Column): DataFrame =
+    resampleFfillCore(spark, ticks, keyCol, valueCol,
+      col(tsCol) >= timestamp_seconds(lit(startSec)) &&
+        col(tsCol) < timestamp_seconds(lit(endSec)),
+      bucketSec(col(tsCol), stepSec),
+      startSec, endSec, stepSec, agg)
 }
