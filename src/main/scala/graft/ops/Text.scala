@@ -158,6 +158,33 @@ object Text {
     */
   val stopwords: Seq[String] = Seq("a", "the")
 
+  /** The document quality score over a words array:
+    * 0.4·min(1, nTok/50) + 0.4·type-token-ratio + 0.2·(1 − stopword
+    * ratio), 6-dp rounded. This is THE formula — t1 reports it and
+    * c1/c6/c8 gate on it (at 0.7 / 0.6 / top-30% rank respectively) —
+    * defined once per engine ([[qualityScoreSql]] is the DuckDB mirror)
+    * so a weight change cannot silently diverge the gates.
+    */
+  def qualityScore(w: Column): Column = {
+    val nTok = size(w)
+    val nUniq = size(array_distinct(w))
+    val nStop = size(filter(w, x => x.isin(stopwords: _*)))
+    round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
+      lit(0.4) * (nUniq / nTok) +
+      lit(0.2) * (lit(1.0) - nStop / nTok), 6)
+  }
+
+  /** DuckDB mirror of [[qualityScore]]; `w` is a SQL list expression
+    * (e.g. `string_split(text, ' ')`). The stopword lambda literal
+    * mirrors [[stopwords]].
+    */
+  def qualityScoreSql(w: String): String =
+    s"""round(0.4 * least(1.0, CAST(len($w) AS DOUBLE) / 50.0) +
+            0.4 * (CAST(len(list_distinct($w)) AS DOUBLE) / len($w)) +
+            0.2 * (1.0 - CAST(len(list_filter($w,
+              x -> x = 'a' OR x = 'the')) AS DOUBLE)
+              / len($w)), 6)"""
+
   /** Per-language function-word profiles for the n-gram/stopword language
     * heuristic. Real profiles would be learned; these are the standard
     * high-frequency function words per language, declared as literals so

@@ -138,17 +138,12 @@ object CurationQueries {
   private val qC6 = Q("c6_curated_dataset",
     (s, d) => {
       val w = graft.ops.Text.words(col("text"))
-      val nTok = size(w)
-      val nUniq = size(array_distinct(w))
-      val nStop = size(filter(w, x => x.isin(graft.ops.Text.stopwords: _*)))
       val n = expr("cast(substring(source, 4) as int)")
       val rate = when(n < 5, 100).when(n < 10, 50).otherwise(25)
       val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),
-        col("source"), nTok.as("n_tokens"),
+        col("source"), size(w).as("n_tokens"),
         md5(array_join(array_sort(array_distinct(w)), "|")).as("norm_sig"),
-        round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
-          lit(0.4) * (nUniq / nTok) +
-          lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"),
+        graft.ops.Text.qualityScore(w).as("quality"),
         rate.as("rate_pct"))
       val kept = scored.where(col("quality") >= 0.6)
       val deduped = graft.ops.Relational.keepFirst(kept, Seq("norm_sig"),
@@ -167,13 +162,8 @@ object CurationQueries {
           len(string_split(text, ' ')) AS n_tokens,
           md5(array_to_string(list_sort(list_distinct(
             string_split(text, ' '))), '|')) AS norm_sig,
-          round(0.4 * least(1.0, CAST(len(string_split(text, ' '))
-              AS DOUBLE) / 50.0) +
-            0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
-              AS DOUBLE) / len(string_split(text, ' '))) +
-            0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-              x -> x = 'a' OR x = 'the')) AS DOUBLE)
-              / len(string_split(text, ' '))), 6) AS quality,
+          ${graft.ops.Text.qualityScoreSql("string_split(text, ' ')")}
+            AS quality,
           CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 100
             WHEN CAST(substr(source, 4) AS INT) < 10 THEN 50
             ELSE 25 END AS rate_pct
@@ -245,13 +235,8 @@ object CurationQueries {
   private val qC8 = Q("c8_quality_select",
     (s, d) => {
       val w = graft.ops.Text.words(col("text"))
-      val nTok = size(w)
-      val nUniq = size(array_distinct(w))
-      val nStop = size(filter(w, x => x.isin(graft.ops.Text.stopwords: _*)))
       val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),
-        round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
-          lit(0.4) * (nUniq / nTok) +
-          lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"))
+        graft.ops.Text.qualityScore(w).as("quality"))
       val totals = scored.groupBy("lang").agg(count(lit(1)).as("n_total"))
       val rk = Window.partitionBy("lang")
         .orderBy(col("quality").desc, col("doc_id"))
@@ -263,15 +248,10 @@ object CurationQueries {
           round(min("quality"), 6).as("cutoff"))
         .orderBy("lang")
     },
-    Some("""WITH scored AS (
+    Some(s"""WITH scored AS (
         SELECT doc_id, lang,
-          round(0.4 * least(1.0, CAST(len(string_split(text, ' '))
-              AS DOUBLE) / 50.0) +
-            0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
-              AS DOUBLE) / len(string_split(text, ' '))) +
-            0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-              x -> x = 'a' OR x = 'the')) AS DOUBLE)
-              / len(string_split(text, ' '))), 6) AS quality
+          ${graft.ops.Text.qualityScoreSql("string_split(text, ' ')")}
+            AS quality
         FROM documents),
       r AS (SELECT *,
           row_number() OVER (PARTITION BY lang

@@ -137,11 +137,16 @@ object LlmQueries {
       // whose sizes differ by more than the threshold can never verify.
       // Margin 0.949999 (not 0.95) keeps pairs whose exact jac rounds up
       // to the 6-dp threshold, so the output is provably unchanged.
+      // No broadcast HINT on the size side: (doc_id, sz) is one row PER
+      // DOCUMENT — corpus-sized, not dimension-sized — so forcing a
+      // broadcast would collect the corpus onto the driver at 10⁹ docs.
+      // Left to statistics, Spark broadcasts while the table is small
+      // and switches to a shuffled join when it is not.
       val cand = a
-        .join(broadcast(sets.select(col("doc_id").as("i"),
-          col("sz").as("sa"))), Seq("i"))
-        .join(b.join(broadcast(sets.select(col("doc_id").as("j"),
-          col("sz").as("sb"))), Seq("j")), Seq("band", "bkey"))
+        .join(sets.select(col("doc_id").as("i"),
+          col("sz").as("sa")), Seq("i"))
+        .join(b.join(sets.select(col("doc_id").as("j"),
+          col("sz").as("sb")), Seq("j")), Seq("band", "bkey"))
         .where(col("i") < col("j") &&
           least(col("sa"), col("sb")) * 1000000L >=
             greatest(col("sa"), col("sb")) * 949999L)
@@ -339,11 +344,14 @@ object LlmQueries {
           Seq("lang", "h"))
         .where(col("i") < col("j"))
         .groupBy("lang", "i", "j").agg(count(lit(1)).as("inter"))
+      // per-document sizes carry no broadcast hint (corpus-sized, like
+      // d2's prefilter side — statistics pick the join strategy); only
+      // the genuinely bounded hot-shingle set above is hinted
       inter
-        .join(broadcast(sizes.select(col("doc_id").as("i"),
-          col("sz").as("sa"))), Seq("i"))
-        .join(broadcast(sizes.select(col("doc_id").as("j"),
-          col("sz").as("sb"))), Seq("j"))
+        .join(sizes.select(col("doc_id").as("i"),
+          col("sz").as("sa")), Seq("i"))
+        .join(sizes.select(col("doc_id").as("j"),
+          col("sz").as("sb")), Seq("j"))
         .withColumn("jac", round(col("inter") /
           (col("sa") + col("sb") - col("inter")), 6))
         .where(col("jac") >= 0.10)
@@ -439,12 +447,14 @@ object LlmQueries {
         col("doc_id").as("j"))
       val sets = allSets
       // same size-ratio prefilter + hash-set verify as d2 (provably
-      // output-neutral, so the oracle skips the prefilter)
+      // output-neutral, so the oracle skips the prefilter); as in d2,
+      // the per-document size side carries NO broadcast hint — it is
+      // corpus-sized, and statistics pick the join strategy
       val cand = a
-        .join(broadcast(sets.select(col("doc_id").as("i"),
-          col("sz").as("sa"))), Seq("i"))
-        .join(b.join(broadcast(sets.select(col("doc_id").as("j"),
-          col("sz").as("sb"))), Seq("j")), Seq("band", "bkey"))
+        .join(sets.select(col("doc_id").as("i"),
+          col("sz").as("sa")), Seq("i"))
+        .join(b.join(sets.select(col("doc_id").as("j"),
+          col("sz").as("sb")), Seq("j")), Seq("band", "bkey"))
         .where(col("i") < col("j") &&
           least(col("sa"), col("sb")) * 1000000L >=
             greatest(col("sa"), col("sb")) * 949999L)
@@ -556,9 +566,7 @@ object LlmQueries {
             lit("[aeiou]+|[^aeiou ]+"), lit(0))).as("n_subtokens"),
           round((col("n_chars") - nTok + 1) / nTok, 6).as("avg_token_len"),
           round(nUniq / nTok, 6).as("ttr"),
-          round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
-            lit(0.4) * (nUniq / nTok) +
-            lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"))
+          Text.qualityScore(w).as("quality"))
         .transform(Q.sortedSmall(_, "doc_id"))
     },
     Some("""SELECT doc_id, n_tokens, n_uniq, n_stop, n_subtokens,
@@ -920,9 +928,14 @@ object LlmQueries {
           .cache()
         val st = next.agg(sum("freq").as("nt"),
           countDistinct("tok").as("nv")).head()
+        // the superseded generation is never read again — release it
+        // eagerly instead of pinning every round's token relation until
+        // the harness's external clearCache
+        toks.unpersist()
         toks = next
         (i, l, r, cnt, st.getLong(0), st.getLong(1))
       }
+      toks.unpersist() // the rounds are eager; the last generation too
       rows.toDF("round", "merged_l", "merged_r", "pair_count",
           "n_tokens_after", "n_vocab_after")
         .orderBy("round")
@@ -1172,18 +1185,24 @@ object LlmQueries {
   // neighbors (top-3 cosines ≈ 0.36-0.42, i.e. angles ≈ 67° where a
   // sign-LSH band hits with only p^bits ≈ 0.6^bits); a corpus with real
   // near-duplicates sits at far smaller angles and needs fewer bands.
+  /** Per-probe recall of `approx` against the exact top-k — the ONE
+    * grading construction every approximate ANN tier (e3/e5/e7/e9/e11)
+    * shares: left-join exact (qid, tid) with approximate, count hits,
+    * 6-dp round. Defined once so the recall definition cannot drift
+    * between grades.
+    */
+  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("qid"), col("tid"))
+      .join(approx.select(col("qid"), col("tid"))
+        .withColumn("hit", lit(1)), Seq("qid", "tid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+      .transform(Q.sortedSmall(_, "qid"))
+
   private val qE3 = Q("e3_ann_recall",
-    (s, d) => {
-      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
-      val approx = e2TopT(s, d).select(col("qid"), col("tid"))
-        .withColumn("hit", lit(1))
-      exact.join(approx, Seq("qid", "tid"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .transform(Q.sortedSmall(_, "qid"))
-    },
+    (s, d) => recallOf(e1TopT(s, d), e2TopT(s, d)),
     Some(s"""WITH $embSqlPrefix,
       $e2SqlCtes,
       $e1SqlCtes,
@@ -1295,17 +1314,7 @@ object LlmQueries {
 
   // e5: IVF recall grade vs e1's exact top-3 (same construction as e3).
   private val qE5 = Q("e5_ivf_recall",
-    (s, d) => {
-      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
-      val approx = e4TopT(s, d).select(col("qid"), col("tid"))
-        .withColumn("hit", lit(1))
-      exact.join(approx, Seq("qid", "tid"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .transform(Q.sortedSmall(_, "qid"))
-    },
+    (s, d) => recallOf(e1TopT(s, d), e4TopT(s, d)),
     Some(s"""WITH $embSqlPrefix,
       $e4SqlCtes,
       $e1SqlCtes,
@@ -1366,15 +1375,10 @@ object LlmQueries {
   private val qC1 = Q("c1_curation_pipeline",
     (s, d) => {
       val w = Text.words(col("text"))
-      val nTok = size(w)
-      val nUniq = size(array_distinct(w))
-      val nStop = size(filter(w, x => x.isin(Text.stopwords: _*)))
       val scored = T(s, d, "documents").select(col("doc_id"), col("lang"),
         col("n_chars"),
         md5(array_join(array_sort(array_distinct(w)), "|")).as("norm_sig"),
-        round(lit(0.4) * least(lit(1.0), nTok / 50.0) +
-          lit(0.4) * (nUniq / nTok) +
-          lit(0.2) * (lit(1.0) - nStop / nTok), 6).as("quality"))
+        Text.qualityScore(w).as("quality"))
       val kept = scored.where(col("quality") >= 0.7)
       val deduped = graft.ops.Relational.keepFirst(kept, Seq("norm_sig"),
         Seq(col("doc_id")))
@@ -1384,17 +1388,11 @@ object LlmQueries {
           graft.ops.Exact.davg(col("quality")).as("avg_quality"))
         .orderBy("lang")
     },
-    Some("""WITH scored AS (
+    Some(s"""WITH scored AS (
         SELECT doc_id, lang, n_chars,
           md5(array_to_string(list_sort(list_distinct(
             string_split(text, ' '))), '|')) AS norm_sig,
-          round(0.4 * least(1.0, CAST(len(string_split(text, ' '))
-              AS DOUBLE) / 50.0) +
-            0.4 * (CAST(len(list_distinct(string_split(text, ' ')))
-              AS DOUBLE) / len(string_split(text, ' '))) +
-            0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-              x -> x = 'a' OR x = 'the')) AS DOUBLE)
-              / len(string_split(text, ' '))), 6) AS quality
+          ${Text.qualityScoreSql("string_split(text, ' ')")} AS quality
         FROM documents),
       kept AS (SELECT * FROM scored WHERE quality >= 0.7),
       deduped AS (
@@ -1460,12 +1458,19 @@ object LlmQueries {
       .select(col("doc_id"), col("n_bytes"),
         md5(col("payload")).as("resized_md5"))
       .orderBy("doc_id"),
-    Some("""SELECT doc_id, CAST((strlen(text) + 3) // 4 AS INT) AS n_bytes,
-        md5(string_agg(substr(text, i, 1), '' ORDER BY i)) AS resized_md5
-      FROM (SELECT doc_id, text,
-          unnest(range(1, strlen(text) + 1, 4)) AS i
-        FROM documents)
-      GROUP BY doc_id, text ORDER BY doc_id"""))
+    // left join, not a bare GROUP BY over the per-byte unnest: an empty
+    // payload has zero unnest rows and would vanish from the oracle,
+    // while the Spark side correctly emits its (0-byte, md5-of-empty) row
+    Some("""SELECT d.doc_id,
+        CAST((strlen(d.text) + 3) // 4 AS INT) AS n_bytes,
+        md5(coalesce(r.s, '')) AS resized_md5
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, string_agg(substr(text, i, 1), '' ORDER BY i) AS s
+        FROM (SELECT doc_id, text,
+            unnest(range(1, strlen(text) + 1, 4)) AS i
+          FROM documents)
+        GROUP BY doc_id) r USING (doc_id)
+      ORDER BY d.doc_id"""))
 
   // m4: feature-extraction plumbing —
   // [[graft.ops.Multimodal.featureExtractStub]]'s deterministic 4-lane
@@ -1583,15 +1588,8 @@ object LlmQueries {
       val cand = assigned.join(broadcast(probes), Seq("cell"))
         .where(col("tid") =!= col("qid"))
         .select("qid", "tid")
-      val approx = Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
-        .select(col("qid"), col("tid")).withColumn("hit", lit(1))
-      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
-      exact.join(approx, Seq("qid", "tid"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .transform(Q.sortedSmall(_, "qid"))
+      recallOf(e1TopT(s, d),
+        Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3))
     },
     Some(s"""WITH $embSqlPrefix,
       ${kmeansSqlCtes(KmC, KmIters)},
@@ -1891,6 +1889,25 @@ object LlmQueries {
         Similarity.dotq(col("qs"), col("cq")).as("pdot"), col("csq"))
   }
 
+  /** ADC rerank: rank candidates by the approximate cosine assembled
+    * from summed LUT partials, keep the top [[PqRerank]] per probe —
+    * the scoring/rerank pipeline e9 (corpus-wide ADC) and e11
+    * (cell-pruned ADC) share, so the formula and the rerank width
+    * cannot drift between the two PQ grades.
+    */
+  private def adcRerank(s: SparkSession, d: String,
+                        adc: DataFrame): DataFrame = {
+    val qn = embQ(s, d).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sq").as("qsq"))
+    val wA = Window.partitionBy("qid").orderBy(col("acos").desc, col("tid"))
+    adc.join(broadcast(qn), Seq("qid"))
+      .withColumn("acos", col("adot").cast("double") /
+        sqrt(col("qsq").cast("double") * col("tcsq").cast("double")))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= PqRerank)
+      .select("qid", "tid")
+  }
+
   private val qE9 = Q("e9_pq_recall",
     (s, d) => {
       val q = embQ(s, d)
@@ -1901,24 +1918,9 @@ object LlmQueries {
         .select(col("qid"), col("vec_id").as("tid"), col("pdot"), col("csq"))
         .groupBy("qid", "tid")
         .agg(sum("pdot").as("adot"), sum("csq").as("tcsq"))
-      val qn = q.where(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("sq").as("qsq"))
-      val wA = Window.partitionBy("qid").orderBy(col("acos").desc, col("tid"))
-      val cand = adc.join(broadcast(qn), Seq("qid"))
-        .withColumn("acos", col("adot").cast("double") /
-          sqrt(col("qsq").cast("double") * col("tcsq").cast("double")))
-        .withColumn("rn", row_number().over(wA))
-        .where(col("rn") <= PqRerank)
-        .select("qid", "tid")
-      val approx = Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
-        .select(col("qid"), col("tid")).withColumn("hit", lit(1))
-      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
-      exact.join(approx, Seq("qid", "tid"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .transform(Q.sortedSmall(_, "qid"))
+      val cand = adcRerank(s, d, adc)
+      recallOf(e1TopT(s, d),
+        Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3))
     },
     Some(s"""WITH $embSqlPrefix,
       ${pqSqlCtes()},
@@ -1990,25 +1992,9 @@ object LlmQueries {
         .join(broadcast(pqLut(s, d)), Seq("qid", "sub", "code"))
         .groupBy("qid", "tid")
         .agg(sum("pdot").as("adot"), sum("csq").as("tcsq"))
-      val qn = q.where(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("sq").as("qsq"))
-      val wA = Window.partitionBy("qid")
-        .orderBy(col("acos").desc, col("tid"))
-      val rer = adc.join(broadcast(qn), Seq("qid"))
-        .withColumn("acos", col("adot").cast("double") /
-          sqrt(col("qsq").cast("double") * col("tcsq").cast("double")))
-        .withColumn("rn", row_number().over(wA))
-        .where(col("rn") <= PqRerank)
-        .select("qid", "tid")
-      val approx = Similarity.topK(cosineOf(rer, q, "qid", "tid"), 3)
-        .select(col("qid"), col("tid")).withColumn("hit", lit(1))
-      val exact = e1TopT(s, d).select(col("qid"), col("tid"))
-      exact.join(approx, Seq("qid", "tid"), "left")
-        .groupBy("qid")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .transform(Q.sortedSmall(_, "qid"))
+      val rer = adcRerank(s, d, adc)
+      recallOf(e1TopT(s, d),
+        Similarity.topK(cosineOf(rer, q, "qid", "tid"), 3))
     },
     Some(s"""WITH $embSqlPrefix,
       ${kmeansSqlCtes(KmC, KmIters)},

@@ -29,8 +29,4 @@ object Q {
     */
   def sortedSmall(df: DataFrame, cols: String*): DataFrame =
     graft.ops.Time.registerCached(df.cache()).orderBy(cols.map(col): _*)
-
-  /** [[sortedSmall]] for Column sort keys (expressions, desc, …). */
-  def sortedSmallBy(df: DataFrame, cols: Column*): DataFrame =
-    graft.ops.Time.registerCached(df.cache()).orderBy(cols: _*)
 }
