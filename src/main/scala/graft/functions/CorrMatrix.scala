@@ -27,12 +27,18 @@ case class CorrCell(i: Int, j: Int, rho: Option[Double])
   * one-pass methods (assembling vectors and dropping any row with a NaN)
   * get wrong.
   *
-  * Zero-variance detection uses the min/max slots, not the co-moment
-  * difference: n·Σx²−(Σx)² in doubles carries ~1e-9 cancellation residue
-  * for a constant series, which would turn an undefined correlation into
-  * a garbage value; min == max is exact on the 6-dp-quantized inputs the
-  * engine correlates (SQL engines emit NULL/NaN for these pairs, and the
-  * oracle comparison treats them as equal).
+  * Numerics: the buffer holds Welford/Chan state — running means plus
+  * CENTERED second moments (M2x, M2y, Cxy) — not raw power sums. The
+  * raw-sum form finishes with n·Σx²−(Σx)², whose catastrophic
+  * cancellation at magnitude |x| wipes out all variance signal below
+  * ~|x|²·n²·1e-16: a 6-dp-quantized price series hovering one
+  * quantization step around 100 (exactly what forward-fill produces)
+  * has true variance ~1e-10 against ~1e-7 of cancellation noise — a
+  * sign-random vx and garbage ρ. The centered update pays one divide
+  * per accumulate and is exact to the scale of the deviations
+  * themselves. Exactly-constant detection additionally uses the min/max
+  * slots (exact on quantized inputs): those pairs are None, matching
+  * the NULL/NaN SQL engines emit.
   *
   * Scale shape: the panel is shuffled once (groupBy bucket to form rows);
   * the aggregate then runs as map-side partials + a merge of
@@ -40,9 +46,10 @@ case class CorrCell(i: Int, j: Int, rho: Option[Double])
   * crosses the wire. At k=500 the buffer is ~10 MB; compare the
   * self-join tier, which shuffles k² rows per bucket. The O(k²) buffer
   * caps this tier near k≈1-2000 series; beyond that the pair-join tier
-  * wins again. Merge is element-wise add/min/max — associative and
-  * commutative, so partial aggregation order cannot change the result
-  * (property-checked merge law in the test suite).
+  * wins again. The Chan merge is commutative and associative up to fp
+  * rounding (~1e-12 — property-checked merge/commute laws with
+  * tolerance in the test suite), so partial aggregation order cannot
+  * change any 4-6-dp-rounded result.
   */
 class CorrMatrixAgg(k: Int)
     extends Aggregator[Array[Double], Array[Double], Seq[CorrCell]] {
@@ -50,7 +57,7 @@ class CorrMatrixAgg(k: Int)
   private val nPairs = k * (k - 1) / 2
   private val S = 10 // slots per pair
   // layout per pair p=(i,j), i<j, p = i*k - i*(i+1)/2 + (j-i-1):
-  // [n, sx, sy, sxx, syy, sxy, minx, maxx, miny, maxy]
+  // [n, meanx, meany, M2x, M2y, Cxy, minx, maxx, miny, maxy]
   override def zero: Array[Double] = {
     val b = new Array[Double](S * nPairs)
     var p = 0
@@ -76,12 +83,17 @@ class CorrMatrixAgg(k: Int)
           val y = row(j)
           if (!y.isNaN) {
             val b = S * p
-            buf(b) += 1
-            buf(b + 1) += x
-            buf(b + 2) += y
-            buf(b + 3) += x * x
-            buf(b + 4) += y * y
-            buf(b + 5) += x * y
+            val n1 = buf(b) + 1
+            buf(b) = n1
+            val dx = x - buf(b + 1)
+            buf(b + 1) += dx / n1
+            val dx2 = x - buf(b + 1)
+            val dy = y - buf(b + 2)
+            buf(b + 2) += dy / n1
+            val dy2 = y - buf(b + 2)
+            buf(b + 3) += dx * dx2
+            buf(b + 4) += dy * dy2
+            buf(b + 5) += dx * dy2
             if (x < buf(b + 6)) buf(b + 6) = x
             if (x > buf(b + 7)) buf(b + 7) = x
             if (y < buf(b + 8)) buf(b + 8) = y
@@ -100,8 +112,26 @@ class CorrMatrixAgg(k: Int)
     var p = 0
     while (p < nPairs) {
       val o = S * p
-      var t = 0
-      while (t < 6) { a(o + t) += b(o + t); t += 1 }
+      val na = a(o)
+      val nb = b(o)
+      if (nb > 0) {
+        if (na == 0) {
+          var t = 0
+          while (t < 6) { a(o + t) = b(o + t); t += 1 }
+        } else {
+          // Chan's parallel combine of centered moments
+          val n = na + nb
+          val dX = b(o + 1) - a(o + 1)
+          val dY = b(o + 2) - a(o + 2)
+          val f = na * nb / n
+          a(o + 3) += b(o + 3) + dX * dX * f
+          a(o + 4) += b(o + 4) + dY * dY * f
+          a(o + 5) += b(o + 5) + dX * dY * f
+          a(o + 1) += dX * nb / n
+          a(o + 2) += dY * nb / n
+          a(o) = n
+        }
+      }
       if (b(o + 6) < a(o + 6)) a(o + 6) = b(o + 6)
       if (b(o + 7) > a(o + 7)) a(o + 7) = b(o + 7)
       if (b(o + 8) < a(o + 8)) a(o + 8) = b(o + 8)
@@ -124,9 +154,9 @@ class CorrMatrixAgg(k: Int)
           if (n < 2 || buf(b + 6) == buf(b + 7) || buf(b + 8) == buf(b + 9))
             None // too few obs, or exactly-constant side: undefined
           else {
-            val vx = n * buf(b + 3) - buf(b + 1) * buf(b + 1)
-            val vy = n * buf(b + 4) - buf(b + 2) * buf(b + 2)
-            val cov = n * buf(b + 5) - buf(b + 1) * buf(b + 2)
+            val vx = buf(b + 3)
+            val vy = buf(b + 4)
+            val cov = buf(b + 5)
             if (vx <= 0 || vy <= 0) None
             else Some(cov / math.sqrt(vx * vy))
           }

@@ -101,18 +101,27 @@ object WinnowFingerprint {
       wh(i) = hash60(md, bytes) % mod
       i += 1
     }
-    // powers base^(k-1-j) mod `mod`, then rolling window sums
+    // powers base^(k-1-j) mod `mod`; the first window is summed
+    // directly, every later one by the O(1) Rabin–Karp rolling update
+    // h' = (h − wh[s]·base^(k−1))·base + wh[s+k]  (all mod `mod`) —
+    // O(n) total, not O(n·k). Safe in longs because the extension
+    // registration caps mod at floor(sqrt(2^63)), so every product of
+    // two residues fits.
     val pow = new Array[Long](k)
     var j = k - 1
     var p = 1L
     while (j >= 0) { pow(j) = p; p = p * base % mod; j -= 1 }
-    var best = Long.MaxValue
-    var start = 0
+    val powK1 = pow(0) // base^(k-1) mod `mod`
+    var h = 0L
+    var t = 0
+    while (t < k) { h += wh(t) * pow(t) % mod; t += 1 }
+    h %= mod
+    var best = h
+    var start = 1
     while (start + k <= n) {
-      var h = 0L
-      var t = 0
-      while (t < k) { h += wh(start + t) * pow(t) % mod; t += 1 }
-      h %= mod
+      h = (h + mod - wh(start - 1) * powK1 % mod) % mod
+      h = h * base % mod
+      h = (h + wh(start - 1 + k)) % mod
       if (h < best) best = h
       start += 1
     }

@@ -103,6 +103,28 @@ class CorrMatrixSpec extends AnyFunSuite {
       Some(1.0)))
   }
 
+  test("near-constant series at large magnitude: stable rho, no " +
+    "cancellation garbage") {
+    // one 6-dp quantization step around magnitude 100 — exactly the
+    // shape forward-fill produces. The raw-power-sum form computes
+    // vx = n·Σx²−(Σx)² here, where the true signal (~3e-10) drowns in
+    // ~1e-7 of cancellation noise at this magnitude: a sign-random vx
+    // and a garbage or spuriously-None rho. Both series move together
+    // only on the last row, so the exact answer is 1.
+    val rows = (1 to 287).map(_ =>
+      Seq(100.000001, 1.0, 0.0, 0.0)) :+ Seq(100.000002, 2.0, 0.0, 0.0)
+    val cell = run(rows).find(c => c.i == 0 && c.j == 1).get
+    assert(close(cell.rho, Some(1.0), 1e-6), cell.rho)
+    // and split across partials at an arbitrary cut, same answer
+    val (l, r) = rows.splitAt(100)
+    val a = agg
+    val merged = a.finish(a.merge(
+      l.foldLeft(a.zero)((b, x) => a.reduce(b, x.toArray)),
+      r.foldLeft(a.zero)((b, x) => a.reduce(b, x.toArray))))
+    assert(close(merged.find(c => c.i == 0 && c.j == 1).get.rho,
+      Some(1.0), 1e-6))
+  }
+
   test("matches the direct two-pass Pearson computation") {
     val rnd = new Random(46)
     for (_ <- 1 to trials) {
