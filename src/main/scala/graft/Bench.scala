@@ -41,6 +41,10 @@ object Bench {
     // regressed (observed repeatedly across rounds; see SCALE.md).
     val results = sorted.map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
+        // release registered panel caches too — clearCache frees the
+        // blocks but the registry would otherwise accumulate plan
+        // references for the whole sweep
+        graft.ops.Time.unpersistPanels()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

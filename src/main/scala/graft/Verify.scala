@@ -8,6 +8,11 @@ object Verify {
     // optional trailing names restrict the dump (dev: re-check a subset
     // without the full ~70-query sweep); the driver passes none.
     val only = args.drop(2).toSet
+    // a typo'd name silently matching nothing would dump an empty
+    // result set that reads as vacuously green downstream — fail fast
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = 0
@@ -20,8 +25,10 @@ object Verify {
         failed += 1
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
-      // bound cached-intermediate storage across the ~50-query run (each
-      // query's caches are released once its result is on disk)
+      // bound cached-intermediate storage across the run (each query's
+      // caches are released once its result is on disk); the registry
+      // release also drops the tracked plan references, not just blocks
+      graft.ops.Time.unpersistPanels()
       spark.catalog.clearCache()
     }
     if (failed > 0) System.err.println(s"[verify] $failed queries failed")

@@ -118,12 +118,17 @@ object Flagship {
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             WindowResult(ws, we, ok = true, n, target, "")
           } finally {
-            // failed/partial staging must not leave debris inside the
-            // artifact tree a consumer globs recursively
-            val t = new java.io.File(tmp)
-            Option(t.listFiles()).foreach(_.foreach(_.delete()))
-            Files.deleteIfExists(t.toPath)
-            ()
+            // failed/partial staging (including Spark's nested
+            // _temporary dirs) must not leave debris inside the
+            // artifact tree a consumer globs recursively; swallow
+            // cleanup errors so they can never mask the real failure
+            try {
+              val t = Paths.get(tmp)
+              if (Files.exists(t))
+                Files.walk(t)
+                  .sorted(java.util.Comparator.reverseOrder())
+                  .forEach(f => { Files.deleteIfExists(f); () })
+            } catch { case _: Throwable => () }
           }
         } finally Time.unpersistPanels()
       } match {
@@ -156,9 +161,11 @@ object Flagship {
     val setup = Try {
       val ticks = Catalog.load(spark, sfDir, "events")
         .where(col("user_id") < maxUsers)
+      // resampleFfill caches + registers the filled panel itself — no
+      // second cache() here (it would be a CacheManager no-op plus a
+      // redundant unpersist to keep in sync)
       Time.resampleFfill(spark, ticks, "user_id", "ts", "value",
           openSec, closeSec, freqSec, Exact.davg(col("value")))
-        .cache()
     }
     val filled = setup match {
       case Failure(e) =>
@@ -193,9 +200,6 @@ object Flagship {
               String.valueOf(e.getMessage))
         }
       }
-    } finally {
-      filled.unpersist()
-      Time.unpersistPanels() // the panel resampleFfill cached internally
-    }
+    } finally Time.unpersistPanels() // releases the registered panel caches
   }
 }

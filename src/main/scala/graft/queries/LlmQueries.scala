@@ -72,15 +72,33 @@ object LlmQueries {
       val (a, b) = Text.minhashAffine(x)
       s"min(((h % ${Text.MinhashMod}) * $a + $b) % ${Text.MinhashMod})"
     }.mkString(", ")
-  /** Hashed unigram shingles (doc_id, h) — the one pass that reads the
-    * corpus text; strings never leave the projection. NOT cached here:
-    * [[dedupTable]] caches it for the duration of the one-time set/band
-    * builds and releases it when both are written, so nothing stays
-    * pinned in executor memory for the JVM lifetime.
+  /** Hashed unigram shingles (doc_id, h) over a documents relation —
+    * the one pass that reads the text; strings never leave the
+    * projection. NOT cached here: callers cache it for the duration of
+    * the set+band builds and release it, so nothing stays pinned in
+    * executor memory for the JVM lifetime.
     */
-  private def shingleHashes(s: SparkSession, d: String): DataFrame =
-    Text.explodeShingles(T(s, d, "documents"), "doc_id", "text", 1)
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
+    Text.explodeShingles(docs, "doc_id", "text", 1)
       .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
+
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    hashedShingles(T(s, d, "documents"))
+
+  /** The (sets, bands) signature pair over a hashed-shingle relation —
+    * THE signature definition (12 minhashes, 2 bands × 6 rows, tuned
+    * for the J≈0.95 near-identical target): the batch lake tables and
+    * the streaming ingest gate ([[graft.streaming.Streams]]'s
+    * incremental dedup) both build through this one function, so their
+    * signatures cannot drift.
+    */
+  private[graft] def signatureTables(sh: DataFrame)
+      : (DataFrame, DataFrame) =
+    (sh.groupBy("doc_id")
+       .agg(array_sort(collect_list(col("h"))).as("hs"))
+       .withColumn("sz", size(col("hs"))),
+     Text.bandKeys(Text.minhashSignature(sh, "doc_id", 12),
+       "doc_id", 2, 6))
 
   /** Builds (once per JVM) BOTH persisted signature tables from a single
     * cached pass over the corpus shingles, then unpersists — the cache
@@ -92,15 +110,9 @@ object LlmQueries {
         !Materialize.isBuilt(d, "dedup_bands")) {
       val sh = shingleHashes(s, d).cache()
       try {
-        Materialize.table(s, d, "dedup_sets") {
-          sh.groupBy("doc_id")
-            .agg(array_sort(collect_list(col("h"))).as("hs"))
-            .withColumn("sz", size(col("hs")))
-        }
-        Materialize.table(s, d, "dedup_bands") {
-          Text.bandKeys(Text.minhashSignature(sh, "doc_id", 12),
-            "doc_id", 2, 6)
-        }
+        val (sets, bands) = signatureTables(sh)
+        Materialize.table(s, d, "dedup_sets")(sets)
+        Materialize.table(s, d, "dedup_bands")(bands)
         ()
       } finally { sh.unpersist(); () }
     }

@@ -41,6 +41,18 @@ object Materialize {
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Collision-proof directory key: sanitize() maps distinct dirs like
+    * `/data/sf0.1` and `/data_sf0.1` to the same string, and two
+    * fixtures silently overwriting each other's tables is data
+    * corruption — an 8-hex md5 of the RAW dir disambiguates.
+    */
+  private def dirKey(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    s"${sanitize(dir)}_$hex"
+  }
+
   /** Scratch root. Honors `GRAFT_SCRATCH` (a deliberately shared,
     * caller-managed location — never deleted by us); otherwise a
     * per-user per-process directory under tmpdir, removed at JVM exit.
@@ -69,7 +81,7 @@ object Materialize {
     * sink roundtrip queries for their fixed write locations).
     */
   def path(dir: String, name: String): String =
-    s"$root/${sanitize(dir)}/$name"
+    s"$root/${dirKey(dir)}/$name"
 
   /** The named table for fixture `dir`: built + written once per JVM by
     * `build`, a parquet scan of the persisted result ever after.

@@ -47,6 +47,15 @@ object Sinks {
                      targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, s"compactParquet: targetBytes $targetBytes")
     val d = new java.io.File(dir)
+    // flat directories only: a Hive-partitioned layout (date=…/ subdirs)
+    // needs PER-PARTITION compaction — rewriting it flat here would
+    // leave two conflicting layouts side by side and corrupt the table.
+    // Fail fast instead of corrupting.
+    val subdirs = Option(d.listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"compactParquet: $dir is partitioned (${subdirs.head.getName}/…) — " +
+        "compact each partition directory instead")
     def parts(f: java.io.File) = Option(f.listFiles()).getOrElse(Array())
       .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
     val before = parts(d)
@@ -56,11 +65,18 @@ object Sinks {
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp)
     val out = new java.io.File(tmp)
-    before.foreach(_.delete())
-    parts(d).foreach(_.delete()) // stragglers with the data extension
-    parts(out).foreach { f =>
-      val _ = f.renameTo(new java.io.File(d, f.getName))
+    // rename the NEW files in first (uniquely prefixed so they can never
+    // collide with existing part names), verify every rename, and only
+    // then delete the originals — a failed rename leaves the original
+    // data intact instead of an emptied table
+    val stamp = s"compact_${System.nanoTime()}"
+    parts(out).zipWithIndex.foreach { case (f, i) =>
+      val target = new java.io.File(d, s"${stamp}_$i.parquet")
+      require(f.renameTo(target),
+        s"compactParquet: rename ${f.getPath} -> ${target.getPath} failed; " +
+          "original files left untouched")
     }
+    before.foreach(_.delete())
     Option(out.listFiles()).getOrElse(Array()).foreach(_.delete())
     out.delete()
     (before.length, parts(d).length)

@@ -26,6 +26,22 @@ import graft.Catalog
   */
 object Streams {
 
+  /** Idempotent foreachBatch sink: each micro-batch OVERWRITES its own
+    * `batch_id=N` subdirectory instead of appending to a shared one.
+    * foreachBatch is at-least-once — a crash between the output write
+    * and the checkpoint commit replays the batch — so a bare append
+    * would duplicate every replayed row; overwrite-per-batch-id makes
+    * the replay a byte-identical no-op. Readers `spark.read.parquet`
+    * the root as usual (batch_id surfaces as a partition column they
+    * can ignore).
+    */
+  private def idempotentWrite(batch: DataFrame, outDir: String, id: Long,
+                              partitionBy: Seq[String] = Nil): Unit = {
+    val w = batch.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$outDir/batch_id=$id")
+  }
+
   /** Events-schema'd streaming source over a directory of parquet files.
     * Same nanos-as-long read contract as the batch catalog.
     */
@@ -58,9 +74,9 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         batches += 1
-        batch.write.mode("append").partitionBy("date").parquet(outDir)
+        idempotentWrite(batch, outDir, id, partitionBy = Seq("date"))
       }
       .start()
     q.awaitTermination()
@@ -94,8 +110,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentWrite(batch, outDir, id)
       }
       .start()
     q.awaitTermination()
@@ -129,8 +145,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentWrite(batch, outDir, id)
       }
       .start()
     q.awaitTermination()
@@ -187,16 +203,14 @@ object Streams {
     val q = src.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sh = Text.explodeShingles(batch, "doc_id", "text", 1)
-          .select(col("doc_id"), Text.hash60(col("shingle")).as("h"))
-          .cache()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // signatures come from the SAME build as the batch lake tables
+        // (LlmQueries.hashedShingles/signatureTables), so a tuning
+        // change there cannot silently diverge stream from batch
+        val sh = graft.queries.LlmQueries.hashedShingles(batch).cache()
         try {
-          val dSets = sh.groupBy("doc_id")
-            .agg(array_sort(collect_list(col("h"))).as("hs"))
-            .withColumn("sz", size(col("hs")))
-          val dBands = Text.bandKeys(
-            Text.minhashSignature(sh, "doc_id", 12), "doc_id", 2, 6)
+          val (dSets, dBands) =
+            graft.queries.LlmQueries.signatureTables(sh)
           // the state tables must not double-carry docs that are also in
           // the arriving batch (the spec replays the fixture's own top
           // decile as the delta) — anti-join the batch ids out so the
@@ -206,23 +220,25 @@ object Streams {
             .join(ids, Seq("doc_id"), "left_anti")
           val cSets = spark.read.parquet(stSets)
             .join(ids, Seq("doc_id"), "left_anti")
-          graft.queries.LlmQueries.deltaVerdicts(
+          idempotentWrite(graft.queries.LlmQueries.deltaVerdicts(
               cBands.unionByName(dBands), dBands,
-              cSets.unionByName(dSets), batch.select("doc_id"), th)
-            .write.mode("append").parquet(outDir)
+              cSets.unionByName(dSets), batch.select("doc_id"), th),
+            outDir, id)
           // lake maintenance: this batch's signatures become corpus for
-          // every later micro-batch. Docs already present in state are
-          // NOT re-appended (the fixture replays corpus docs as the
-          // delta; a duplicate set row would double a pair's verified
-          // match count in deltaVerdicts) — this also makes a retried
-          // batch's append a no-op.
-          // localCheckpoint breaks the read-stSets-while-appending-to-
-          // stSets dependency; released right after the appends so a
+          // every later micro-batch. Each table's append is guarded by
+          // that table's OWN contents (not its sibling's), so a crash
+          // between the two appends replays as a per-table no-op and a
+          // doc's signatures are never duplicated — a duplicate set row
+          // would double a pair's verified match count in deltaVerdicts.
+          // localCheckpoint breaks the read-X-while-appending-to-X
+          // dependency; released right after the appends so a
           // long-running stream does not pin two relations per batch
-          val known = spark.read.parquet(stSets).select("doc_id")
-          val freshB = dBands.join(known, Seq("doc_id"), "left_anti")
+          val knownB = spark.read.parquet(stBands).select("doc_id")
+            .distinct()
+          val knownS = spark.read.parquet(stSets).select("doc_id")
+          val freshB = dBands.join(knownB, Seq("doc_id"), "left_anti")
             .localCheckpoint()
-          val freshS = dSets.join(known, Seq("doc_id"), "left_anti")
+          val freshS = dSets.join(knownS, Seq("doc_id"), "left_anti")
             .localCheckpoint()
           try {
             freshB.write.mode("append").parquet(stBands)
@@ -271,8 +287,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentWrite(batch, outDir, id)
       }
       .start()
     q.awaitTermination()

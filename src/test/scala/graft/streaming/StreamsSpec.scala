@@ -60,9 +60,13 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.count() == batch.count())
     assert(streamed.agg(sum("n")).head().getLong(0) ==
       batch.agg(sum("n")).head().getLong(0))
-    // partitioned layout materialized
-    assert(new java.io.File(out).listFiles()
-      .exists(_.getName.startsWith("date=")))
+    // idempotent per-batch layout: batch_id=N dirs at the root, the
+    // date= partitioning inside each
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    assert(batchDirs.nonEmpty)
+    assert(batchDirs.exists(b => Option(b.listFiles()).getOrElse(Array())
+      .exists(_.getName.startsWith("date="))))
   }
 
   test("sessionStream emits watermark-closed sessions matching batch") {
@@ -85,7 +89,9 @@ class StreamsSpec extends SparkTestBase {
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("n_events"))
     assert(streamed.count() > 0)
-    assert(streamed.orderBy("user_id", "session_start").collect().toSeq ==
+    assert(streamed
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start").collect().toSeq ==
       batch.orderBy("user_id", "session_start").collect().toSeq)
   }
 
@@ -226,6 +232,7 @@ class StreamsSpec extends SparkTestBase {
     val ck = tmp("graft_incr_ck_")
     Streams.incrementalDedupStream(spark, in, fx, out, ck, th)
     val streamed = spark.read.parquet(out)
+      .select("doc_id", "match_id", "n_matches", "verdict")
       .orderBy("doc_id").collect().toSeq
     val batch = graft.SparkEntry.queries("d8_incremental_dedup")(spark, fx)
       .collect().toSeq
@@ -297,6 +304,7 @@ class StreamsSpec extends SparkTestBase {
     Streams.incrementalDedupStream(spark, in, fx, out, ck, th,
       maxFilesPerTrigger = Some(1))
     val streamed = spark.read.parquet(out)
+      .select("doc_id", "match_id", "n_matches", "verdict")
       .orderBy("doc_id").collect().toSeq
     assert(streamed == batch)
   }
@@ -319,6 +327,7 @@ class StreamsSpec extends SparkTestBase {
       System.currentTimeMillis())
     Streams.incrementalDedupStream(spark, in, fx, out, ck, th)
     val streamed = spark.read.parquet(out)
+      .select("doc_id", "match_id", "n_matches", "verdict")
       .orderBy("doc_id").collect().toSeq
     assert(streamed == batch)
   }
