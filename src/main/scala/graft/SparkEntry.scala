@@ -393,8 +393,12 @@ object SparkEntry {
       .select(col("p_partkey"),
         split(col("p_name"), " ").getItem(0).as("tok1"),
         // try_element_at: null-when-absent even under ANSI mode (plain
-        // element_at throws on out-of-bounds since Spark 4)
-        try_element_at(split(col("p_name"), " "), lit(2)).as("tok2"))
+        // element_at throws on out-of-bounds since Spark 4); the outer
+        // nullif mirrors the oracle's absent-token-as-NULL convention
+        // for an EMPTY second token too (consecutive delimiters), so
+        // the two engines cannot disagree on "" vs NULL
+        nullif(try_element_at(split(col("p_name"), " "), lit(2)),
+          lit("")).as("tok2"))
       .orderBy("p_partkey"),
     Some("""SELECT p_partkey, split_part(p_name, ' ', 1) AS tok1,
         nullif(split_part(p_name, ' ', 2), '') AS tok2
@@ -436,12 +440,23 @@ object SparkEntry {
   private val qF12 = Q("f12_unpivot_melt",
     (s, d) => {
       val types = Seq("click", "view")
+      // pivot BOTH the mean and a row count per type into struct cells:
+      // post-pivot, a user with no rows of a type and a user whose rows
+      // are all value-NULL both have a null MEAN cell, but only the
+      // former has a null count — filtering the unpivoted cells on the
+      // count keeps the oracle's GROUP BY semantics, which emits a
+      // NULL-avg row for the all-null group
       val wide = T(s, d, "events")
         .groupBy("user_id").pivot("event_type", types)
-        .agg(davg(col("value")))
-      wide.unpivot(Array(col("user_id")), types.map(col).toArray,
-          "event_type", "avg_value")
-        .where(col("avg_value").isNotNull)
+        .agg(davg(col("value")).as("avg"), count(lit(1)).as("n"))
+      wide.select(col("user_id") +: types.map(t =>
+          struct(col(s"${t}_avg").as("avg"), col(s"${t}_n").as("n"))
+            .as(t)): _*)
+        .unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "cell")
+        .where(col("cell.n").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          col("cell.avg").as("avg_value"))
         .orderBy("user_id", "event_type")
     },
     Some("""SELECT user_id, event_type,
@@ -503,18 +518,11 @@ object SparkEntry {
 
   // W2: backward-fill variant (notebook cell 15)
   private val qW2 = Q("w2_resample_bfill",
-    (s, d) => {
-      val ev = T(s, d, "events").where(col("user_id") < 5)
-      val bucketed = ev
-        .where(col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan3))
-        .groupBy(Time.bucketSec(col("ts"), 60).as("bucket"), col("user_id"))
-        .agg(davg(col("value")).as("value"))
-      val g = Time.grid(s, jan2, jan3, 60, bucketed.select("user_id").distinct())
-      Time.bfill(g.join(bucketed, Seq("bucket", "user_id"), "left"),
-          "user_id", "bucket", "value")
-        .select(col("bucket"), col("user_id"), col("value").as("next_price"))
-        .orderBy("user_id", "bucket")
-    },
+    (s, d) => Time.resampleBfill(s,
+        T(s, d, "events").where(col("user_id") < 5),
+        "user_id", "ts", "value", jan2, jan3, 60, davg(col("value")))
+      .select(col("bucket"), col("user_id"), col("value").as("next_price"))
+      .orderBy("user_id", "bucket"),
     Some(s"""WITH b AS (
         SELECT $EP - $EP % 60 AS bucket, user_id,
           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -706,14 +714,17 @@ object SparkEntry {
   // The open spell's valid_to is NULL, the SCD2 "current row" marker.
   private val qW6 = Q("w6_scd2_intervals",
     (s, d) => {
-      val wSeq = Window.partitionBy("user_id").orderBy("ems", "event_id")
-      val wSpell = Window.partitionBy("user_id").orderBy("ems", "event_id")
+      // ONE spec for both windows: lag runs over all rows, lead over
+      // the surviving change rows — that difference is where the window
+      // is APPLIED, not the spec; the shared spec keeps the
+      // exchange-reuse guarantee in one place
+      val w = Window.partitionBy("user_id").orderBy("ems", "event_id")
       T(s, d, "events")
         .select(col("user_id"), col("event_id"),
           unix_millis(col("ts")).as("ems"), col("event_type"))
-        .withColumn("prev", lag(col("event_type"), 1).over(wSeq))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
         .where(col("prev").isNull || col("prev") =!= col("event_type"))
-        .withColumn("valid_to", lead(col("ems"), 1).over(wSpell))
+        .withColumn("valid_to", lead(col("ems"), 1).over(w))
         .select(col("user_id"), col("event_type"),
           col("ems").as("valid_from"), col("valid_to"))
         // event_type tie-break: two same-millisecond change events give
@@ -807,9 +818,14 @@ object SparkEntry {
       val ev = T(s, d, "events")
         .withColumn("day_index",
           expr(s"unix_timestamp(ts) div 86400 - $dayStart"))
-      val withChunk = ev.withColumn("chunk", expr("day_index div 7"))
+      // FLOOR division, not `div` (truncate-toward-zero): the oracle's
+      // `//` floors, and an event BEFORE the anchor (negative
+      // day_index) must land in chunk -1 on both sides, not chunk 0
+      val withChunk = ev.withColumn("chunk",
+        expr("CAST(floor(day_index / 7.0) AS BIGINT)"))
       val nChunks = ev.agg(
-        expr("(max(day_index) + 1) div 7").as("n_chunks"))
+        expr("CAST(floor((max(day_index) + 1) / 7.0) AS BIGINT)")
+          .as("n_chunks"))
       withChunk.crossJoin(broadcast(nChunks))
         .where(col("chunk") < col("n_chunks"))
         .groupBy("chunk")
@@ -861,19 +877,18 @@ object SparkEntry {
   /** The wide one-pass panel: (sorted distinct series ids, one k-wide
     * Array[Double] row per bucket, NaN = missing) — the input shape of
     * [[graft.functions.CorrMatrixAgg]]. Shared by the a3 one-pass tiers
-    * and the wide graph-edge builder (g4). The key set is collected from
-    * the cheap pruned raw scan (k ids — dimension metadata, not data),
-    * which avoids materializing the ffill window a second time just to
-    * enumerate columns; the filled panel itself comes from the shared
-    * resample cache.
+    * and the wide graph-edge builder (g4). The key set (k ids —
+    * dimension metadata, not data) is collected from the CACHED filled
+    * panel itself: its first action materializes the cache every
+    * consumer shares anyway, and a second raw tick scan just to list
+    * ids would dominate at the 100 TB posture (and would maintain the
+    * filter predicate in two places).
     */
   private[graft] def widePanel(s: SparkSession, d: String, nUsers: Int,
       a: Long, b: Long, step: Long): (Seq[Long], DataFrame) = {
     import s.implicits._
     val filled = resampled(s, d, nUsers, a, b, step)
-    val users: Seq[Long] = T(s, d, "events")
-      .where(col("user_id") < nUsers &&
-        col("ts") >= tsLit(a) && col("ts") < tsLit(b))
+    val users: Seq[Long] = filled
       .select("user_id").distinct()
       .orderBy("user_id").as[Long].collect().toSeq
     val panel = filled.groupBy("bucket").agg(

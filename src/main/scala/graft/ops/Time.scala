@@ -138,7 +138,9 @@ object Time {
                                 keyCol: String, valueCol: String,
                                 rangeFilter: Column, bucketExpr: Column,
                                 start: Long, end: Long, step: Long,
-                                agg: Column): DataFrame = {
+                                agg: Column,
+                                fill: (DataFrame, String, String, String)
+                                  => DataFrame = ffill): DataFrame = {
     val bucketed = ticks.where(rangeFilter)
       .groupBy(bucketExpr.as("bucket"), col(keyCol))
       .agg(agg.as(valueCol))
@@ -147,10 +149,24 @@ object Time {
     val keys = bucketed.select(keyCol).distinct()
     val g = grid(spark, start, end, step, keys)
     val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
-    val filled = ffill(joined, keyCol, "bucket", valueCol).cache()
+    val filled = fill(joined, keyCol, "bucket", valueCol).cache()
     cachedPanels.add(filled)
     filled
   }
+
+  /** Backward-fill twin of [[resampleFfill]] — identical bucket + grid
+    * + cache core (both cachings are load-bearing, see the core's
+    * scaladoc), with the bfill window instead.
+    */
+  def resampleBfill(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                    tsCol: String, valueCol: String,
+                    startSec: Long, endSec: Long, stepSec: Long,
+                    agg: Column): DataFrame =
+    resampleFfillCore(spark, ticks, keyCol, valueCol,
+      col(tsCol) >= timestamp_seconds(lit(startSec)) &&
+        col(tsCol) < timestamp_seconds(lit(endSec)),
+      bucketSec(col(tsCol), stepSec),
+      startSec, endSec, stepSec, agg, bfill)
 
   /** Bucket + mean (the reference's dedup-mean of simultaneous ticks, A1:
     * correlation_matrix_exporter.py:109) then grid-join + ffill — the full
