@@ -891,10 +891,13 @@ object SparkEntry {
     val users: Seq[Long] = filled
       .select("user_id").distinct()
       .orderBy("user_id").as[Long].collect().toSeq
+    // the bucket rides along so consumers can derive window keys for
+    // per-window aggregation (e1b); the global-matrix consumers simply
+    // aggregate over it
     val panel = filled.groupBy("bucket").agg(
       map_from_entries(collect_list(struct(col("user_id").cast("int"),
         coalesce(col("value"), lit(Double.NaN))))).as("m"))
-      .select(array(users.map(u =>
+      .select(col("bucket"), array(users.map(u =>
         coalesce(element_at(col("m"), lit(u.toInt)), lit(Double.NaN))): _*)
         .as("vals"))
     (users, panel)

@@ -52,6 +52,45 @@ object PipelineQueries {
           ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2, 3, 4 ORDER BY win_start, i, j"""))
 
+  // E1 at the reference's REAL width — the production shape of the
+  // whole flagship job: per-window correlation matrices over every
+  // fixture user (k=150 at sf0.01, capped 300; the reference windows
+  // k≈500, correlation_matrix_exporter.py:146-163). The one-pass
+  // co-moment UDAF keyed BY WINDOW computes every window's full matrix
+  // from a single resample shuffle: per window the state is one
+  // k(k-1)/2×10-double buffer (co-moments, not data, cross the merge),
+  // where e1's pair-join form would shuffle windows·buckets·k²/2 rows.
+  // Daily windows over two days — 22,350 graded cells including every
+  // undefined (NaN) pair.
+  private val qE1b = Q("e1b_flagship_wide",
+    (s, d) => {
+      import s.implicits._
+      val jan1 = SparkEntry.jan1
+      val jan3 = SparkEntry.jan3
+      val winSec = 86400L
+      val (users, panel) = SparkEntry.widePanel(s, d, 300, jan1, jan3, 600)
+      val k = users.size
+      panel
+        .withColumn("win", ((col("bucket") - jan1) / winSec).cast("long"))
+        .groupBy("win")
+        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+          .as("cells"))
+        .select(col("win"), explode(col("cells")).as("c"))
+        .select(col("win"),
+          element_at(typedLit(users), col("c.i") + 1).as("i"),
+          element_at(typedLit(users), col("c.j") + 1).as("j"),
+          round(col("c.rho"), 4).as("rho"))
+        .transform(Q.sortedSmall(_, "win", "i", "j"))
+    },
+    Some(SparkEntry.ffillSqlCte(300, SparkEntry.jan1, SparkEntry.jan3,
+      600) + s"""
+      SELECT (a.bucket - ${SparkEntry.jan1})//86400 AS win,
+        a.user_id AS i, b.user_id AS j,
+        round(corr(a.price, b.price), 4) AS rho
+      FROM filled a JOIN filled b
+        ON a.bucket = b.bucket AND a.user_id < b.user_id
+      GROUP BY 1, 2, 3 ORDER BY win, i, j"""))
+
   // W3 with the reference's true session semantics: 09:30-anchored
   // tumbling 4h windows, per calendar day, clamped to 16:00 — unlike the
   // epoch-anchored w3_tumbling_4h. Pure integer arithmetic on epoch
@@ -687,6 +726,6 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY chunk"""))
 
   val all: Seq[Q] =
-    Seq(qE1F, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qS13, qG1, qG2,
-      qG3, qG4, qW4b)
+    Seq(qE1F, qE1b, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qS13, qG1,
+      qG2, qG3, qG4, qW4b)
 }

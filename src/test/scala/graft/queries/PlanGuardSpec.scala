@@ -76,6 +76,14 @@ class PlanGuardSpec extends SparkTestBase {
       p)
   }
 
+  test("e1b's per-window wide matrices share the same join-free shape") {
+    val p = plan("e1b_flagship_wide")
+    assert(p.toLowerCase.contains("corrmatrixagg"), p)
+    assert(!p.contains("Inner"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p)
+  }
+
   test("no CartesianProduct in any query plan") {
     // broadcast-tiny plane/profile generators surface as
     // BroadcastNestedLoopJoin, which is fine; an unhinted non-equi join
