@@ -69,6 +69,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir","failures":$failures}"""
     println(line)
+    // the driver's stdout capture truncates long lines from the front,
+    // losing the alphabetically-early per-query times — always persist
+    // the complete artifact next to the run as well
+    Files.writeString(Paths.get("bench_full.json"), line + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .foreach(p => Files.writeString(Paths.get(p), line + "\n"))
     spark.stop()

@@ -18,28 +18,39 @@ object Skew {
 
   /** Two-phase salted aggregation.
     *
-    * @param partial aggregates applied per (keys, salt) group
-    * @param fin     aggregates combining the partials per (keys) —
-    *                refer to the partial aliases
+    * @param partial  aggregates applied per (keys, salt) group
+    * @param fin      aggregates combining the partials per (keys) —
+    *                 refer to the partial aliases
+    * @param saltExpr optional caller-supplied salt expression; when the
+    *                 input has a stable uniform column (an event id, a
+    *                 file offset), pass `pmod(hash-of-it, salt)` here to
+    *                 make the salt deterministic under task retries
     *
     * e.g. count: partial `count(1) as c`, final `sum(c) as n`;
     * mean: partials `sum(x) as s`/`count(x) as c`, final `sum(s)/sum(c)`.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
-                partial: Seq[Column], fin: Seq[Column]): DataFrame = {
-    // Salt from the row's POSITION (partition id + row index via
-    // monotonically_increasing_id), never from row content: the
+                partial: Seq[Column], fin: Seq[Column],
+                saltExpr: Option[Column] = None): DataFrame = {
+    // Default salt is the row's POSITION (partition id + row index via
+    // monotonically_increasing_id), never a content hash: the
     // archetypal hot key is billions of IDENTICAL rows (a viral event
     // counted over and over), and any content hash maps them all to ONE
     // salt — the exact single-reducer pin this operator exists to
-    // prevent. Position-derived salts are uniform by construction. The
-    // final result is independent of the salt assignment because the
-    // caller supplies a (partial, final) decomposition, so the usual
-    // nondeterminism caveat on monotonically_increasing_id (values can
-    // differ across task retries) cannot change the answer — any
-    // assignment of rows to salts combines to the same finals.
+    // prevent. Position-derived salts are uniform by construction, and
+    // because the caller supplies a (partial, final) decomposition, any
+    // one assignment of rows to salts combines to the same finals.
+    // Retry caveat: monotonically_increasing_id is nondeterministic
+    // across task retries, and Spark does not mark SQL stages with
+    // nondeterministic expressions as indeterminate — if an upstream
+    // shuffle's map stage is partially recomputed after a fetch failure
+    // while some reducers reuse old shuffle output, rows can be
+    // double-counted or dropped (the same exposure as textbook rand()
+    // salting). Exactly-once row processing is assumed here; callers
+    // with a stable uniform column should pass `saltExpr` instead.
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      saltExpr.getOrElse(
+        pmod(monotonically_increasing_id(), lit(salt.toLong))))
     salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

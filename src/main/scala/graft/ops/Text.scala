@@ -175,15 +175,17 @@ object Text {
   }
 
   /** DuckDB mirror of [[qualityScore]]; `w` is a SQL list expression
-    * (e.g. `string_split(text, ' ')`). The stopword lambda literal
-    * mirrors [[stopwords]].
+    * (e.g. `string_split(text, ' ')`). The stopword lambda is GENERATED
+    * from [[stopwords]] so editing the Seq cannot diverge the mirror.
     */
-  def qualityScoreSql(w: String): String =
+  def qualityScoreSql(w: String): String = {
+    val stopPred = stopwords.map(s => s"x = '$s'").mkString(" OR ")
     s"""round(0.4 * least(1.0, CAST(len($w) AS DOUBLE) / 50.0) +
             0.4 * (CAST(len(list_distinct($w)) AS DOUBLE) / len($w)) +
             0.2 * (1.0 - CAST(len(list_filter($w,
-              x -> x = 'a' OR x = 'the')) AS DOUBLE)
+              x -> $stopPred)) AS DOUBLE)
               / len($w)), 6)"""
+  }
 
   /** Per-language function-word profiles for the n-gram/stopword language
     * heuristic. Real profiles would be learned; these are the standard

@@ -76,7 +76,13 @@ object Sinks {
         s"compactParquet: rename ${f.getPath} -> ${target.getPath} failed; " +
           "original files left untouched")
     }
-    before.foreach(_.delete())
+    // re-list rather than deleting only the `before` snapshot: a data
+    // file that appeared between the initial listing and the spark.read
+    // was included in the compacted output, and leaving it behind would
+    // duplicate its rows — every .parquet not carrying the new stamp
+    // prefix is by construction part of the compacted input (single
+    // writer), so sweep them all
+    parts(d).filterNot(_.getName.startsWith(stamp)).foreach(_.delete())
     Option(out.listFiles()).getOrElse(Array()).foreach(_.delete())
     out.delete()
     (before.length, parts(d).length)

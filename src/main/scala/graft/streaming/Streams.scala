@@ -37,6 +37,17 @@ object Streams {
     */
   private def idempotentWrite(batch: DataFrame, outDir: String, id: Long,
                               partitionBy: Seq[String] = Nil): Unit = {
+    // this layout is batch_id=N partition dirs; a root holding FLAT
+    // parquet files (the pre-round-8 append layout, or any foreign
+    // writer) would mix two layouts and break partition discovery for
+    // every reader — fail fast instead of corrupting the table
+    val flat = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    require(flat.isEmpty,
+      s"idempotentWrite: $outDir holds flat parquet files " +
+        s"(${flat.head.getName}); this sink writes batch_id=N subdirs — " +
+        "migrate or clear the directory before restarting the stream")
     val w = batch.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$outDir/batch_id=$id")

@@ -37,8 +37,16 @@ class SkewJoinSpec extends SparkTestBase {
       // its own), so the AQE final plan is observable on `joined`
       assert(joined.collect().length == 201000)
       val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
-        s"AQE must mark the hot partition as skewed:\n$plan")
+      // the strict OptimizeSkewedJoin marker ON THE JOIN NODE itself —
+      // a loose "skewed" substring could match config echoes and let
+      // the gate rot (it did: Spark 4 prints `SortMergeJoin(skew=true)`)
+      assert(plan.contains("SortMergeJoin(skew=true)") ||
+        plan.contains("ShuffledHashJoin(skew=true)"),
+        s"AQE must mark the hot join with (skew=true):\n$plan")
+      // and the hot side's shuffle read must carry the skew split
+      assert(plan.contains("AQEShuffleRead coalesced and skewed") ||
+        plan.contains("AQEShuffleRead skewed"),
+        s"the skewed partition must be split at the shuffle read:\n$plan")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
