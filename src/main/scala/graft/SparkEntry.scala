@@ -920,16 +920,17 @@ object SparkEntry {
     },
     Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
 
-  // A3 at realistic panel width (the reference correlates k≈500 symbols,
+  // A3 at the reference's true panel width (it correlates k≈500 symbols,
   // correlation_matrix_exporter.py README): every fixture user (150 at
-  // sf0.01, capped at 300) through the one-pass aggregator — k(k-1)/2
-  // ≈ 11k pairs from ONE shuffle + a 540 KB co-moment buffer, where the
-  // pair-join tier would shuffle k² rows per bucket. The buffer is
-  // O(k²) doubles, which caps this tier near k≈1-2k series; beyond that
-  // the pair-join tier with pair-pruning wins again — both stay exposed.
+  // sf0.01; k=500 of sf0.1's 1,500) through the one-pass aggregator —
+  // k(k-1)/2 ≈ 125k pairs from ONE shuffle + a ~10 MB co-moment buffer,
+  // where the pair-join tier would shuffle k² rows per bucket. The
+  // buffer is O(k²) doubles, which caps this tier near k≈1-2k series;
+  // beyond that the pair-join tier with pair-pruning wins again — both
+  // stay exposed.
   private val qA3c = Q("a3c_corr_onepass_wide",
     (s, d) => {
-      val (users, panel) = widePanel(s, d, 300, jan1, jan3, 600)
+      val (users, panel) = widePanel(s, d, 500, jan1, jan3, 600)
       val k = users.size
       // Shrink partitions before the agg: the panel is only buckets-many
       // rows (hundreds), but the aggregator's partial buffer is O(k²)
@@ -953,7 +954,7 @@ object SparkEntry {
           round(col("c.rho"), 4).as("rho"))
         .transform(Q.sortedSmall(_, "i", "j"))
     },
-    Some(ffillSqlCte(300, jan1, jan3, 600) + corrSqlTail
+    Some(ffillSqlCte(500, jan1, jan3, 600) + corrSqlTail
       .replace("round(corr(a.price, b.price), 6)",
         "round(corr(a.price, b.price), 4)")))
 

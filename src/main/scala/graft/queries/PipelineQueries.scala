@@ -54,23 +54,29 @@ object PipelineQueries {
 
   // E1 at the reference's REAL width — the production shape of the
   // whole flagship job: per-window correlation matrices over every
-  // fixture user (k=150 at sf0.01, capped 300; the reference windows
-  // k≈500, correlation_matrix_exporter.py:146-163). The one-pass
-  // co-moment UDAF keyed BY WINDOW computes every window's full matrix
-  // from a single resample shuffle: per window the state is one
-  // k(k-1)/2×10-double buffer (co-moments, not data, cross the merge),
-  // where e1's pair-join form would shuffle windows·buckets·k²/2 rows.
-  // Daily windows over two days — 22,350 graded cells including every
-  // undefined (NaN) pair.
+  // fixture user (k=150 at sf0.01; k=500 of sf0.1's 1,500 — the width
+  // the reference windows, correlation_matrix_exporter.py:146-163). The
+  // one-pass co-moment UDAF keyed BY WINDOW computes every window's
+  // full matrix from a single resample shuffle: per window the state is
+  // one k(k-1)/2×10-double buffer (co-moments, not data, cross the
+  // merge — ~10 MB at k=500), where e1's pair-join form would shuffle
+  // windows·buckets·k²/2 rows. Daily windows over two days; every
+  // undefined (NaN) pair is graded too.
   private val qE1b = Q("e1b_flagship_wide",
     (s, d) => {
       import s.implicits._
       val jan1 = SparkEntry.jan1
       val jan3 = SparkEntry.jan3
       val winSec = 86400L
-      val (users, panel) = SparkEntry.widePanel(s, d, 300, jan1, jan3, 600)
+      val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
       val k = users.size
+      // Same partial-buffer bound as a3c: the panel is buckets-many rows
+      // but each window's partial buffer is O(k²) doubles — uncoalesced,
+      // every one of 32 partitions serializes up to windows×~10 MB of
+      // state into the merge. Bounded, it is partitions≈buckets/256.
+      val nBuckets = (jan3 - jan1) / 600
       panel
+        .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
         .withColumn("win", ((col("bucket") - jan1) / winSec).cast("long"))
         .groupBy("win")
         .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
@@ -82,7 +88,7 @@ object PipelineQueries {
           round(col("c.rho"), 4).as("rho"))
         .transform(Q.sortedSmall(_, "win", "i", "j"))
     },
-    Some(SparkEntry.ffillSqlCte(300, SparkEntry.jan1, SparkEntry.jan3,
+    Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
       600) + s"""
       SELECT (a.bucket - ${SparkEntry.jan1})//86400 AS win,
         a.user_id AS i, b.user_id AS j,
@@ -206,12 +212,13 @@ object PipelineQueries {
 
   // S6 at the reference's real matrix width: the exporter's artifact is
   // a ~500-column square CSV (README.md:43), not the k=8 toy above. The
-  // full fixture panel (k=150 at sf0.01, capped 300) flows through the
-  // one-pass co-moment UDAF — never a per-bucket k² pair join — out to
-  // the square CSV (151 columns, ids as header + index, unit diagonal,
-  // EMPTY cells for undefined pairs: 1,636 of the 11,175 pairs here
-  // have <2 complete observations), back in through the CSV reader, and
-  // is unpivoted and hash-graded against the oracle correlating the raw
+  // full fixture panel (k=150 at sf0.01; k=500 of sf0.1's 1,500 — the
+  // reference's true width) flows through the one-pass co-moment UDAF —
+  // never a per-bucket k² pair join — out to the square CSV (k+1
+  // columns, ids as header + index, unit diagonal, EMPTY cells for
+  // undefined pairs: 1,636 of the 11,175 pairs at sf0.01 have <2
+  // complete observations), back in through the CSV reader, and is
+  // unpivoted and hash-graded against the oracle correlating the raw
   // ticks — so header/index alignment, cell order, the 4-dp double text
   // round-trip AND the empty-cell (NaN) fidelity are all on the graded
   // path at real width.
@@ -219,7 +226,7 @@ object PipelineQueries {
     (s, d) => {
       val jan1 = SparkEntry.jan1
       val jan3 = SparkEntry.jan3
-      val (users, panel) = SparkEntry.widePanel(s, d, 300, jan1, jan3, 600)
+      val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
       val k = users.size
       val nBuckets = (jan3 - jan1) / 600
       val pairs = panel
@@ -245,7 +252,7 @@ object PipelineQueries {
         .where(col("i") < col("j"))
         .transform(Q.sortedSmall(_, "i", "j"))
     },
-    Some(SparkEntry.ffillSqlCte(300, SparkEntry.jan1, SparkEntry.jan3,
+    Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
       600) +
       """ SELECT a.user_id AS i, b.user_id AS j,
           round(corr(a.price, b.price), 4) AS rho
@@ -638,7 +645,7 @@ object PipelineQueries {
   // where g1's per-bucket pair self-join would shuffle buckets·k²/2 rows
   // before aggregating — the exact blowup the one-pass co-moment UDAF
   // exists to avoid. Here the edges come from that tier at every fixture
-  // user (k=150 at sf0.01, capped at 300): ONE resample shuffle feeds a
+  // user (k=150 at sf0.01; k=500 at sf0.1): ONE resample shuffle feeds a
   // k-wide panel row per bucket, the aggregate moves k(k-1)/2×10 doubles
   // of co-moment state (not data) across the merge, and the UDAF's
   // 0-based index into the sorted vertex dimension IS the vid (the
@@ -649,7 +656,7 @@ object PipelineQueries {
     (s, d) => {
       val jan1 = SparkEntry.jan1
       val jan3 = SparkEntry.jan3
-      val (users, panel) = SparkEntry.widePanel(s, d, 300, jan1, jan3, 600)
+      val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
       val k = users.size
       val nBuckets = (jan3 - jan1) / 600
       val e = graft.ops.Time.registerCached(panel
@@ -666,7 +673,7 @@ object PipelineQueries {
           col("weight")))
         .transform(Q.sortedSmall(_, "src", "dst"))
     },
-    Some(SparkEntry.ffillSqlCte(300, SparkEntry.jan1, SparkEntry.jan3,
+    Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
       600) + s""",
       pairs AS (
         SELECT a.user_id AS ui, b.user_id AS uj,
