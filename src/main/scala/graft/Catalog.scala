@@ -63,13 +63,14 @@ object Catalog {
       StructField("l_returnflag", StringType),
       StructField("l_linestatus", StringType),
       StructField("l_shipdate", TimestampType))),
-    // ts is physically INT64 TIMESTAMP(NANOS) — unreadable as TimestampType
-    // by Spark 4's vectorized reader. Declared LongType here (requires
-    // session conf spark.sql.legacy.parquet.nanosAsLong=true, see
-    // [[Sessions]]); [[load]] converts it to a public TimestampType column.
+    // ts has been regenerated across fixture versions with different
+    // physical encodings (INT64 TIMESTAMP(NANOS) through round 8,
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) since round 9). The public
+    // schema is always TimestampType; [[load]] sniffs the parquet footer's
+    // logical type annotation and adapts the scan (see [[eventsTsUnit]]).
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType),
+      StructField("ts", TimestampType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -90,21 +91,90 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Timestamp encodings the `events` fixture has shipped with. */
+  sealed trait TsUnit
+  object TsUnit {
+    /** INT64 TIMESTAMP(MICROS|MILLIS) — Spark reads it natively. */
+    case object Native extends TsUnit
+    /** INT64 TIMESTAMP(NANOS) or unannotated INT64 nano-epoch — Spark 4's
+      * vectorized reader refuses NANOS as TimestampType, so the scan reads
+      * raw longs (session conf `spark.sql.legacy.parquet.nanosAsLong=true`,
+      * see [[Sessions]]) and a codegen'd projection divides to micros.
+      */
+    case object Nanos extends TsUnit
+  }
+
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsUnit]()
+
+  /** Sniff the `ts` column's parquet logical type from one footer under
+    * `events.parquet`. Driver-side, one footer per dataset path, cached —
+    * the same probe a real lakehouse catalog does at table-registration
+    * time. Round 9 regenerated the fixture from NANOS to MICROS and the
+    * engine silently decoded every event into January 1970; branching on
+    * the footer instead of assuming a unit makes that class of drift
+    * impossible.
+    */
+  def eventsTsUnit(spark: SparkSession, sfDir: String): TsUnit =
+    tsUnitCache.computeIfAbsent(sfDir, { dir =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(s"$dir/events.parquet")
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+            .minBy(_.getName)
+        else root
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val tsField = schema.getType(schema.getFieldIndex("ts"))
+        tsField.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+            TsUnit.Nanos
+          case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            TsUnit.Native
+          case _ => TsUnit.Nanos // unannotated INT64: raw nano-epoch fixture
+        }
+      } finally reader.close()
+    })
+
   /** Load one fixture table. Schema is declared, not inferred, so the scan
     * carries an exact ReadSchema for column pruning.
     *
-    * `events.ts` is read as raw nanosecond-epoch longs (see [[schemas]])
-    * and converted to microsecond TimestampType here with integer division,
-    * so every consumer sees a plain timestamp column. The conversion is a
-    * codegen'd projection on top of the vectorized scan — no UDF, no
-    * row-by-row decode.
+    * `events.ts` is exposed as TimestampType regardless of the fixture's
+    * physical encoding (see [[eventsTsUnit]]). The NTZ micros fixture is
+    * read as TimestampNTZType and cast — with the session timezone pinned
+    * to UTC ([[Sessions]]) the cast is value-identity and codegen'd; the
+    * nanos fixture is read as raw longs and divided. Either way the scan
+    * stays vectorized and every consumer sees the same public column.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else raw
+    import org.apache.spark.sql.functions.{col, expr}
+    if (name != "events")
+      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    else eventsTsUnit(spark, sfDir) match {
+      case TsUnit.Native =>
+        val readSchema = StructType(schemas("events").map {
+          case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
+          case f => f
+        })
+        spark.read.schema(readSchema).parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case TsUnit.Nanos =>
+        val readSchema = StructType(schemas("events").map {
+          case f if f.name == "ts" => f.copy(dataType = LongType)
+          case f => f
+        })
+        spark.read.schema(readSchema).parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works against the

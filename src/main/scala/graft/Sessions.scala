@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * (Verify, Bench, tests) agrees on the session-level contracts:
   *
   *   - UTC session timezone (the DuckDB oracle uses naive timestamps);
-  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — the `events` fixture
-  *     stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4's vectorized
-  *     reader refuses to widen to TimestampType; reading it as a long and
-  *     deriving the timestamp in [[Catalog.load]] keeps the scan vectorized;
+  *   - `spark.sql.legacy.parquet.nanosAsLong=true` — kept for the NANOS
+  *     branch of [[Catalog.eventsTsUnit]]: when a fixture stores `ts` as
+  *     INT64 TIMESTAMP(NANOS) (as rounds 2-8 did), Spark 4's vectorized
+  *     reader refuses to widen it to TimestampType, so the scan reads raw
+  *     longs and [[Catalog.load]] derives the timestamp. The conf only
+  *     affects NANOS-annotated columns, so it is inert for the current
+  *     MICROS fixture;
   *   - shuffle partitions sized to the local core count (not the 200
   *     default) — on a real cluster this is instead sized to input volume
   *     (or left to AQE coalescing).

@@ -945,7 +945,8 @@ object SparkEntry {
         .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
           .as("cells"))
         .select(explode(col("cells")).as("c"))
-        // 4 dp, not 6: with 11k pairs, two correct engines accumulating
+        // 4 dp, not 6: with ~11k-125k pairs (sf0.01-sf0.1), two correct
+        // engines accumulating
         // in different orders land ~1e-9 apart, and at 6 dp one pair hit
         // a rounding boundary (observed live). Coarser rounding moves
         // the boundary density two orders away from the fp noise.

@@ -54,8 +54,10 @@ object PipelineQueries {
 
   // E1 at the reference's REAL width — the production shape of the
   // whole flagship job: per-window correlation matrices over every
-  // fixture user (k=150 at sf0.01; k=500 of sf0.1's 1,500 — the width
-  // the reference windows, correlation_matrix_exporter.py:146-163). The
+  // fixture user (k=150 at sf0.01; k=500 of sf0.1's 1,500 — the S&P-500
+  // universe width the reference README describes; note the reference
+  // code itself caps the per-day universe to 3 symbols as a debug
+  // measure, correlation_matrix_exporter.py:142,188). The
   // one-pass co-moment UDAF keyed BY WINDOW computes every window's
   // full matrix from a single resample shuffle: per window the state is
   // one k(k-1)/2×10-double buffer (co-moments, not data, cross the
@@ -239,9 +241,9 @@ object PipelineQueries {
           round(col("c.rho"), 4).as("rho"))
       val out = graft.sources.Materialize.path(d, "s6b_wide_matrix")
       val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
-      // schema'd read (see s6): at 301 columns the inference pass costs
-      // a full extra scan of the CSV; the writer's returned id order IS
-      // the schema
+      // schema'd read (see s6): at k+1 (hundreds of) columns the
+      // inference pass costs a full extra scan of the CSV; the writer's
+      // returned id order IS the schema
       val schema = StructType(StructField("row_id", LongType) +:
         ids.map(id => StructField(id.toString, DoubleType)))
       s.read.option("header", "true").schema(schema).csv(out)

@@ -53,8 +53,12 @@ object Streams {
       .parquet(s"$outDir/batch_id=$id")
   }
 
-  /** Events-schema'd streaming source over a directory of parquet files.
-    * Same nanos-as-long read contract as the batch catalog.
+  /** Events-schema'd streaming source over a directory of parquet files
+    * in the engine's *public* encoding (`ts` TimestampType) — i.e. files
+    * the engine itself landed. Fixture-encoding quirks (nanos-as-long,
+    * NTZ micros) are the batch catalog's concern ([[Catalog.load]]); a
+    * streaming ingest dir is produced by upstream engine stages, not by
+    * the fixture generator.
     */
   def eventsStream(spark: SparkSession, srcDir: String,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -62,7 +66,6 @@ object Streams {
     maxFilesPerTrigger.fold(reader)(n =>
         reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** 1-minute windowed per-user mean with a 1-hour watermark, written as

@@ -10,11 +10,14 @@ class StreamsSpec extends SparkTestBase {
     scratchDir(prefix)
 
   /** One synthetic events row — ts is epoch SECONDS here, stored in the
-    * fixture's nanos-as-long convention.
+    * engine's public encoding (TimestampType), the form [[Streams
+    * .eventsStream]] reads: an ingest dir is landed by upstream engine
+    * stages, not the fixture generator.
     */
   private def evRow(id: Long, tsSec: Long, user: Long, value: Double) =
-    org.apache.spark.sql.Row(id, tsSec * 1000000000L, user, "click",
-      value, "{}")
+    org.apache.spark.sql.Row(id,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(tsSec)),
+      user, "click", value, "{}")
 
   /** Write rows as one parquet file named `name` under `dir` with a
     * controlled mtime — FileStreamSource orders files by modification
