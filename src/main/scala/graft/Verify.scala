@@ -3,6 +3,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Fixture/decode drift tripwire. Round 9: the fixture's `ts` physical
+    * unit changed and the engine decoded every event into January 1970 —
+    * nothing failed loudly; the drift surfaced only as 37 confusing
+    * oracle mismatches a round later. One cheap agg before grading turns
+    * that failure mode into a named abort: the events span must look
+    * like the generator's ~30-day 2024 window (TESTDATA.md).
+    */
+  def fixtureDriftCheck(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+    val r = Catalog.load(spark, sfDir, "events")
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          / (86400.0 * 1e6)).as("spanDays"))
+      .head()
+    val (lo, hi) = (r.getTimestamp(0).toInstant, r.getTimestamp(1).toInstant)
+    val spanDays = r.getDouble(2)
+    require(lo.toString.startsWith("2024-") &&
+        hi.toString.startsWith("2024-") && spanDays > 20 && spanDays < 40,
+      s"fixture/decode drift: events.ts spans [$lo, $hi] " +
+        f"($spanDays%.1f days); expected the ~30-day 2024 fixture window. " +
+        "The parquet encoding or Catalog.load's decode changed — fix the " +
+        "decode before trusting any oracle comparison (see CatalogSpec).")
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing names restrict the dump (dev: re-check a subset
@@ -14,6 +39,7 @@ object Verify {
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.mkString(", ")}")
     val spark = Sessions.build("graft-verify")
+    fixtureDriftCheck(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     var failed = 0
     SparkEntry.queries

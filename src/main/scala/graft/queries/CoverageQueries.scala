@@ -37,11 +37,17 @@ object CoverageQueries {
           .write.mode("overwrite").partitionBy("date").parquet(p)
         p
       }
-      s.read.parquet(out)
+      // declared schema (partition column included): the partition value
+      // reads back as the declared STRING (no dir-value type inference),
+      // and an all-pruned or empty layout reads as an empty relation
+      // instead of failing schema inference — the reference's
+      // swallow-and-continue per-window contract (SURVEY §2.11)
+      val layoutSchema = org.apache.spark.sql.types.StructType(
+        Catalog.schemas("events").fields.toSeq :+
+          org.apache.spark.sql.types.StructField("date",
+            org.apache.spark.sql.types.StringType))
+      s.read.schema(layoutSchema).parquet(out)
         .where(col("date") === "2024-01-03")
-        // partition-type inference reads the directory value back as a
-        // DATE; the oracle (and the written column) are strings
-        .withColumn("date", col("date").cast("string"))
         .groupBy("date", "event_type")
         .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
         .orderBy("date", "event_type")

@@ -192,17 +192,10 @@ object PipelineQueries {
           .as("rho"))
       val out = graft.sources.Materialize.path(d, "s6_wide_matrix")
       val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
-      // schema'd read from the writer's returned column order — no
-      // inference pass over the CSV; the first (pandas-style
+      // schema'd read from the writer's returned column order (no
+      // inference pass; empty-safe) — the first (pandas-style
       // empty-named) index column maps positionally to row_id
-      val schema = StructType(StructField("row_id", LongType) +:
-        ids.map(id => StructField(id.toString, DoubleType)))
-      s.read.option("header", "true").schema(schema).csv(out)
-        .unpivot(Array(col("row_id")),
-          ids.map(id => col(s"`$id`")).toArray, "j", "rho")
-        .select(col("row_id").as("i"), col("j").cast("long").as("j"),
-          col("rho"))
-        .where(col("i") < col("j"))
+      Sinks.readWideMatrixCsvLong(s, out, ids)
         .orderBy("i", "j")
     },
     Some(SparkEntry.ffillSqlCte(8, open930, close1600, 300) +
@@ -243,15 +236,8 @@ object PipelineQueries {
       val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
       // schema'd read (see s6): at k+1 (hundreds of) columns the
       // inference pass costs a full extra scan of the CSV; the writer's
-      // returned id order IS the schema
-      val schema = StructType(StructField("row_id", LongType) +:
-        ids.map(id => StructField(id.toString, DoubleType)))
-      s.read.option("header", "true").schema(schema).csv(out)
-        .unpivot(Array(col("row_id")),
-          ids.map(id => col(s"`$id`")).toArray, "j", "rho")
-        .select(col("row_id").as("i"), col("j").cast("long").as("j"),
-          col("rho"))
-        .where(col("i") < col("j"))
+      // returned id order IS the schema (empty-safe)
+      Sinks.readWideMatrixCsvLong(s, out, ids)
         .transform(Q.sortedSmall(_, "i", "j"))
     },
     Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,

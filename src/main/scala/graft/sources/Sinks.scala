@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Write-path operators (SURVEY §2.1 S4/S6/S7): the reference's
   * year/month-partitioned gzip CSV layout and the one-CSV-per-window
@@ -188,4 +188,31 @@ object Sinks {
       ids
     } finally { p.unpersist(); () }
   }
+
+  /** Read a square matrix CSV written by [[writeWideMatrixCsv]] back as
+    * the long upper-triangle (i, j, rho) form. `ids` is the writer's
+    * returned column order, declared as the read schema — no inference
+    * pass over a k+1-column CSV.
+    *
+    * An empty id set (the writer saw zero pairs) short-circuits to an
+    * empty relation with the same shape: a dir with no data files can't
+    * infer a schema and `unpivot` rejects zero value columns, and the
+    * reference's per-window contract is swallow-and-continue on empties
+    * (correlation_matrix_exporter.py:125-126), never a crash.
+    */
+  def readWideMatrixCsvLong(spark: SparkSession, path: String,
+                            ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty)
+      spark.range(0).select(col("id").as("i"), col("id").as("j"),
+        col("id").cast("double").as("rho"))
+    else {
+      val schema = StructType(StructField("row_id", LongType) +:
+        ids.map(id => StructField(id.toString, DoubleType)))
+      spark.read.option("header", "true").schema(schema).csv(path)
+        .unpivot(Array(col("row_id")),
+          ids.map(id => col(s"`$id`")).toArray, "j", "rho")
+        .select(col("row_id").as("i"), col("j").cast("long").as("j"),
+          col("rho"))
+        .where(col("i") < col("j"))
+    }
 }

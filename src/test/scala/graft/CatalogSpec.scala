@@ -81,6 +81,23 @@ class CatalogSpec extends SparkTestBase {
       s"span $spanDays days is not the ~30-day fixture window")
   }
 
+  test("Verify's drift tripwire passes the real fixture, aborts a " +
+    "mis-decoded one") {
+    Verify.fixtureDriftCheck(spark, sfDir) // must not throw
+    // stage a fixture that reproduces the round-9 failure shape: an
+    // unannotated INT64 `ts` carrying MICROS. The sniff classifies
+    // unannotated as the raw-nano fixture, divides by 1000, and every
+    // event collapses into January 1970 — which the tripwire must catch.
+    val fx = scratchDir("graft_drift_fx_")
+    Catalog.load(spark, sfDir, "events")
+      .withColumn("ts", unix_micros(col("ts")))
+      .write.mode("overwrite").parquet(s"$fx/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Verify.fixtureDriftCheck(spark, fx)
+    }
+    assert(e.getMessage.contains("fixture/decode drift"))
+  }
+
   test("ts is exposed as TimestampType to every consumer") {
     val dt = Catalog.load(spark, sfDir, "events").schema("ts").dataType
     assert(dt == org.apache.spark.sql.types.TimestampType)

