@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Exact, Relational, Time}
 import graft.ops.Exact.{cents, davg, dsum}
-import graft.queries.{CoverageQueries, CurationQueries, LlmQueries, PipelineQueries, Q}
+import graft.queries.{CoverageQueries, CurationQueries, LlmQueries, MediaQueries, PipelineQueries, Q}
 
 /** Driver contract: one named query (+ DuckDB oracle SQL) per operator row
   * of SURVEY.md §2. Query names carry the inventory id (`j1_`, `w1_`, …) so
@@ -1034,7 +1034,7 @@ object SparkEntry {
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13,
     qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
-    CurationQueries.all
+    CurationQueries.all ++ MediaQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Points at
     * the one-pass co-moment tier so the smoke path exercises the custom

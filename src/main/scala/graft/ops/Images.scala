@@ -1,0 +1,167 @@
+package graft.ops
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One encoded image: document id plus PNG bytes. */
+case class ImageRow(doc_id: Long, png: Array[Byte])
+
+/** Real-codec image operators over binary columns — the non-stub tier of
+  * the multimodal family ([[Multimodal]] keeps the byte-domain stubs for
+  * the formats this JVM genuinely cannot decode, e.g. video).
+  *
+  * The codec is `javax.imageio` (PNG — lossless, so decoded samples are
+  * bit-identical to what was encoded) and the resize is `Graphics2D`
+  * nearest-neighbor. Everything runs in `mapPartitions` so per-task codec
+  * setup (`ImageIO.setUseCache(false)` — keeps encode/decode purely
+  * in-memory instead of spilling a disk cache file per call) happens once
+  * per partition, not per row; only (doc_id, png) reach the boundary
+  * after column pruning, and the output is a narrow metadata row, so the
+  * one deliberate codegen break stays cheap. No shuffle anywhere —
+  * partitioning is whatever the upstream scan had.
+  *
+  * The fixture ships no media files, so [[synthesize]] generates a
+  * deterministic PNG per document: channel sample (x, y, c) of document
+  * d is `(d*1000003 + x*7919 + y*104729 + c*131) mod 256`. That exact
+  * arithmetic is replayable in SQL, which is what makes the decode /
+  * resize / feature queries hash-gradeable end to end against DuckDB:
+  * the oracle computes the expected pixels arithmetically, the engine
+  * must round-trip them through a REAL encode → decode (→ resize) to
+  * match.
+  */
+object Images {
+
+  /** Deterministic channel sample for document `docId` at (x, y, band). */
+  def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 1000003L + x * 7919L + y * 104729L + c * 131L) % 256L).toInt
+
+  private def render(docId: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { r.setSample(x, y, c, pixel(docId, x, y, c)); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Generate the per-document PNG column: (doc_id) → (doc_id, png).
+    * Distributed map — each task encodes its own partition's images.
+    */
+  def synthesize(spark: SparkSession, docIds: DataFrame,
+                 w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    docIds.select("doc_id").as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { id =>
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(render(id, w, h), "png", bos)
+        ImageRow(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** Pixel-weighted checksum of a decoded image: Σ sample·(idx+1) with
+    * idx = (y·w + x)·3 + c. Position-weighting makes the checksum
+    * sensitive to pixel ORDER, not just the value multiset — a decoder
+    * that transposed, flipped, or swapped channels would still sum the
+    * same values but fail the checksum.
+    */
+  private def checksum(img: BufferedImage): Long = {
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var acc = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          acc += r.getSample(x, y, c).toLong * (((y * w + x) * 3) + c + 1)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** Decode each PNG and emit (doc_id, width, height, px_checksum). */
+  def decodeMeta(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.png))
+        (m.doc_id, img.getWidth, img.getHeight, checksum(img))
+      }
+    }.toDF("doc_id", "width", "height", "px_checksum")
+  }
+
+  /** Decode, nearest-neighbor downscale by integer `factor` via
+    * `Graphics2D`, and emit the resized (doc_id, width, height,
+    * px_checksum). Java2D's nearest-neighbor inverse-maps each output
+    * pixel center, so output (x, y) samples input
+    * (factor·x + factor − 1, factor·y + factor − 1) for even factors —
+    * pinned by ImagesSpec's golden so the SQL oracle can replay it.
+    */
+  def resizeMeta(spark: SparkSession, images: DataFrame,
+                 factor: Int): DataFrame = {
+    require(factor > 1, s"resizeMeta: factor must be > 1, got $factor")
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { m =>
+        val src = ImageIO.read(new ByteArrayInputStream(m.png))
+        val (w, h) = (src.getWidth / factor, src.getHeight / factor)
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        (m.doc_id, w, h, checksum(dst))
+      }
+    }.toDF("doc_id", "width", "height", "px_checksum")
+  }
+
+  /** Per-channel statistics of the decoded pixels — the honest "feature
+    * extraction" a metadata pipeline runs before any learned encoder:
+    * (doc_id, channel, sum_v, mean_v) with the mean as truncating
+    * integer division (exact in both engines; no fp in the grade).
+    */
+  def channelStats(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val img = ImageIO.read(new ByteArrayInputStream(m.png))
+        val r = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) { sums(c) += r.getSample(x, y, c); c += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 3).map(c => (m.doc_id, c, sums(c), sums(c) / (w.toLong * h)))
+      }
+    }.toDF("doc_id", "channel", "sum_v", "mean_v")
+  }
+}

@@ -16,9 +16,11 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, n_frames: Int,
   * `binary` columns and run decode / feature-extraction as a typed
   * partition-local pass.
   *
-  * The decode itself is a STUB (this container has no image/audio codecs):
-  * deterministic arithmetic on the payload bytes — length, a fake
-  * 16-bytes-per-frame frame count, and an md5 sample hash. What is real,
+  * The decode here is a STUB for formats this JVM has no codec for
+  * (video/audio): deterministic arithmetic on the payload bytes — length,
+  * a fake 16-bytes-per-frame frame count, and an md5 sample hash. The
+  * IMAGE path is real — see [[Images]] (`javax.imageio` PNG decode,
+  * `Graphics2D` resize, raster statistics; queries m5-m7). What is real,
   * and what the tests cover, is the Spark-side shape: a typed
   * `Dataset[MediaRow]`, `mapPartitions` so the (expensive, native) decoder
   * is initialized once per partition rather than per row, and a columnar

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Catalog
+import graft.ops.Images
+
+/** Real-codec multimodal queries (m5-m7): deterministic per-document
+  * PNGs round-tripped through `javax.imageio` decode and `Graphics2D`
+  * resize, hash-graded against a DuckDB oracle that computes the
+  * expected pixels arithmetically (see [[graft.ops.Images]] — channel
+  * (x, y, c) of doc d is `(d*1000003 + x*7919 + y*104729 + c*131) % 256`,
+  * PNG is lossless, so a correct encode→decode chain reproduces it
+  * exactly). The byte-domain m1-m4 stubs remain for formats this JVM
+  * cannot decode; these three make the image path real end to end.
+  */
+object MediaQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Catalog.load(s, dir, name)
+
+  // fixture image geometry: small enough that the SQL oracle's
+  // per-pixel unnest stays cheap (w*h*3 = 1,152 terms/doc), large
+  // enough that a byte-order or channel-swap bug cannot collide
+  private val W = 24
+  private val H = 16
+
+  private def pixelSql(x: String, y: String, c: String) =
+    s"(doc_id * 1000003 + $x * 7919 + $y * 104729 + $c * 131) % 256"
+
+  private val lanesSql =
+    """(SELECT unnest(range(24)) AS x) rx,
+       (SELECT unnest(range(16)) AS y) ry,
+       (SELECT unnest(range(3)) AS c) rc"""
+
+  // m5: real PNG decode. The engine encodes each doc's deterministic
+  // pixels to PNG and decodes them back with javax.imageio; the graded
+  // surface is (dims, position-weighted pixel checksum), which only
+  // matches the oracle's arithmetic replay if the decode returns every
+  // sample at its exact position — a transpose, flip, channel swap, or
+  // stride bug all shift weights and fail the hash.
+  private val qM5 = Q("m5_image_decode",
+    (s, d) => Images.decodeMeta(s,
+        Images.synthesize(s, T(s, d, "documents"), W, H))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, CAST(24 AS INT) AS width,
+        CAST(16 AS INT) AS height,
+        CAST(sum((${pixelSql("x", "y", "c")})
+          * ((y * 24 + x) * 3 + c + 1)) AS BIGINT) AS px_checksum
+      FROM documents, $lanesSql
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // m6: Graphics2D nearest-neighbor halving. Java2D inverse-maps each
+  // output center, so out(x, y) = in(2x+1, 2y+1) — pinned by
+  // ImagesSpec's golden; the oracle replays that mapping. Still a real
+  // decode→resize→measure chain on the engine side.
+  private val qM6 = Q("m6_image_resize",
+    (s, d) => Images.resizeMeta(s,
+        Images.synthesize(s, T(s, d, "documents"), W, H), 2)
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, CAST(12 AS INT) AS width,
+        CAST(8 AS INT) AS height,
+        CAST(sum((${pixelSql("(2 * x + 1)", "(2 * y + 1)", "c")})
+          * ((y * 12 + x) * 3 + c + 1)) AS BIGINT) AS px_checksum
+      FROM documents,
+        (SELECT unnest(range(12)) AS x) rx,
+        (SELECT unnest(range(8)) AS y) ry,
+        (SELECT unnest(range(3)) AS c) rc
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // m7: per-channel pixel statistics off the decoded raster — integer
+  // sums and truncating mean, so the grade is exact in both engines.
+  private val qM7 = Q("m7_image_channel_stats",
+    (s, d) => Images.channelStats(s,
+        Images.synthesize(s, T(s, d, "documents"), W, H))
+      .orderBy("doc_id", "channel"),
+    Some(s"""SELECT doc_id, CAST(c AS INT) AS channel,
+        CAST(sum(${pixelSql("x", "y", "c")}) AS BIGINT) AS sum_v,
+        CAST(sum(${pixelSql("x", "y", "c")}) // 384 AS BIGINT) AS mean_v
+      FROM documents, $lanesSql
+      GROUP BY doc_id, c ORDER BY doc_id, channel"""))
+
+  val all: Seq[Q] = Seq(qM5, qM6, qM7)
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Goldens for the real-codec image tier: the deterministic pixel
+  * function, PNG losslessness through javax.imageio, and the Java2D
+  * nearest-neighbor mapping convention the m6 oracle replays.
+  */
+class ImagesSpec extends SparkTestBase {
+
+  private val (w, h) = (24, 16)
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("doc_id")
+  }
+
+  private def expectedChecksum(id: Long, ww: Int, hh: Int,
+                               px: (Int, Int, Int) => Int): Long =
+    (for (y <- 0 until hh; x <- 0 until ww; c <- 0 until 3)
+      yield px(x, y, c).toLong * (((y * ww + x) * 3) + c + 1)).sum
+
+  test("decodeMeta: PNG encode->decode round-trips every sample " +
+    "(position-weighted checksum)") {
+    val got = Images.decodeMeta(spark,
+        Images.synthesize(spark, ids(5), w, h))
+      .orderBy("doc_id").collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(3) ==
+        expectedChecksum(id, w, h, (x, y, c) => Images.pixel(id, x, y, c)))
+    }
+  }
+
+  test("resizeMeta golden: Java2D nearest halving samples in(2x+1, 2y+1)") {
+    val got = Images.resizeMeta(spark,
+        Images.synthesize(spark, ids(5), w, h), 2)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == w / 2 && r.getInt(2) == h / 2)
+      assert(r.getLong(3) == expectedChecksum(id, w / 2, h / 2,
+        (x, y, c) => Images.pixel(id, 2 * x + 1, 2 * y + 1, c)),
+        s"doc $id: Java2D nearest mapping drifted from in(2x+1, 2y+1) — " +
+          "the m6 oracle replays this convention and must be updated " +
+          "with it")
+    }
+  }
+
+  test("channelStats: integer sums and truncating means per channel") {
+    val got = Images.channelStats(spark,
+        Images.synthesize(spark, ids(3), w, h))
+      .orderBy("doc_id", "channel").collect()
+    assert(got.length == 9)
+    got.foreach { r =>
+      val (id, c) = (r.getLong(0), r.getInt(1))
+      val s = (for (y <- 0 until h; x <- 0 until w)
+        yield Images.pixel(id, x, y, c).toLong).sum
+      assert(r.getLong(2) == s && r.getLong(3) == s / (w * h))
+    }
+  }
+
+  test("synthesize is distributed and column-pruned to doc_id") {
+    val docs = graft.Catalog.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val imgs = Images.synthesize(spark, docs, w, h)
+    assert(imgs.schema.fieldNames.toSeq == Seq("doc_id", "png"))
+    // the plan under the typed map must scan only doc_id
+    val scan = imgs.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.schema.fieldNames.toSeq == Seq("doc_id"),
+      s"expected a doc_id-only scan, got ${scan.schema.fieldNames.toSeq}")
+  }
+}
