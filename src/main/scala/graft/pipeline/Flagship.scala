@@ -139,6 +139,76 @@ object Flagship {
     }
   }
 
+  /** The reference's exact per-window artifact at its REAL width, in the
+    * engine's at-scale shape: ONE window-keyed one-pass co-moment UDAF
+    * job computes every window's full k×k correlation matrix from a
+    * single resample shuffle (e1b's plan — per-window state is a
+    * k(k−1)/2×10-double co-moment buffer, never k² rows per bucket), the
+    * long form is cached once, and the driver loop only steers the
+    * per-window square-CSV writes (`Sinks.writeWideMatrixCsv`: ids as
+    * header + index, unit diagonal, empty cells for undefined pairs —
+    * exporter:163,227-235). Contrast with [[run]]'s layout="wide", which
+    * recomputes each window through the toy per-slice pair join.
+    *
+    * Same never-throw contract as [[run]]: a failing window is recorded
+    * and skipped; a setup failure degrades to every window failed.
+    */
+  def runWideAtWidth(spark: SparkSession, sfDir: String, outDir: String,
+                     openSec: Long, closeSec: Long, windowSec: Long,
+                     freqSec: Long, maxUsers: Int): Seq[WindowResult] = {
+    import org.apache.spark.sql.functions.{element_at, explode, typedLit}
+    val windows = sessionWindows(openSec, closeSec, windowSec)
+    val setup = Try {
+      val (users, panel) = graft.SparkEntry.widePanel(spark, sfDir,
+        maxUsers, openSec, closeSec, freqSec)
+      val k = users.size
+      val nBuckets = (closeSec - openSec) / freqSec
+      val matrices = panel
+        .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
+        .withColumn("win",
+          lit(openSec) + ((col("bucket") - openSec) / windowSec)
+            .cast("long") * windowSec)
+        .groupBy("win")
+        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+          .as("cells"))
+        .select(col("win"), explode(col("cells")).as("c"))
+        .select(col("win"),
+          element_at(typedLit(users), col("c.i") + 1).as("i"),
+          element_at(typedLit(users), col("c.j") + 1).as("j"),
+          round(col("c.rho"), 6).as("rho"))
+        .cache()
+      matrices.count() // materialize once; the write loop only filters
+      matrices
+    }
+    val matrices = setup match {
+      case Failure(e) =>
+        return windows.map { case (ws, we) =>
+          WindowResult(ws, we, ok = false, 0, "",
+            String.valueOf(e.getMessage))
+        }
+      case Success(m) => m
+    }
+    try {
+      windows.map { case (ws, we) =>
+        Try {
+          val path = s"$outDir/corr_${ws}_$we"
+          val ids = Sinks.writeWideMatrixCsv(
+            matrices.where(col("win") === ws).select("i", "j", "rho"),
+            "i", "j", "rho", path)
+          WindowResult(ws, we, ok = true, ids.size.toLong, path, "")
+        } match {
+          case Success(r) => r
+          case Failure(e) =>
+            WindowResult(ws, we, ok = false, 0, "",
+              String.valueOf(e.getMessage))
+        }
+      }
+    } finally {
+      matrices.unpersist()
+      Time.unpersistPanels()
+    }
+  }
+
   /** Run the per-window correlation export over one trading session.
     * Every window is wrapped in Try: a failing window is recorded and
     * skipped, never failing the run (§2.11 of the survey — the

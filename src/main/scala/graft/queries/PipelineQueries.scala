@@ -481,27 +481,30 @@ object PipelineQueries {
       val jan15 = SparkEntry.sec("2024-01-15T00:00:00")
       val winSec = 7L * 86400L
       val types = Seq("click", "error", "purchase", "signup", "view")
-      val filled = SparkEntry.resampled(s, d, 10, jan1, jan15, 300)
-      val v = graft.ops.Relational.globalRowIds(
-        filled.select("user_id").distinct(), "user_id", "vid")
-      // per-window correlation edges over the shared panel (g1's
-      // construction with the window as a derived column)
-      val a = filled.select(col("bucket"), col("user_id").as("ui"),
-        col("value").as("va"))
-      val b = filled.select(col("bucket"), col("user_id").as("uj"),
-        col("value").as("vb"))
-      val pairs = a.join(b, Seq("bucket")).where(col("ui") < col("uj"))
+      // per-window edges from the window-keyed one-pass co-moment UDAF
+      // (g4's tier): ONE resample shuffle feeds a k-wide panel row per
+      // bucket and co-moment state crosses the merge — never the
+      // per-bucket k² pair self-join (g1 remains the documented small-k
+      // pair-join CONTRAST; this, the composed sample builder, runs the
+      // scale shape at every width). The UDAF's 0-based index into the
+      // sorted vertex dimension IS the vid (tickers.index(src),
+      // pyg_graphs.py:90-94), so the label→index join costs nothing.
+      val (users, panel) = SparkEntry.widePanel(s, d, 10, jan1, jan15, 300)
+      val k = users.size
+      val e = graft.ops.Time.registerCached(panel
         .withColumn("win", expr(s"(bucket - $jan1) div $winSec"))
-        .groupBy("win", "ui", "uj")
-        .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6)
-          .as("w"))
+        .groupBy("win")
+        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+          .as("cells"))
+        .select(col("win"), explode(col("cells")).as("c"))
+        .select(col("win"), col("c.i").cast("long").as("src"),
+          col("c.j").cast("long").as("dst"),
+          round(col("c.rho"), 6).as("w"))
         .where(col("w") > 0)
-      val e = graft.ops.Time.registerCached(pairs
-        .join(broadcast(v.select(col("user_id").as("ui"),
-          col("vid").as("src"))), Seq("ui"))
-        .join(broadcast(v.select(col("user_id").as("uj"),
-          col("vid").as("dst"))), Seq("uj"))
         .cache())
+      import s.implicits._
+      val v = users.zipWithIndex
+        .map { case (u, i) => (u, i.toLong) }.toDF("user_id", "vid")
       val dir = e.select(col("win"), col("src"), col("dst"), col("w"))
         .unionByName(e.select(col("win"), col("dst").as("src"),
           col("src").as("dst"), col("w")))

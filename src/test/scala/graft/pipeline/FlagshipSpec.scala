@@ -111,6 +111,71 @@ class FlagshipSpec extends SparkTestBase {
     assert(empties > 0 && empties % 2 == 0)
   }
 
+  test("runWideAtWidth: one square CSV per window at real width (k=150), " +
+    "read-back matches the UDAF long form") {
+    val d = "/root/testdata/sf0.01"
+    val out = scratchDir("graft_wide_width_")
+    // two daily windows over jan1-jan3 (e1b's graded shape): the full
+    // sf0.01 universe (k=150) participates; a single intra-day session
+    // only sees the ~70 users with ticks in it
+    val open = graft.SparkEntry.jan1
+    val close = graft.SparkEntry.jan3
+    val res = Flagship.runWideAtWidth(spark, d, out,
+      open, close, windowSec = 86400, freqSec = 600, maxUsers = 1000)
+    assert(res.length == 2)
+    assert(res.forall(_.ok), res.filterNot(_.ok).map(_.error).mkString("; "))
+    // the reference's production width: every sf0.01 user (k=150)
+    assert(res.forall(_.rows >= 150), s"widths: ${res.map(_.rows)}")
+
+    // expected long form from the same public pieces (panel + UDAF),
+    // computed independently of the export loop
+    val (users, panel) = graft.SparkEntry.widePanel(spark, d, 1000,
+      open, close, 600)
+    val k = users.size
+    val expected = panel
+      .withColumn("win",
+        lit(open) + ((col("bucket") - open) / 86400).cast("long") * 86400)
+      .groupBy("win")
+      .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals")).as("cells"))
+      .select(col("win"), explode(col("cells")).as("c"))
+      .select(col("win"),
+        element_at(typedLit(users), col("c.i") + 1).as("i"),
+        element_at(typedLit(users), col("c.j") + 1).as("j"),
+        round(col("c.rho"), 6).as("rho"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3) || r.getDouble(3).isNaN) None
+        else Some(r.getDouble(3))))
+      .groupBy(_._1)
+
+    res.foreach { r =>
+      // layout: square, ids as header and index, unit diagonal
+      val csv = new java.io.File(r.path).listFiles()
+        .filter(_.getName.endsWith(".csv")).head
+      val lines = java.nio.file.Files.readAllLines(csv.toPath)
+      val header = lines.get(0).split(",", -1)
+      assert(header.head == "" && header.tail.length == r.rows)
+      assert(lines.size == r.rows + 1)
+      assert(lines.get(1).split(",", -1)(1).toDouble == 1.0)
+      // values: read the square file back to long form and compare to
+      // the independently computed matrix for this window
+      val ids = header.tail.map(_.toLong).toSeq
+      val back = graft.sources.Sinks
+        .readWideMatrixCsvLong(spark, r.path, ids)
+        .collect()
+        .map(b => (b.getLong(0), b.getLong(1),
+          if (b.isNullAt(2) || b.getDouble(2).isNaN) None
+          else Some(b.getDouble(2))))
+        .toSet
+      val want = expected(r.winStart)
+        .map(e => (e._2, e._3, e._4)).toSet
+      assert(back == want,
+        s"window ${r.winStart}: ${back.diff(want).take(3)} vs " +
+          s"${want.diff(back).take(3)}")
+    }
+    graft.ops.Time.unpersistPanels()
+  }
+
   test("daily export writes the month layout and matches one span query") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._

@@ -76,6 +76,22 @@ class PlanGuardSpec extends SparkTestBase {
       p)
   }
 
+  test("g3's per-window edges come from the co-moment UDAF, not a " +
+    "bucket-keyed pair join") {
+    val p = plan("g3_graph_samples")
+    // edges flow through the window-keyed UDAF aggregate...
+    assert(p.toLowerCase.contains("corrmatrixagg"), p)
+    // ...and no Pearson pair aggregation exists anywhere in the plan —
+    // the old shape computed corr() over an Inner join of the panel
+    // with itself on bucket (k² rows per bucket before aggregating)
+    assert(!p.toLowerCase.contains("corr("), p)
+    // the resample grid's LeftOuter ffill join on (bucket, user_id) is
+    // legitimate (same as g4); what must not exist is an INNER join
+    // keyed on bucket — the k²-per-bucket pair expansion
+    assert(!"Join \\[bucket[^\\]]*\\], \\[bucket[^\\]]*\\], Inner".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("e1b's per-window wide matrices share the same join-free shape") {
     val p = plan("e1b_flagship_wide")
     assert(p.toLowerCase.contains("corrmatrixagg"), p)
