@@ -178,15 +178,61 @@ object Sinks {
         .unionByName(p.select(col("j").as("i"), col("i").as("j"),
           col("rho")))
         .unionByName(diag)
-      // pandas to_csv leaves the index header cell empty — mirror it
-      // (emptyValue="" writes the bare empty cell, not a quoted "")
-      full.groupBy("i").pivot("j", ids).agg(first(col("rho")))
-        .orderBy("i")
-        .withColumnRenamed("i", "")
-        .coalesce(1).write.mode("overwrite")
-        .option("header", "true").option("emptyValue", "").csv(path)
+      // Assemble each matrix row as ONE string instead of a k+1-column
+      // pivot: at k=500 the wide-schema route (501-column pivot, then a
+      // 501-column CSV write) generates enormous codegen and per-row
+      // width overhead — measured ~2× slower than this narrow form,
+      // which keeps every plan column-count-constant (a map per row, a
+      // transform over the id list, one output string). Byte layout is
+      // identical: pandas-style empty index header cell, empty cells
+      // for undefined pairs, "NaN" text for NaN, Double.toString cells
+      // (the CSV writer's own double format).
+      // dense fast path: when a row carries every id (always true for
+      // UDAF-produced matrices, which emit ALL pairs incl. NaN), the
+      // j-sorted cell list IS the ids-ordered cell list — O(k log k)
+      // per row. The sparse fallback does a per-id map probe, which is
+      // O(k) PER LOOKUP on Spark's array-backed MapData (O(k²)/row) —
+      // acceptable only for the small sparse join-form matrices.
+      val entries = array_sort(collect_list(struct(col("j"),
+        when(col("rho").isNull, lit(""))
+          .otherwise(col("rho").cast("string")).as("cell"))))
+      val dense = transform(col("entries"), e => e.getField("cell"))
+      val probe = map_from_entries(transform(col("entries"),
+        e => struct(e.getField("j"), e.getField("cell"))))
+      val sparse = transform(typedLit(ids),
+        id => coalesce(element_at(probe, id), lit("")))
+      val cells = when(size(col("entries")) === ids.size, dense)
+        .otherwise(sparse)
+      val rows = full.groupBy("i")
+        .agg(entries.as("entries"))
+        .select(col("i").as("key"),
+          concat_ws(",", col("i").cast("string"), array_join(cells, ","))
+            .as("line"))
+      val header = session.range(1).select(
+        lit(Long.MinValue).as("key"),
+        lit("," + ids.mkString(",")).as("line"))
+      header.unionByName(rows)
+        .orderBy("key").select("line")
+        .coalesce(1).write.mode("overwrite").text(path)
+      // the artifact contract is .csv files (the reference's pandas
+      // consumer globs them); the text writer names parts .txt
+      renameParts(session, path, ".txt", ".csv")
       ids
     } finally { p.unpersist(); () }
+  }
+
+  private def renameParts(spark: SparkSession, dir: String,
+                          from: String, to: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(from))
+      .foreach { p =>
+        val t = new Path(p.getParent,
+          p.getName.stripSuffix(from) + to)
+        fs.rename(p, t); ()
+      }
   }
 
   /** Read a square matrix CSV written by [[writeWideMatrixCsv]] back as
@@ -206,13 +252,22 @@ object Sinks {
       spark.range(0).select(col("id").as("i"), col("id").as("j"),
         col("id").cast("double").as("rho"))
     else {
-      val schema = StructType(StructField("row_id", LongType) +:
-        ids.map(id => StructField(id.toString, DoubleType)))
-      spark.read.option("header", "true").schema(schema).csv(path)
-        .unpivot(Array(col("row_id")),
-          ids.map(id => col(s"`$id`")).toArray, "j", "rho")
-        .select(col("row_id").as("i"), col("j").cast("long").as("j"),
-          col("rho"))
+      // narrow parse: split each line instead of a k+1-column CSV read
+      // + k-column unpivot — the wide route's codegen and row width grow
+      // with k (measured ~3 s at k=500 for a 500-row matrix). Cells are
+      // bare doubles (never quoted/escaped), so the split is exact; ""
+      // casts to null and "NaN" to NaN, the same semantics the CSV
+      // parser gave. The header line (empty first field) is dropped by
+      // the row_id cast guard.
+      spark.read.text(path)
+        .select(split(col("value"), ",", -1).as("f"))
+        .select(expr("try_cast(f[0] AS BIGINT)").as("i"),
+          posexplode(expr(s"slice(f, 2, ${ids.size})"))
+            .as(Seq("pos", "cell")))
+        .where(col("i").isNotNull)
+        .select(col("i"),
+          element_at(typedLit(ids), col("pos") + 1).as("j"),
+          expr("try_cast(cell AS DOUBLE)").as("rho"))
         .where(col("i") < col("j"))
     }
 }
