@@ -96,16 +96,44 @@ object Images {
     acc
   }
 
-  /** Decode each PNG and emit (doc_id, width, height, px_checksum). */
+  /** Decode one payload, or None when the codec rejects it
+    * (`ImageIO.read` returns null for undecodable bytes and throws on
+    * truncated streams). At corpus scale corrupt media is routine — a
+    * bad object must cost one skipped row, never a task (the same
+    * per-unit tolerance contract as the reference's per-window Try,
+    * SURVEY §2.11).
+    */
+  private def tryDecode(png: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(png)))
+    catch { case _: java.io.IOException => None }
+
+  /** Decode each PNG and emit (doc_id, width, height, px_checksum).
+    * Undecodable payloads are dropped (see [[tryDecode]]); pair with
+    * [[decodeFailures]] when the skip set must be audited.
+    */
   def decodeMeta(spark: SparkSession, images: DataFrame): DataFrame = {
     import spark.implicits._
     images.as[ImageRow].mapPartitions { it =>
       ImageIO.setUseCache(false)
-      it.map { m =>
-        val img = ImageIO.read(new ByteArrayInputStream(m.png))
-        (m.doc_id, img.getWidth, img.getHeight, checksum(img))
+      it.flatMap { m =>
+        tryDecode(m.png).map(img =>
+          (m.doc_id, img.getWidth, img.getHeight, checksum(img)))
       }
     }.toDF("doc_id", "width", "height", "px_checksum")
+  }
+
+  /** The audit complement of [[decodeMeta]]: ids whose payload the codec
+    * rejected, with the byte length — what a curation pipeline logs and
+    * quarantines rather than silently dropping.
+    */
+  def decodeFailures(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.collect { case m if tryDecode(m.png).isEmpty =>
+        (m.doc_id, m.png.length)
+      }
+    }.toDF("doc_id", "n_bytes")
   }
 
   /** Decode, nearest-neighbor downscale by integer `factor` via
@@ -121,17 +149,18 @@ object Images {
     import spark.implicits._
     images.as[ImageRow].mapPartitions { it =>
       ImageIO.setUseCache(false)
-      it.map { m =>
-        val src = ImageIO.read(new ByteArrayInputStream(m.png))
-        val (w, h) = (src.getWidth / factor, src.getHeight / factor)
-        val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
-        val g = dst.createGraphics()
-        try {
-          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-            RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-          g.drawImage(src, 0, 0, w, h, null)
-        } finally g.dispose()
-        (m.doc_id, w, h, checksum(dst))
+      it.flatMap { m =>
+        tryDecode(m.png).map { src =>
+          val (w, h) = (src.getWidth / factor, src.getHeight / factor)
+          val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+              RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          (m.doc_id, w, h, checksum(dst))
+        }
       }
     }.toDF("doc_id", "width", "height", "px_checksum")
   }
@@ -146,21 +175,23 @@ object Images {
     images.as[ImageRow].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.flatMap { m =>
-        val img = ImageIO.read(new ByteArrayInputStream(m.png))
-        val r = img.getRaster
-        val (w, h) = (img.getWidth, img.getHeight)
-        val sums = new Array[Long](3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var c = 0
-            while (c < 3) { sums(c) += r.getSample(x, y, c); c += 1 }
-            x += 1
+        tryDecode(m.png).toSeq.flatMap { img =>
+          val r = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) { sums(c) += r.getSample(x, y, c); c += 1 }
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          (0 until 3).map(c =>
+            (m.doc_id, c, sums(c), sums(c) / (w.toLong * h)))
         }
-        (0 until 3).map(c => (m.doc_id, c, sums(c), sums(c) / (w.toLong * h)))
       }
     }.toDF("doc_id", "channel", "sum_v", "mean_v")
   }

@@ -63,6 +63,28 @@ class ImagesSpec extends SparkTestBase {
     }
   }
 
+  test("corrupt payloads cost one skipped row, never a task — and are " +
+    "auditable") {
+    import spark.implicits._
+    val good = Images.synthesize(spark, ids(4), w, h)
+    // doc 99: garbage bytes; doc 98: a truncated PNG (valid signature,
+    // cut mid-stream) — the two real-world corruption shapes
+    val goodPng = good.where(col("doc_id") === 0)
+      .select("png").head().getAs[Array[Byte]](0)
+    val corrupt = Seq(
+      (99L, Array[Byte](1, 2, 3, 4, 5)),
+      (98L, goodPng.take(goodPng.length / 2))).toDF("doc_id", "png")
+    val mixed = good.unionByName(corrupt)
+    val meta = Images.decodeMeta(spark, mixed)
+    assert(meta.count() == 4) // the 4 good rows survive
+    assert(meta.agg(max(col("doc_id"))).head().getLong(0) == 3L)
+    val failed = Images.decodeFailures(spark, mixed)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(failed == Seq(98L, 99L))
+    assert(Images.resizeMeta(spark, mixed, 2).count() == 4)
+    assert(Images.channelStats(spark, mixed).count() == 12)
+  }
+
   test("synthesize is distributed and column-pruned to doc_id") {
     val docs = graft.Catalog.load(spark, "/root/testdata/sf0.001",
       "documents")
