@@ -80,5 +80,41 @@ object MediaQueries {
       FROM documents, $lanesSql
       GROUP BY doc_id, c ORDER BY doc_id, channel"""))
 
-  val all: Seq[Q] = Seq(qM5, qM6, qM7)
+  // m8: decode tolerance, oracle-graded. Every 50th document's payload
+  // is corrupted (its PNG truncated to 7 bytes — inside the 8-byte PNG
+  // signature, so every decoder rejects it); the graded surface is the
+  // FULL outcome partition: surviving docs with their real decoded
+  // checksum, failed docs flagged with null metrics. DuckDB predicts
+  // both sides arithmetically, so a decode path that crashed on the bad
+  // payload (no rows), silently dropped it (missing flagged rows), or
+  // mis-decoded the good ones (checksum) all fail the hash.
+  private val qM8 = Q("m8_decode_tolerance",
+    (s, d) => {
+      val imgs = Images.synthesize(s, T(s, d, "documents"), W, H)
+        .withColumn("png",
+          when(col("doc_id") % 50 === 0,
+            expr("substring(png, 1, 7)")).otherwise(col("png")))
+      Images.decodeMeta(s, imgs)
+        .withColumn("decoded", lit(1))
+        .unionByName(Images.decodeFailures(s, imgs)
+          .select(col("doc_id"), lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("long").as("px_checksum"),
+            lit(0).as("decoded")))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+        CASE WHEN doc_id % 50 != 0 THEN 24 END AS width,
+        CASE WHEN doc_id % 50 != 0 THEN 16 END AS height,
+        CASE WHEN doc_id % 50 != 0 THEN cks END AS px_checksum,
+        CAST(doc_id % 50 != 0 AS INT) AS decoded
+      FROM (
+        SELECT doc_id,
+          CAST(sum((${pixelSql("x", "y", "c")})
+            * ((y * 24 + x) * 3 + c + 1)) AS BIGINT) AS cks
+        FROM documents, $lanesSql
+        GROUP BY doc_id)
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(qM5, qM6, qM7, qM8)
 }
