@@ -968,7 +968,10 @@ object SparkEntry {
         .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
           element_at(typedLit(users), col("c.j") + 1).as("j"),
           round(col("c.rho"), 4).as("rho"))
-        .transform(Q.sortedSmall(_, "i", "j"))
+        // sortedOnce, not sortedSmall: the panel→UDAF→explode child is
+        // linear and consumed exactly once — caching it costs ~1.7 s at
+        // k=500 for no reuse (measured; see Q.scala)
+        .transform(Q.sortedOnce(_, "i", "j"))
     },
     Some(ffillSqlCte(500, jan1, jan3, 600) + corrSqlTail
       .replace("round(corr(a.price, b.price), 6)",

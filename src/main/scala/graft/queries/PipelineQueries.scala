@@ -88,7 +88,8 @@ object PipelineQueries {
           element_at(typedLit(users), col("c.i") + 1).as("i"),
           element_at(typedLit(users), col("c.j") + 1).as("j"),
           round(col("c.rho"), 4).as("rho"))
-        .transform(Q.sortedSmall(_, "win", "i", "j"))
+        // sortedOnce: linear panel→UDAF→explode child, no reuse (Q.scala)
+        .transform(Q.sortedOnce(_, "win", "i", "j"))
     },
     Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
       600) + s"""

@@ -40,7 +40,23 @@ object ProfileS6b {
           element_at(typedLit(users), col("c.j") + 1).as("j"),
           round(col("c.rho"), 4).as("rho"))
     }
+    // phase attribution for the a3c-family (~5 s in bench): resample
+    // materialization (the users.collect side effect), panel, UDAF,
+    // explode+project, sort
+    time("resample+users collect") {
+      val (users, _) = SparkEntry.widePanel(spark, sfDir, 500, jan1, jan3,
+        600)
+      println(s"[p]   k=${users.size}")
+      null
+    }
+    time("panel rows only") {
+      val (_, panel) = SparkEntry.widePanel(spark, sfDir, 500, jan1, jan3,
+        600)
+      panel
+    }
     time("panel+udaf long form")(pairs)
+    time("a3c full (with sort)")(
+      SparkEntry.queries("a3c_corr_onepass_wide")(spark, sfDir))
     // partition sweep for the UDAF stage: update parallelism (more
     // partitions = more threads on the O(k²)-per-bucket update loop) vs
     // merge serialization (each partial buffer is ~10 MB at k=500)
