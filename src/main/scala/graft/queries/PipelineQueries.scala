@@ -663,6 +663,9 @@ object PipelineQueries {
         .cache())
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
           col("weight")))
+        // sortedSmall (cached default): A/B against sortedOnce was
+        // inconclusive under ambient host drift — the union DOES consume
+        // `e` twice, so the conservative cached form stays
         .transform(Q.sortedSmall(_, "src", "dst"))
     },
     Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
