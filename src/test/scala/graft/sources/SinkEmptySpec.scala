@@ -40,6 +40,48 @@ class SinkEmptySpec extends SparkTestBase {
     assert(back == Seq((1L, 2L, 0.5), (1L, 3L, -0.25), (2L, 3L, 1.0)))
   }
 
+  test("sparse matrix (missing pairs) takes the probe fallback: empty " +
+    "cells round-trip as null rho") {
+    // rows are NOT dense here: id 1's row carries j∈{1,2} but not 3, so
+    // the writer's size(entries)==k dense path must NOT fire — this is
+    // the only coverage of the sparse map-probe branch
+    val out = scratchDir("graft_sparse_wide_")
+    val pairs = pairsDf(Seq((1L, 2L, 0.5), (2L, 3L, 1.0)))
+    val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
+    assert(ids == Seq(1L, 2L, 3L))
+    val back = Sinks.readWideMatrixCsvLong(spark, out, ids)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(back == Seq((1L, 2L, Some(0.5)), (1L, 3L, None),
+      (2L, 3L, Some(1.0))))
+  }
+
+  test("randomized roundtrip: any pair set survives write+read exactly") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val ids = rnd.shuffle((1L to 40L).toList).take(5 + rnd.nextInt(10))
+      val universe = for {
+        i <- ids; j <- ids if i < j
+      } yield (i, j)
+      val kept = universe.filter(_ => rnd.nextDouble() < 0.6)
+        .map { case (i, j) => (i, j, math.rint(rnd.nextDouble() * 1e4) / 1e4) }
+      if (kept.nonEmpty) {
+        val out = scratchDir(s"graft_rand_wide_${trial}_")
+        val wIds = Sinks.writeWideMatrixCsv(pairsDf(kept), "i", "j", "rho",
+          out)
+        val present = kept.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        assert(wIds == present)
+        val back = Sinks.readWideMatrixCsvLong(spark, out, wIds)
+          .where(col("rho").isNotNull).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(back == kept.toSet,
+          s"trial $trial: ${back.diff(kept.toSet).take(3)} vs " +
+            s"${kept.toSet.diff(back).take(3)}")
+      }
+    }
+  }
+
   test("declared-schema parquet read of an empty partitioned layout") {
     val out = scratchDir("graft_empty_layout_")
     val ev = graft.Catalog.load(spark, "/root/testdata/sf0.001", "events")
