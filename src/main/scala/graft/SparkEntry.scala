@@ -663,6 +663,52 @@ object SparkEntry {
       FROM dd JOIN m ON dd.user_id = m.user_id
       GROUP BY dd.user_id, m.md ORDER BY dd.user_id"""))
 
+  // W14: exponentially weighted moving average over the resampled
+  // series — pandas' `.ewm(alpha=0.5).mean()` with a 10-term finite
+  // tail, the standard quant smoothing every reference user runs.
+  // Weights are decay^j with decay = 0.5, EXACT powers of two, and the
+  // normalizer sums only the weights of PRESENT terms (pandas'
+  // ignore-missing-head semantics at a series start) — so both engines
+  // compute bit-comparable doubles from ten lag terms and one divide,
+  // and the grade needs only the usual 6-dp boundary margin. One
+  // window, ten codegen'd lag expressions, no self-join: the 100 TB
+  // form is identical (a single per-key ordered window pass).
+  private val EwmaN = 10
+  private val qW14 = Q("w14_ewma",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+      val terms = (0 until EwmaN).map { j =>
+        (lag(col("value"), j).over(w), math.pow(0.5, j))
+      }
+      val num = terms.map { case (v, wt) =>
+        coalesce(v * wt, lit(0.0)) }.reduce(_ + _)
+      val den = terms.map { case (v, wt) =>
+        when(v.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+      resampled(s, d, 8, jan2, jan3, 300)
+        .select(col("user_id"), col("bucket"), col("value"))
+        .withColumn("ewma",
+          when(col("value").isNotNull, round(num / den, 6)))
+        .where(col("ewma").isNotNull)
+        .select("user_id", "bucket", "ewma")
+        .orderBy("user_id", "bucket")
+    },
+    Some {
+      val nums = (0 until EwmaN).map(j =>
+        s"coalesce(lag(price, $j) OVER w * power(0.5, $j), 0)")
+        .mkString(" + ")
+      val dens = (0 until EwmaN).map(j =>
+        s"CASE WHEN lag(price, $j) OVER w IS NOT NULL" +
+          s" THEN power(0.5, $j) ELSE 0 END").mkString(" + ")
+      ffillSqlCte(8, jan2, jan3, 300) + s"""
+        SELECT user_id, bucket, ewma FROM (
+          SELECT user_id, bucket, price,
+            round(($nums) / ($dens), 6) AS ewma
+          FROM filled
+          WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+        WHERE price IS NOT NULL AND ewma IS NOT NULL
+        ORDER BY user_id, bucket"""
+    })
+
   // W3: epoch-anchored tumbling 4h windows over the month
   private val qW3 = Q("w3_tumbling_4h",
     (s, d) => T(s, d, "events")
@@ -1049,7 +1095,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13,
+    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14,
     qA3, qA3b, qA3c, qA3d) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all
