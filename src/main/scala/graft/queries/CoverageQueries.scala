@@ -85,6 +85,41 @@ object CoverageQueries {
         count(*) AS n
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // W15: OHLC bars — pandas `.resample('1h').ohlc()`, the other half of
+  // the reference's tick-resampling surface (taq_chunks.py resamples to
+  // means; every consumer of that pipeline also bars prices). ONE hash
+  // aggregate per (user, bucket): open/close via min_by/max_by on a4's
+  // collision-free DECIMAL(38,0) (ts, event_id) order key, high/low as
+  // plain min/max — no window sort, no self-join; the 100 TB plan is
+  // the same single exchange on the group key.
+  private val qW15 = Q("w15_ohlc_bars",
+    (s, d) => T(s, d, "events")
+      .where(col("ts") >= SparkEntry.tsLit(SparkEntry.jan2) &&
+             col("ts") < SparkEntry.tsLit(SparkEntry.jan3))
+      .withColumn("bucket",
+        expr("unix_timestamp(ts) div 3600 * 3600"))
+      .withColumn("ordkey",
+        unix_timestamp(col("ts")).cast(DecimalType(38, 0)) *
+          lit(10000000000L) + col("event_id"))
+      .groupBy("user_id", "bucket")
+      .agg(min_by(col("value"), col("ordkey")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ordkey")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("user_id", "bucket"),
+    Some(s"""SELECT user_id, ${SparkEntry.EP}//3600*3600 AS bucket,
+        arg_min(value, CAST(${SparkEntry.EP} AS HUGEINT) * 10000000000
+          + event_id) AS open,
+        max(value) AS high, min(value) AS low,
+        arg_max(value, CAST(${SparkEntry.EP} AS HUGEINT) * 10000000000
+          + event_id) AS close,
+        count(*) AS n_ticks
+      FROM events
+      WHERE ts >= ${SparkEntry.tsSql(SparkEntry.jan2)}
+        AND ts < ${SparkEntry.tsSql(SparkEntry.jan3)}
+      GROUP BY 1, 2 ORDER BY user_id, bucket"""))
+
   // F7: date arithmetic — day offsets and clamped month arithmetic
   // (pyg_graphs.py:159-160 `day - timedelta(days=1)`, year-1 swap).
   private val qF7 = Q("f7_date_arith",
@@ -528,5 +563,5 @@ object CoverageQueries {
       GROUP BY 1 ORDER BY day"""))
 
   val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12, qA13,
-    qA14, qA15, qA16, qA17, qW10, qW11)
+    qA14, qA15, qA16, qA17, qW10, qW11, qW15)
 }
