@@ -12,6 +12,31 @@ import java.nio.file.{Files, Paths}
   * and recorded as -1 so a time-to-crash never pollutes the total.
   */
 object Bench {
+
+  /** Fixed load canary: a pure-CPU job (hash + sum over a distributed
+    * range) that never touches the query code or the fixtures, timed
+    * min-of-3. Its value on a given host depends only on ambient load /
+    * CPU state, so two sweeps of DIFFERENT code can be load-normalized
+    * by their canary ratio — round 10's "2-3× small-query drift" turned
+    * out to be exactly this (identical commits measured 0.22 s vs
+    * 0.66 s for w1 on differently-loaded hosts; see SCALE.md).
+    */
+  private def canarySec(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // pmod bounds the addends so the ANSI-mode sum cannot overflow
+      spark.range(0L, 500000000L, 1L)
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
+        .agg(sum(col("h"))).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
@@ -25,6 +50,10 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // canary AFTER the warm pass (JIT/codegen steady state) and again
+    // after the sweep: their pair brackets the host's load over the run
+    val loadStart = loadAvg
+    val canaryStart = canarySec(spark)
     // Median of 3 timed runs per query: single-shot times swung 2-4× in
     // both directions between rounds on byte-identical code (GC, JIT
     // recompilation, page-cache state), so no per-round perf delta is
@@ -66,8 +95,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = good.map(_._2._1).sum
     val totalMin = good.map(_._2._2).sum
+    val canaryEnd = canarySec(spark)
+    val loadEnd = loadAvg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir","failures":$failures}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
     println(line)
     // the driver's stdout capture truncates long lines from the front,
     // losing the alphabetically-early per-query times — always persist
