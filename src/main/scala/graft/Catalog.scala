@@ -94,8 +94,18 @@ object Catalog {
   /** Timestamp encodings the `events` fixture has shipped with. */
   sealed trait TsUnit
   object TsUnit {
-    /** INT64 TIMESTAMP(MICROS|MILLIS) — Spark reads it natively. */
+    /** INT64 TIMESTAMP(MICROS|MILLIS, isAdjustedToUTC=false) — Spark
+      * reads it natively as TimestampNTZType.
+      */
     case object Native extends TsUnit
+    /** INT64 TIMESTAMP(MICROS|MILLIS, isAdjustedToUTC=true) — Spark 4
+      * refuses to read an adjusted-UTC column under a requested NTZ
+      * schema, so this variant is read as TimestampType directly (no
+      * NTZ read + cast). No fixture has shipped adjusted yet; the
+      * branch exists so a regeneration that flips the flag loads
+      * instead of failing.
+      */
+    case object NativeAdjusted extends TsUnit
     /** INT64 TIMESTAMP(NANOS) or unannotated INT64 nano-epoch — Spark 4's
       * vectorized reader refuses NANOS as TimestampType, so the scan reads
       * raw longs (session conf `spark.sql.legacy.parquet.nanosAsLong=true`,
@@ -115,21 +125,31 @@ object Catalog {
     * the footer instead of assuming a unit makes that class of drift
     * impossible.
     */
+  /** First data file under `$sfDir/events.parquet`, whether the fixture
+    * ships as a single file or a directory of part files. Shared with
+    * the CatalogSpec golden test so the test opens the same bytes the
+    * sniff classifies regardless of fixture layout.
+    */
+  private[graft] def firstEventsDataFile(
+      spark: SparkSession, sfDir: String): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/events.parquet")
+    val fs = root.getFileSystem(conf)
+    if (fs.getFileStatus(root).isDirectory)
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .minBy(_.getName)
+    else root
+  }
+
   def eventsTsUnit(spark: SparkSession, sfDir: String): TsUnit =
     tsUnitCache.computeIfAbsent(sfDir, { dir =>
-      import org.apache.hadoop.fs.Path
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import org.apache.parquet.schema.LogicalTypeAnnotation
       val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(s"$dir/events.parquet")
-      val fs = root.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-            .minBy(_.getName)
-        else root
+      val file = firstEventsDataFile(spark, dir)
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
@@ -138,8 +158,8 @@ object Catalog {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
               if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
             TsUnit.Nanos
-          case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            TsUnit.Native
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            if (t.isAdjustedToUTC) TsUnit.NativeAdjusted else TsUnit.Native
           case _ => TsUnit.Nanos // unannotated INT64: raw nano-epoch fixture
         }
       } finally reader.close()
@@ -167,6 +187,10 @@ object Catalog {
         })
         spark.read.schema(readSchema).parquet(s"$sfDir/events.parquet")
           .withColumn("ts", col("ts").cast(TimestampType))
+      case TsUnit.NativeAdjusted =>
+        // adjusted-UTC micros/millis: the public schema already says
+        // TimestampType and Spark reads it natively — no cast at all
+        spark.read.schema(schemas("events")).parquet(s"$sfDir/events.parquet")
       case TsUnit.Nanos =>
         val readSchema = StructType(schemas("events").map {
           case f if f.name == "ts" => f.copy(dataType = LongType)

@@ -182,6 +182,10 @@ object Flagship {
     }
     val matrices = setup match {
       case Failure(e) =>
+        // the early return skips the finally below — release whatever
+        // widePanel managed to register before the setup failure, or
+        // the partial caches stay pinned for the rest of the session
+        Time.unpersistPanels()
         return windows.map { case (ws, we) =>
           WindowResult(ws, we, ok = false, 0, "",
             String.valueOf(e.getMessage))

@@ -225,21 +225,26 @@ object PipelineQueries {
       val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
       val k = users.size
       val nBuckets = (jan3 - jan1) / 600
-      val pairs = panel
+      // dense write path: the UDAF's single cells row goes STRAIGHT to
+      // the square-CSV writer (ids are already known = users, i/j stay
+      // indexes) — the generic writer's explode → mirror union →
+      // regroup-by-row shuffle → sampling sort all disappear; rounding
+      // happens here so the file carries the graded 4-dp text
+      val cells = panel
         .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
         .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
           .as("cells"))
-        .select(explode(col("cells")).as("c"))
-        .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
-          element_at(typedLit(users), col("c.j") + 1).as("j"),
-          round(col("c.rho"), 4).as("rho"))
+        .select(transform(col("cells"), c =>
+          struct(c.getField("i").as("i"), c.getField("j").as("j"),
+            round(c.getField("rho"), 4).as("rho"))).as("cells"))
       val out = graft.sources.Materialize.path(d, "s6b_wide_matrix")
-      val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", out)
+      Sinks.writeWideMatrixCsvDense(cells, users, out)
       // schema'd read (see s6): at k+1 (hundreds of) columns the
-      // inference pass costs a full extra scan of the CSV; the writer's
-      // returned id order IS the schema (empty-safe)
-      Sinks.readWideMatrixCsvLong(s, out, ids)
-        .transform(Q.sortedSmall(_, "i", "j"))
+      // inference pass costs a full extra scan of the CSV; the known id
+      // order IS the schema (empty-safe). sortedOnce, not sortedSmall:
+      // the read-back child is linear and consumed exactly once.
+      Sinks.readWideMatrixCsvLong(s, out, users)
+        .transform(Q.sortedOnce(_, "i", "j"))
     },
     Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
       600) +

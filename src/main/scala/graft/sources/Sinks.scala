@@ -165,9 +165,15 @@ object Sinks {
                          rhoCol: String, path: String): Seq[Long] = {
     val session = pairs.sparkSession
     import session.implicits._
+    // dropDuplicates: a malformed producer emitting the same (i, j)
+    // twice would otherwise silently misalign the dense fast path (a
+    // row can reach size == ids.size with a duplicated j and a missing
+    // id) and throw in the sparse path's map_from_entries — degrade
+    // predictably instead (keep-one, like the old pivot+first did)
     val p = pairs.select(col(iCol).cast("long").as("i"),
         col(jCol).cast("long").as("j"),
         col(rhoCol).cast("double").as("rho"))
+      .dropDuplicates("i", "j")
       .cache()
     try {
       val ids = p.select(explode(array(col("i"), col("j"))).as("id"))
@@ -219,6 +225,55 @@ object Sinks {
       renameParts(session, path, ".txt", ".csv")
       ids
     } finally { p.unpersist(); () }
+  }
+
+  /** [[writeWideMatrixCsv]] specialized to the one-row UDAF output: the
+    * caller hands the single `cells` row (array of (i, j, rho) structs,
+    * i/j INDEXES into `ids`, i < j, rho already rounded) and the known
+    * id order, and the k+1 CSV lines are assembled straight off that
+    * array — no explode to k²/2 rows, no mirror union, no regroup
+    * shuffle, and no order-by sampling pass re-running the aggregate
+    * (the generic writer pays all four; measured 2-3× the whole write
+    * phase of s6b at k=500). Byte layout is identical to the generic
+    * writer: pandas-style empty index header cell, "" for undefined
+    * pairs, unit "1.0" diagonal, Spark's own double→string cell text
+    * (the rho→string cast runs INSIDE the plan so the formatting can
+    * never drift from the generic writer's).
+    *
+    * Scale shape: the matrix is dimension-sized (k² cells at the
+    * documented k≈1-2k UDAF ceiling, ≤ a few MB), so one task
+    * assembling lines is the same single-file contract bound as the
+    * generic writer's coalesce(1) — never a bulk-data pattern.
+    */
+  def writeWideMatrixCsvDense(cells: DataFrame, ids: Seq[Long],
+                              path: String): Unit = {
+    val session = cells.sparkSession
+    import session.implicits._
+    val k = ids.size
+    val strs = cells.select(transform(col(cells.columns.head), c =>
+      struct(c.getField("i").as("i"), c.getField("j").as("j"),
+        when(c.getField("rho").isNull, lit(""))
+          .otherwise(c.getField("rho").cast("string")).as("s"))).as("cs"))
+    val header = "," + ids.mkString(",")
+    val lines = strs.flatMap { row =>
+      val m = Array.fill(k, k)("")
+      var d = 0
+      while (d < k) { m(d)(d) = "1.0"; d += 1 }
+      row.getSeq[org.apache.spark.sql.Row](0).foreach { c =>
+        val i = c.getInt(0); val j = c.getInt(1); val s = c.getString(2)
+        m(i)(j) = s
+        m(j)(i) = s
+      }
+      Iterator.single(header) ++ (0 until k).iterator.map { r =>
+        val sb = new java.lang.StringBuilder(8 * k)
+        sb.append(ids(r))
+        var cdx = 0
+        while (cdx < k) { sb.append(',').append(m(r)(cdx)); cdx += 1 }
+        sb.toString
+      }
+    }
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    renameParts(session, path, ".txt", ".csv")
   }
 
   private def renameParts(spark: SparkSession, dir: String,

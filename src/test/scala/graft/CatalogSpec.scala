@@ -30,7 +30,6 @@ class CatalogSpec extends SparkTestBase {
   }
 
   test("golden: raw int64 on disk decodes to the annotated instant") {
-    import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.ColumnIOFactory
@@ -38,8 +37,12 @@ class CatalogSpec extends SparkTestBase {
     import org.apache.parquet.schema.LogicalTypeAnnotation
 
     val conf = spark.sessionState.newHadoopConf()
+    // same first-data-file resolution as eventsTsUnit, so the golden
+    // test keeps working if the fixture ever ships as a directory of
+    // part files instead of a single file
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(s"$sfDir/events.parquet"), conf))
+      HadoopInputFile.fromPath(
+        Catalog.firstEventsDataFile(spark, sfDir), conf))
     val (eventId, rawTs, unitIsNanos) =
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
@@ -96,6 +99,33 @@ class CatalogSpec extends SparkTestBase {
       Verify.fixtureDriftCheck(spark, fx)
     }
     assert(e.getMessage.contains("fixture/decode drift"))
+  }
+
+  test("adjusted-UTC micros fixture classifies NativeAdjusted and " +
+    "round-trips values") {
+    // stage an events fixture whose ts is TIMESTAMP(MICROS,
+    // isAdjustedToUTC=true): Spark writes exactly that annotation for
+    // TimestampType under outputTimestampType=TIMESTAMP_MICROS. Spark 4
+    // refuses to read an adjusted column under a requested NTZ schema,
+    // so this pins the NativeAdjusted branch (direct TimestampType
+    // read, no NTZ cast) end to end.
+    val fx = scratchDir("graft_adjusted_fx_")
+    val src = Catalog.load(spark, sfDir, "events").limit(1000).cache()
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try src.write.mode("overwrite").parquet(s"$fx/events.parquet")
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    try {
+      assert(Catalog.eventsTsUnit(spark, fx) ==
+        Catalog.TsUnit.NativeAdjusted)
+      val expected = src.agg(sum(unix_micros(col("ts")))).head().getLong(0)
+      val got = Catalog.load(spark, fx, "events")
+        .agg(sum(unix_micros(col("ts")))).head().getLong(0)
+      assert(got == expected, s"adjusted decode drift: $got != $expected")
+      assert(Catalog.load(spark, fx, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    } finally { src.unpersist(); () }
   }
 
   test("ts is exposed as TimestampType to every consumer") {
