@@ -964,6 +964,76 @@ object SparkEntry {
     (users, panel)
   }
 
+  /** Width ceiling for the one-pass co-moment tier: the UDAF's partial
+    * buffer is k(k-1)/2 × 10 doubles (~10 MB at k=500, ~90 MB at
+    * k=1500); past that the buffer serialization/merge dominates and
+    * the LSH pair-pruned tier wins (SCALE.md's corr tier table).
+    */
+  private[graft] val OnePassMaxK = 1500
+
+  /** The shared correlation consumer of [[widePanel]], with the tier
+    * switch made automatic: correlation pairs over the [a, b) resampled
+    * panel, tier chosen by the measured cost model —
+    *
+    *   - k ≤ `onePassMaxK`: the one-pass co-moment UDAF (every pair,
+    *     exact; co-moment state crosses the one shuffle);
+    *   - k > `onePassMaxK`: the LSH pair-pruned tier
+    *     ([[graft.ops.CorrPrune]]) — `minRho` is REQUIRED there
+    *     (candidate pruning needs a threshold to prune against; an
+    *     unthresholded full matrix at that width is the pair-join
+    *     tier, a deliberate non-goal of this entry point), and the
+    *     emitted pair set is the LSH candidates (recall governed by
+    *     bands/bits), each with its exact Pearson.
+    *
+    * Output columns either way: `i`, `j` (series USER ids, i < j),
+    * `ii`, `jj` (0-based vids — the position in the sorted id set, the
+    * graph consumers' vertex index), `rho` (exact, unrounded; callers
+    * round and threshold so their oracle can mirror it). Both branches
+    * are join-free on the output path (the id/index maps are
+    * `typedLit` expressions over the dimension-sized sorted id seq),
+    * so the g4 plan gate — no Inner join anywhere — holds through the
+    * selector.
+    */
+  private[graft] def panelRho(s: SparkSession, d: String, nUsers: Int,
+      a: Long, b: Long, step: Long,
+      minRho: Option[Double] = None,
+      onePassMaxK: Int = OnePassMaxK): (Seq[Long], DataFrame) = {
+    val nBuckets = (b - a) / step
+    val (users, panel) = widePanel(s, d, nUsers, a, b, step)
+    val k = users.size
+    val edges =
+      if (k <= onePassMaxK)
+        panel
+          .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
+          .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+            .as("cells"))
+          .select(explode(col("cells")).as("c"))
+          .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
+            element_at(typedLit(users), col("c.j") + 1).as("j"),
+            col("c.i").as("ii"), col("c.j").as("jj"),
+            col("c.rho").as("rho"))
+      else {
+        require(minRho.nonEmpty,
+          s"k=$k exceeds the one-pass ceiling $onePassMaxK and no " +
+            "threshold was given: the pruned tier needs one")
+        // the filled panel is cached by resampleFfill, so this second
+        // derivation reuses the same in-memory relation widePanel built
+        val p = resampled(s, d, nUsers, a, b, step)
+          .withColumn("pos", ((col("bucket") - a) / step + 1).cast("int"))
+        // vid mapping stays join-free: array_position over the sorted
+        // id seq is O(k) per row, paid only on the threshold-pruned
+        // edge set this tier exists to keep small
+        def vid(c: Column) =
+          (array_position(typedLit(users), c) - 1).cast("int")
+        graft.ops.CorrPrune
+          .candidateRho(p, "user_id", "pos", "value",
+            dims = nBuckets.toInt, bands = 8, bits = 5)
+          .select(col("i"), col("j"), vid(col("i")).as("ii"),
+            vid(col("j")).as("jj"), col("rho"))
+      }
+    (users, edges)
+  }
+
   // A3 tier iii (SURVEY §2.9/§7): the one-pass pairwise-complete co-moment
   // UDAF — co-moment state crosses the shuffle instead of k² rows per
   // bucket (see [[graft.functions.CorrMatrixAgg]]).
@@ -989,31 +1059,22 @@ object SparkEntry {
   // buffer is O(k²) doubles, which caps this tier near k≈1-2k series;
   // beyond that the pair-join tier with pair-pruning wins again — both
   // stay exposed.
+  // Goes through the automatic tier selector [[panelRho]]: at fixture
+  // widths (k ≤ 500) it resolves to the one-pass UDAF — the coalesce
+  // before the agg (merge cost scales with partitions, not rows) and
+  // the element_at id mapping live in the selector now. PlanGuardSpec
+  // pins both the narrow-side plan (co-moment aggregate, no pair join)
+  // and the forced wide-side plan (LSH bucket join).
   private val qA3c = Q("a3c_corr_onepass_wide",
     (s, d) => {
-      val (users, panel) = widePanel(s, d, 500, jan1, jan3, 600)
-      val k = users.size
-      // Shrink partitions before the agg: the panel is only buckets-many
-      // rows (hundreds), but the aggregator's partial buffer is O(k²)
-      // doubles — at 32 post-shuffle partitions the plan serializes and
-      // merges 32 multi-MB buffers to combine ~9 rows each (measured as
-      // most of this query's cost at sf0.1). The count is derived from
-      // the bucket count (≥256 panel rows per buffer), so at fixture
-      // scale it is 1 and with millions of buckets it grows with the
-      // input — merge cost scales with partitions, not rows.
-      val nBuckets = (jan3 - jan1) / 600
-      panel.coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
-        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
-          .as("cells"))
-        .select(explode(col("cells")).as("c"))
+      val (_, edges) = panelRho(s, d, 500, jan1, jan3, 600)
+      edges
         // 4 dp, not 6: with ~11k-125k pairs (sf0.01-sf0.1), two correct
         // engines accumulating
         // in different orders land ~1e-9 apart, and at 6 dp one pair hit
         // a rounding boundary (observed live). Coarser rounding moves
         // the boundary density two orders away from the fp noise.
-        .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
-          element_at(typedLit(users), col("c.j") + 1).as("j"),
-          round(col("c.rho"), 4).as("rho"))
+        .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
         // sortedOnce, not sortedSmall: the panel→UDAF→explode child is
         // linear and consumed exactly once — caching it costs ~1.7 s at
         // k=500 for no reuse (measured; see Q.scala)

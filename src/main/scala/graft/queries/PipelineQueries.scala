@@ -653,17 +653,16 @@ object PipelineQueries {
     (s, d) => {
       val jan1 = SparkEntry.jan1
       val jan3 = SparkEntry.jan3
-      val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
-      val k = users.size
-      val nBuckets = (jan3 - jan1) / 600
-      val e = graft.ops.Time.registerCached(panel
-        .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
-        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
-          .as("cells"))
-        .select(explode(col("cells")).as("c"))
-        .select(col("c.i").cast("long").as("src"),
-          col("c.j").cast("long").as("dst"),
-          round(col("c.rho"), 4).as("weight"))
+      // the automatic tier selector: k ≤ 500 resolves to the one-pass
+      // co-moment UDAF whose 0-based index IS the vid (the reference's
+      // tickers.index(src)); past the ceiling the same entry point
+      // would hand LSH-pruned candidates with the identical columns
+      val (_, edges) = SparkEntry.panelRho(s, d, 500, jan1, jan3, 600,
+        minRho = Some(0.0))
+      val e = graft.ops.Time.registerCached(edges
+        .select(col("ii").cast("long").as("src"),
+          col("jj").cast("long").as("dst"),
+          round(col("rho"), 4).as("weight"))
         .where(col("weight") > 0)
         .cache())
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"),

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The automatic a3c↔a3d width-tier switch ([[SparkEntry.panelRho]]):
+  * one entry point, tier chosen by k against the one-pass buffer
+  * ceiling. Tested on BOTH sides of the threshold on the same fixture
+  * panel — the narrow side must be the exact one-pass co-moment plan,
+  * the forced wide side the LSH pair-pruned plan whose emitted pairs
+  * are a value-identical subset of the exact answer.
+  */
+class PanelRhoSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val jan1 = SparkEntry.jan1
+  private val jan2 = SparkEntry.jan2
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("below the ceiling: one-pass tier, complete pair set, vid map") {
+    val (users, edges) = SparkEntry.panelRho(spark, sf, 50, jan1, jan2, 600)
+    val k = users.size
+    val p = planOf(edges)
+    assert(p.toLowerCase.contains("corrmatrixagg"), p)
+    assert(!p.contains("Inner"), p)
+    val rows = edges.collect()
+    // the one-pass tier emits EVERY unordered pair, defined or not
+    assert(rows.length == k * (k - 1) / 2,
+      s"expected ${k * (k - 1) / 2} pairs, got ${rows.length}")
+    // ii/jj are the positions of i/j in the sorted id set
+    rows.foreach { r =>
+      assert(users(r.getAs[Int]("ii")) == r.getAs[Long]("i"), r.toString)
+      assert(users(r.getAs[Int]("jj")) == r.getAs[Long]("j"), r.toString)
+    }
+  }
+
+  test("above the ceiling (forced): pruned tier is a value-identical " +
+    "subset with high-rho recall") {
+    val (users, exact) =
+      SparkEntry.panelRho(spark, sf, 50, jan1, jan2, 600)
+    val (usersP, pruned) = SparkEntry.panelRho(spark, sf, 50, jan1, jan2,
+      600, minRho = Some(0.5), onePassMaxK = 1)
+    assert(users == usersP)
+    val pl = planOf(pruned)
+    // the pruned plan is the LSH bucket machinery, not the UDAF
+    assert(!pl.toLowerCase.contains("corrmatrixagg"), pl)
+    assert(pl.contains("Join"), pl)
+    val ex = exact.select(col("i"), col("j"),
+      col("ii").as("eii"), col("jj").as("ejj"), col("rho").as("erho"))
+    val joined = pruned.join(ex, Seq("i", "j"), "left").collect()
+    assert(joined.nonEmpty, "pruned tier emitted no candidates")
+    joined.foreach { r =>
+      // every candidate exists in the exact matrix with the same rho
+      // (candidates are verified with the same exact Pearson) and the
+      // same vid mapping
+      assert(!r.isNullAt(r.fieldIndex("erho")) || r.isNullAt(r.fieldIndex("rho")),
+        s"candidate pair not in exact matrix: $r")
+      if (!r.isNullAt(r.fieldIndex("rho")) && !r.isNullAt(r.fieldIndex("erho")))
+        assert(math.abs(r.getAs[Double]("rho") - r.getAs[Double]("erho")) < 1e-9,
+          r.toString)
+      assert(r.getAs[Int]("ii") == r.getAs[Int]("eii"), r.toString)
+      assert(r.getAs[Int]("jj") == r.getAs[Int]("ejj"), r.toString)
+    }
+    // recall floor at the threshold the tier serves: the banded
+    // hyperplane buckets are md5-deterministic, so this is a fixed
+    // property of the fixture, not a flaky sample
+    val hi = exact.where(col("rho") >= 0.9).count()
+    val hiFound = pruned.where(col("rho") >= 0.9).count()
+    assert(hi == 0 || hiFound.toDouble / hi >= 0.9,
+      s"high-rho recall $hiFound/$hi below 0.9")
+  }
+
+  test("above the ceiling without a threshold refuses loudly") {
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.panelRho(spark, sf, 50, jan1, jan2, 600,
+        onePassMaxK = 1)
+    }
+    assert(e.getMessage.contains("one-pass ceiling"))
+  }
+}

@@ -100,6 +100,37 @@ class PlanGuardSpec extends SparkTestBase {
       p)
   }
 
+  test("a11 keeps the single-pass shape — no distinct-aggregate Expand") {
+    // the round-10 rewrite replaced count(DISTINCT)-style Expand (which
+    // multiplies every input row per aggregate) with one pass; a
+    // refactor reintroducing Expand doubles the scan at any scale
+    val p = plan("a11_approx_distinct")
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("wide-tier final sorts are single-partition, never a range " +
+    "exchange") {
+    // the bare orderBy plans Exchange rangepartitioning, whose boundary
+    // sampling RE-EXECUTES the aggregate child (measured ~2x on a3c/
+    // e1b/a3d at sf0.1); the single-partition sort replaced it in
+    // round 10 and this pins it
+    Seq("a3c_corr_onepass_wide", "e1b_flagship_wide", "a3d_corr_pruned",
+      "g4_wide_edges").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("rangepartitioning"), s"$name: $p")
+      assert(p.contains("SinglePartition"), s"$name: $p")
+    }
+  }
+
+  test("s6b's square-CSV read-back stays narrow — a text scan, no " +
+    "k-column pivot, no range exchange") {
+    val p = plan("s6b_wide_corr_matrix")
+    assert(p.contains("Scan text"), p)
+    // the k+1-column route would surface as a csv scan + Expand/pivot
+    assert(!p.contains("Scan csv"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("no CartesianProduct in any query plan") {
     // broadcast-tiny plane/profile generators surface as
     // BroadcastNestedLoopJoin, which is fine; an unhinted non-equi join
