@@ -1419,13 +1419,15 @@ object LlmQueries {
 
   // ------------------------------------------------------------- multimodal
 
-  // m1: multimodal binary-column plumbing. The fixture has no real media,
-  // so the payload is the utf-8 text bytes and the "decode" is the typed
-  // mapPartitions stub in [[graft.ops.Multimodal]] — the schema, batch
-  // shape, and partition-local decoder lifecycle are the real thing; only
-  // the codec is fake. The oracle mirrors the stub's deterministic
-  // arithmetic on the same bytes.
-  private val qM1 = Q("m1_multimodal_decode",
+  // m1: multimodal binary-column plumbing — the byte-domain CONTRAST
+  // tier. Real codec work lives in m5-m8 (MediaQueries/ops.Images:
+  // javax.imageio decode, raster resize, channel stats); this tier
+  // covers the formats the JVM has no codec for (video), where the
+  // payload is opaque bytes and the graded surface is metadata +
+  // deterministic byte arithmetic. The schema, batch shape, and
+  // partition-local decoder lifecycle are the real thing; only the
+  // codec is a stub, and nothing here claims to decode.
+  private val qM1 = Q("m1_payload_metadata",
     (s, d) => graft.ops.Multimodal.decodeStub(s,
         T(s, d, "documents").select(col("doc_id"),
           col("text").cast("binary").as("payload")))
@@ -1458,12 +1460,13 @@ object LlmQueries {
       WHERE frame_idx % 4 = 0
       ORDER BY doc_id, frame_idx"""))
 
-  // m3: resize plumbing — [[graft.ops.Multimodal.resizeStub]]'s
-  // byte-domain downsample (every 4th byte) graded end to end: the
+  // m3: byte-domain downsample plumbing (contrast tier — the real
+  // raster resize is m6_image_resize) — [[graft.ops.Multimodal
+  // .resizeStub]]'s every-4th-byte downsample graded end to end: the
   // oracle rebuilds the same byte subsequence with character-position
   // arithmetic (byte = char on the ASCII fixture, the m2 premise) and
   // the md5 compares the full resized payload, not just its length.
-  private val qM3 = Q("m3_resize",
+  private val qM3 = Q("m3_byte_downsample",
     (s, d) => graft.ops.Multimodal.resizeStub(s,
         T(s, d, "documents").select(col("doc_id"),
           col("text").cast("binary").as("payload")), 4)
@@ -1484,7 +1487,8 @@ object LlmQueries {
         GROUP BY doc_id) r USING (doc_id)
       ORDER BY d.doc_id"""))
 
-  // m4: feature-extraction plumbing —
+  // m4: stub feature plumbing (contrast tier — real raster features
+  // are m7_image_channel_stats) —
   // [[graft.ops.Multimodal.featureExtractStub]]'s deterministic 4-lane
   // float embedding, graded EXACTLY: each float is v/2³¹ for a 32-bit
   // md5 lane v, and v/2³¹ is exact in double (power-of-two divisor), so
@@ -1493,7 +1497,7 @@ object LlmQueries {
   // comparison bit-exact with no fp-text round-trip. The oracle parses
   // the same md5 lanes, applies the same signed-int32 reinterpretation,
   // and replays the double→REAL→double rounding chain.
-  private val qM4 = Q("m4_feature_extract",
+  private val qM4 = Q("m4_stub_features",
     (s, d) => graft.ops.Multimodal.featureExtractStub(s,
         T(s, d, "documents").select(col("doc_id"),
           col("text").cast("binary").as("payload")))
