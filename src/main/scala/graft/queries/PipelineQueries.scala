@@ -659,18 +659,21 @@ object PipelineQueries {
       // would hand LSH-pruned candidates with the identical columns
       val (_, edges) = SparkEntry.panelRho(s, d, 500, jan1, jan3, 600,
         minRho = Some(0.0))
-      val e = graft.ops.Time.registerCached(edges
-        .select(col("ii").cast("long").as("src"),
-          col("jj").cast("long").as("dst"),
-          round(col("rho"), 4).as("weight"))
-        .where(col("weight") > 0)
-        .cache())
-      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
-          col("weight")))
-        // sortedSmall (cached default): A/B against sortedOnce was
-        // inconclusive under ambient host drift — the union DOES consume
-        // `e` twice, so the conservative cached form stays
-        .transform(Q.sortedSmall(_, "src", "dst"))
+      // both edge directions from ONE pass over the cells: each kept
+      // pair explodes to its two orientations inline, so the old
+      // cache + self-union (which scanned the edge set twice and
+      // pinned it in the block store) disappears, and the linear
+      // single-consumer chain takes sortedOnce
+      val w = round(col("rho"), 4)
+      edges.where(w > 0)
+        .select(explode(array(
+          struct(col("ii").cast("long").as("src"),
+            col("jj").cast("long").as("dst"), w.as("weight")),
+          struct(col("jj").cast("long").as("src"),
+            col("ii").cast("long").as("dst"), w.as("weight")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.weight").as("weight"))
+        .transform(Q.sortedOnce(_, "src", "dst"))
     },
     Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
       600) + s""",
