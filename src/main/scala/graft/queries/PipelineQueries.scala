@@ -254,6 +254,48 @@ object PipelineQueries {
           ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2 ORDER BY i, j"""))
 
+  // S14: bucketed-lake co-located join — the layout tier the 100 TB
+  // posture keeps promising, made concrete and plan-guarded. Two
+  // tables go to the lake bucketed by the SAME key with the SAME
+  // bucket count (`Materialize.bucketedTable`: bucketBy+sortBy through
+  // the session catalog): the tick fact slice and the per-user profile
+  // aggregate, both by user_id into 8 buckets. The join of the two and
+  // the rollup after it then plan with NO shuffle exchange anywhere —
+  // the on-disk layout IS the hash partitioning, which is exactly how
+  // a cluster avoids re-shuffling a 100 TB fact table for every
+  // enrichment join (PlanGuardSpec asserts the no-exchange plan). The
+  // graded result — per user, how many of their events beat their own
+  // mean — needs the join row-level, so the layout is load-bearing,
+  // not decorative; the oracle recomputes it from the raw table.
+  private val qS14 = Q("s14_bucketed_join",
+    (s, d) => {
+      val ev = graft.sources.Materialize.bucketedTable(s, d,
+        "events_by_user", 8, Seq("user_id")) {
+        T(s, d, "events").select("user_id", "event_id", "value")
+      }
+      val profiles = graft.sources.Materialize.bucketedTable(s, d,
+        "user_profiles", 8, Seq("user_id")) {
+        T(s, d, "events").groupBy("user_id")
+          .agg(davg(col("value")).as("u_avg"))
+      }
+      ev.join(profiles, Seq("user_id"))
+        .where(col("value") > col("u_avg"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_above"),
+          round(max(col("value")), 6).as("max_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH u AS (
+        SELECT user_id,
+          round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                / count(value), 6) AS u_avg
+        FROM events GROUP BY 1)
+      SELECT e.user_id, count(*) AS n_above,
+        round(max(e.value), 6) AS max_value
+      FROM events e JOIN u USING (user_id)
+      WHERE e.value > u.u_avg
+      GROUP BY 1 ORDER BY 1"""))
+
   // S13/ORC: columnar-format roundtrip beyond parquet — ORC is the
   // other lake format Spark reads natively (same vectorized scan,
   // pushdown, pruning), and mixed parquet+ORC lakes are common. A slice
@@ -735,6 +777,7 @@ object PipelineQueries {
       GROUP BY 1 ORDER BY chunk"""))
 
   val all: Seq[Q] =
-    Seq(qE1F, qE1b, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qS13, qG1,
+    Seq(qE1F, qE1b, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qS13, qS14,
+      qG1,
       qG2, qG3, qG4, qW4b)
 }

@@ -98,6 +98,43 @@ object Materialize {
     spark.read.parquet(p)
   }
 
+  /** The named BUCKETED table for fixture `dir`: like [[table]], but
+    * persisted through the session catalog with `bucketBy(n, keys)` +
+    * `sortBy(keys)`, so every join or aggregation keyed on the bucket
+    * columns plans WITHOUT a shuffle exchange — the on-disk layout IS
+    * the partitioning. This is the co-located-join posture of a real
+    * lake: at 100 TB the fact tables are written bucketed by their join
+    * key once, and every downstream join of two same-bucketed tables
+    * (or rollup on the key) moves zero rows across the wire. Bucket
+    * counts must match across tables that join (Spark 4 can also
+    * coalesce mismatched counts when one divides the other).
+    *
+    * Mechanics: an EXTERNAL parquet table (explicit `path` under the
+    * scratch root) registered in the session catalog — the in-memory
+    * catalog carries the bucket spec; the data files live with every
+    * other materialized table. Memoized per JVM like [[table]].
+    */
+  def bucketedTable(spark: SparkSession, dir: String, name: String,
+                    buckets: Int, keys: Seq[String])
+                   (build: => DataFrame): DataFrame = {
+    val tbl = s"graft_${dirKey(dir)}_$name".toLowerCase
+      .replaceAll("[^a-z0-9_]", "_")
+    synchronized {
+      builtTables.getOrElseUpdate((dir, s"bucketed_$name"), {
+        val out = path(dir, s"bucketed_$name")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        build.write.mode("overwrite")
+          .bucketBy(buckets, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*)
+          .option("path", out)
+          .format("parquet")
+          .saveAsTable(tbl)
+        out
+      })
+    }
+    spark.table(tbl)
+  }
+
   /** Whether the named table has already been built this JVM — lets a
     * caller group several table builds around one shared cached input
     * and release it when all are written.

@@ -131,6 +131,26 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("s14's bucketed join and rollup plan zero shuffle exchanges") {
+    // both sides are bucketed by user_id with matching bucket counts:
+    // the join and the groupBy after it must ride the on-disk layout —
+    // any hashpartitioning exchange means the bucket spec was lost
+    val p = plan("s14_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Bucketed: true"), p)
+    // at fixture scale the profile side broadcasts (also shuffle-free);
+    // the CLUSTER shape — both sides too big to broadcast — must be the
+    // co-located sort-merge join, still with zero exchanges
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p2 = plan("s14_bucketed_join")
+      assert(p2.contains("SortMergeJoin"), p2)
+      assert(!p2.contains("Exchange hashpartitioning"), p2)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("no CartesianProduct in any query plan") {
     // broadcast-tiny plane/profile generators surface as
     // BroadcastNestedLoopJoin, which is fine; an unhinted non-equi join
