@@ -97,6 +97,82 @@ object Streams {
     batches
   }
 
+  /** The flagship as a STREAM: per-`span` pairwise correlation matrices
+    * over the live tick stream, as a chain of three event-time stateful
+    * operators (Spark's multiple-stateful-operator support) —
+    *
+    *   1. tumbling `bucket` windows × series: the resample cell
+    *      (avg of simultaneous ticks — A1's dedup-mean);
+    *   2. re-group by the same bucket window (via `window_time`):
+    *      assemble the k-wide panel row, missing series as NaN — the
+    *      streaming [[graft.SparkEntry.widePanel]] row;
+    *   3. tumbling `span` windows over the panel rows: the one-pass
+    *      co-moment UDAF ([[graft.functions.CorrMatrixAgg]]) — the SAME
+    *      aggregate the batch tiers run, its Chan-mergeable buffer now
+    *      carried as streaming state.
+    *
+    * Append mode + watermark: a span's matrix is emitted exactly once,
+    * when the watermark passes its end — the continuous form of the
+    * reference's per-window export loop
+    * (correlation_matrix_exporter.py:227-235). State is bounded: open
+    * bucket cells + open panel rows + one O(k²) co-moment buffer per
+    * open span, all evicted at watermark. The series universe `users`
+    * is a broadcast-sized dimension fixed upstream, exactly like the
+    * batch widePanel's sorted id set.
+    *
+    * Output rows: (window_start epoch sec, i, j: series ids, rho).
+    */
+  def windowedCorr(spark: SparkSession, srcDir: String, outDir: String,
+                   checkpointDir: String, users: Seq[Long],
+                   bucket: String = "10 minutes", span: String = "1 hour",
+                   watermark: String = "1 hour",
+                   maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val k = users.size
+    val corr = windowedCorrPlan(
+      eventsStream(spark, srcDir, maxFilesPerTrigger), users, k,
+      bucket, span, Some(watermark))
+    val q = corr.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentWrite(batch, outDir, id)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The shared logical chain of [[windowedCorr]] — also runnable on a
+    * BATCH events DataFrame (watermark omitted), which is how the spec
+    * proves stream ≡ batch on the same engine-side plan.
+    */
+  private[graft] def windowedCorrPlan(events: DataFrame, users: Seq[Long],
+      k: Int, bucket: String, span: String,
+      watermark: Option[String]): DataFrame = {
+    val src = events.where(col("user_id").isin(users: _*))
+    val marked = watermark.fold(src)(w => src.withWatermark("ts", w))
+    val cells = marked
+      .groupBy(window(col("ts"), bucket), col("user_id"))
+      .agg(avg("value").as("v"))
+    val panel = cells
+      .groupBy(window(window_time(col("window")), bucket).as("bw"))
+      .agg(map_from_entries(collect_list(struct(col("user_id"),
+        col("v")))).as("m"))
+      .select(col("bw"), array(users.map(u =>
+        coalesce(element_at(col("m"), lit(u)), lit(Double.NaN))): _*)
+        .as("vals"))
+    panel
+      .groupBy(window(window_time(col("bw")), span).as("hw"))
+      .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+        .as("cells"))
+      .select(unix_timestamp(col("hw.start")).as("window_start"),
+        explode(col("cells")).as("c"))
+      .select(col("window_start"),
+        element_at(typedLit(users), col("c.i") + 1).as("i"),
+        element_at(typedLit(users), col("c.j") + 1).as("j"),
+        col("c.rho").as("rho"))
+  }
+
   /** Event-time sessionization: per-user sessions that close after
     * `gap` of inactivity, via the built-in `session_window` aggregate —
     * Spark's native merging-session state (declarative, codegen'd,

@@ -334,4 +334,68 @@ class StreamsSpec extends SparkTestBase {
       .orderBy("doc_id").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("windowedCorr: streamed per-day corr matrices equal the batch " +
+    "chain up to the watermark") {
+    // the fixture corpus is far too sparse for ANY defined pairwise
+    // correlation (1000 ticks over 15 users and 30 days — no pair
+    // shares two buckets even hourly), so the stream ingests staged
+    // dense ticks: 3 correlated-by-construction series, one tick per
+    // 5 minutes for 2.5 days. Deterministic values (distinct affine +
+    // oscillating shapes per series) make every daily matrix cell
+    // defined and reproducible.
+    val in = tmp("graft_corr_in_")
+    val base = 1700006400L // aligned to a UTC day boundary
+    val users = Seq(0L, 1L, 2L)
+    val rows = for {
+      t <- 0L until (86400L * 5 / 2) by 300L
+      u <- users
+    } yield evRow(t * 10 + u, base + t, u,
+      // per-series deterministic shape: affine trend + per-series
+      // phase-shifted sawtooth, so no pair is exactly collinear
+      u.toDouble + 0.001 * t + ((t / 300 + 7 * u) % 13).toDouble)
+    stageFile(in, "ticks.parquet", base * 1000, rows)
+    val out = tmp("graft_corr_out_")
+    val ck = tmp("graft_corr_ck_")
+    Streams.windowedCorr(spark, in, out, ck, users,
+      bucket = "10 minutes", span = "1 day", watermark = "1 hour")
+    val all = spark.read.parquet(out)
+      .select("window_start", "i", "j", "rho")
+    assert(all.count() > 0, "stream emitted no matrices")
+    // batch oracle: the same three-operator chain on the static table.
+    // The watermark is computed over the FILTERED stream (the plan
+    // filters to the series universe before withWatermark), so the
+    // cutoff is the staged max ts minus the delay; one span width of
+    // safety margin keeps the boundary span (emitted only when
+    // wm >= end exactly) out of the prefix compare — the left-anti
+    // check below still covers it.
+    val ev = spark.read.schema(graft.Catalog.schemas("events"))
+      .parquet(in)
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val span = 86400L
+    val cut = unix_timestamp(lit(maxTs)) - 3600L - span
+    val batchAll = Streams.windowedCorrPlan(ev, users, users.size,
+        "10 minutes", "1 day", watermark = None)
+    val streamed = all.where(col("window_start") + span <= cut)
+    val batch = batchAll.where(col("window_start") + span <= cut)
+    assert(streamed.count() > 0, "prefix compare is vacuous")
+    assert(streamed.count() == batch.count(),
+      s"stream ${streamed.count()} rows vs batch ${batch.count()}")
+    // nothing streamed — prefix or not — is absent from the batch set
+    assert(all.join(batchAll.select("window_start", "i", "j"),
+      Seq("window_start", "i", "j"), "left_anti").count() == 0)
+    // rho equal up to the Chan-merge fp tolerance (stream and batch
+    // accumulate partials in different orders); undefined (null) cells
+    // must agree exactly, and defined rhos must actually be compared
+    val j = streamed.join(batch
+        .select(col("window_start"), col("i"), col("j"),
+          col("rho").as("brho")),
+      Seq("window_start", "i", "j"), "full_outer")
+    assert(j.where(col("rho").isNull =!= col("brho").isNull).count() == 0)
+    val defined = j.where(col("rho").isNotNull && col("brho").isNotNull)
+    assert(defined.count() > 0, "no defined rho pair in the compare")
+    val maxDiff = defined
+      .agg(max(abs(col("rho") - col("brho")))).head().getDouble(0)
+    assert(maxDiff < 1e-9, s"max rho diff $maxDiff")
+  }
 }
