@@ -144,10 +144,12 @@ object Flagship {
     * job computes every window's full k×k correlation matrix from a
     * single resample shuffle (e1b's plan — per-window state is a
     * k(k−1)/2×10-double co-moment buffer, never k² rows per bucket), the
-    * long form is cached once, and the driver loop only steers the
-    * per-window square-CSV writes (`Sinks.writeWideMatrixCsv`: ids as
-    * header + index, unit diagonal, empty cells for undefined pairs —
-    * exporter:163,227-235). Contrast with [[run]]'s layout="wide", which
+    * per-window cell ARRAYS are cached once, and the driver loop only
+    * steers the per-window square-CSV writes
+    * ([[Sinks.writeWideMatrixCsvDense]]: ids as header + index, unit
+    * diagonal, empty cells for undefined pairs — exporter:163,227-235 —
+    * assembled straight off each window's cells row, no explode/regroup
+    * in the loop). Contrast with [[run]]'s layout="wide", which
     * recomputes each window through the toy per-slice pair join.
     *
     * Same never-throw contract as [[run]]: a failing window is recorded
@@ -156,14 +158,19 @@ object Flagship {
   def runWideAtWidth(spark: SparkSession, sfDir: String, outDir: String,
                      openSec: Long, closeSec: Long, windowSec: Long,
                      freqSec: Long, maxUsers: Int): Seq[WindowResult] = {
-    import org.apache.spark.sql.functions.{element_at, explode, typedLit}
+    import org.apache.spark.sql.functions.{struct, transform}
     val windows = sessionWindows(openSec, closeSec, windowSec)
     val setup = Try {
       val (users, panel) = graft.SparkEntry.widePanel(spark, sfDir,
         maxUsers, openSec, closeSec, freqSec)
       val k = users.size
       val nBuckets = (closeSec - openSec) / freqSec
-      val matrices = panel
+      // one row per window: the UDAF's cell ARRAY, kept un-exploded —
+      // the per-window write below hands each row straight to the dense
+      // square-CSV writer (ids = the shared sorted universe), so the
+      // old explode → per-window id-collect → mirror-union → regroup
+      // path is gone from the loop entirely
+      val cells = panel
         .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
         .withColumn("win",
           lit(openSec) + ((col("bucket") - openSec) / windowSec)
@@ -171,16 +178,14 @@ object Flagship {
         .groupBy("win")
         .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
           .as("cells"))
-        .select(col("win"), explode(col("cells")).as("c"))
-        .select(col("win"),
-          element_at(typedLit(users), col("c.i") + 1).as("i"),
-          element_at(typedLit(users), col("c.j") + 1).as("j"),
-          round(col("c.rho"), 6).as("rho"))
+        .select(col("win"), transform(col("cells"), c =>
+          struct(c.getField("i").as("i"), c.getField("j").as("j"),
+            round(c.getField("rho"), 6).as("rho"))).as("cells"))
         .cache()
-      matrices.count() // materialize once; the write loop only filters
-      matrices
+      cells.count() // materialize once; the write loop only filters
+      (users, cells)
     }
-    val matrices = setup match {
+    val (users, cells) = setup match {
       case Failure(e) =>
         // the early return skips the finally below — release whatever
         // widePanel managed to register before the setup failure, or
@@ -196,10 +201,9 @@ object Flagship {
       windows.map { case (ws, we) =>
         Try {
           val path = s"$outDir/corr_${ws}_$we"
-          val ids = Sinks.writeWideMatrixCsv(
-            matrices.where(col("win") === ws).select("i", "j", "rho"),
-            "i", "j", "rho", path)
-          WindowResult(ws, we, ok = true, ids.size.toLong, path, "")
+          Sinks.writeWideMatrixCsvDense(
+            cells.where(col("win") === ws).select("cells"), users, path)
+          WindowResult(ws, we, ok = true, users.size.toLong, path, "")
         } match {
           case Success(r) => r
           case Failure(e) =>
@@ -208,7 +212,7 @@ object Flagship {
         }
       }
     } finally {
-      matrices.unpersist()
+      cells.unpersist()
       Time.unpersistPanels()
     }
   }
