@@ -244,6 +244,14 @@ object Sinks {
     * documented k≈1-2k UDAF ceiling, ≤ a few MB), so one task
     * assembling lines is the same single-file contract bound as the
     * generic writer's coalesce(1) — never a bulk-data pattern.
+    *
+    * Contract: `cells` must be the agg's ONE row (an ungrouped
+    * aggregate always yields exactly one, even over empty input, so
+    * the structural callers cannot violate this; a multi-row input
+    * would emit one matrix per row into the same file). A ZERO-row
+    * input (e.g. a per-window filter that matched nothing) writes an
+    * empty file — the reference's skip-empty-window contract
+    * (correlation_matrix_exporter.py:125-126), not an error.
     */
   def writeWideMatrixCsvDense(cells: DataFrame, ids: Seq[Long],
                               path: String): Unit = {
