@@ -1110,6 +1110,14 @@ object SparkEntry {
         .where(col("rho") >= 0.5)
         .transform(Q.sortedSmall(_, "i", "j"))
     },
+    a3dOracleSql)
+
+  /** a3d's DuckDB mirror — shared with [[qA3e]]: the auto-selector's
+    * forced wide branch passes identical geometry (300 series, 144
+    * positions, 8 bands × 5 bits, ρ ≥ 0.5 post-4-dp-round) through the
+    * same CorrPrune machinery, so one oracle grades both routes.
+    */
+  private lazy val a3dOracleSql: Option[String] =
     Some(ffillSqlCte(300, jan1, jan2, 600) + s""",
       pex AS (
         SELECT user_id, (bucket - $jan1)//600 + 1 AS pos,
@@ -1146,7 +1154,23 @@ object SparkEntry {
         FROM ccand c JOIN filled a ON a.user_id = c.i
           JOIN filled b ON b.user_id = c.j AND b.bucket = a.bucket
         GROUP BY 1, 2)
-      WHERE rho >= 0.5 ORDER BY i, j"""))
+      WHERE rho >= 0.5 ORDER BY i, j""")
+
+  // A3 tier switch, wide side ON THE ORACLE GATE: the same pruned
+  // search as a3d, reached through the automatic selector with the
+  // ceiling forced below k — so the driver's correctness gate grades
+  // panelRho's wide branch end to end, not just its spec. The oracle
+  // is a3d's verbatim (the selector hands identical geometry to
+  // CorrPrune: 300 series, 144 grid positions, 8 bands × 5 bits).
+  private val qA3e = Q("a3e_corr_auto_pruned",
+    (s, d) => {
+      val (_, edges) = panelRho(s, d, 300, jan1, jan2, 600,
+        minRho = Some(0.5), onePassMaxK = 1)
+      edges.select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
+        .where(col("rho") >= 0.5)
+        .transform(Q.sortedOnce(_, "i", "j"))
+    },
+    a3dOracleSql)
 
   // --------------------------------------------------------------- wiring
 
@@ -1157,7 +1181,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14,
-    qA3, qA3b, qA3c, qA3d) ++
+    qA3, qA3b, qA3c, qA3d, qA3e) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all
 
