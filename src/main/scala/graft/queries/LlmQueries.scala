@@ -351,6 +351,15 @@ object LlmQueries {
       val exf = ex.join(broadcast(hot), Seq("lang", "h"), "left_anti")
         .cache()
       val sizes = exf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // Shape A/B (round 11): a posting-LIST pair expansion — groupBy
+      // (lang, h) → collect_list → nested-transform/flatten/explode of
+      // the ≤MaxDf-bounded ordered pairs — pays ONE shuffle where this
+      // join pays two, but measured 5.7 s vs 4.1 s at sf0.1: the
+      // per-group array allocation/flatten churn costs more than the
+      // saved exchange at these list sizes. The join form stays; at a
+      // skewed-vocabulary extreme (many lists near MaxDf) the list
+      // form's bounded expansion becomes the safer shape — revisit if
+      // MaxDf grows.
       val inter = exf.select(col("lang"), col("doc_id").as("i"), col("h"))
         .join(exf.select(col("lang"), col("doc_id").as("j"), col("h")),
           Seq("lang", "h"))
