@@ -121,6 +121,15 @@ object Streams {
     * batch widePanel's sorted id set.
     *
     * Output rows: (window_start epoch sec, i, j: series ids, rho).
+    *
+    * Scale note: the panel-row assembly probes the per-bucket map once
+    * per series (`element_at`, a linear scan of Spark's array-backed
+    * MapData — O(k²) per bucket row). Fine for the broadcast-sized
+    * universes a continuous deployment keys on; at the batch tier's
+    * k≈1-2k ceiling, port widePanel's dense sorted-entries fast path
+    * into the aggregate. Restart semantics: the checkpoint + the
+    * idempotent per-batch sink make a restarted drain emit each newly
+    * finalized span exactly once (spec-pinned).
     */
   def windowedCorr(spark: SparkSession, srcDir: String, outDir: String,
                    checkpointDir: String, users: Seq[Long],

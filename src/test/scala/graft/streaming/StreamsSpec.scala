@@ -398,4 +398,41 @@ class StreamsSpec extends SparkTestBase {
       .agg(max(abs(col("rho") - col("brho")))).head().getDouble(0)
     assert(maxDiff < 1e-9, s"max rho diff $maxDiff")
   }
+
+  test("windowedCorr restart: a later tick file advances the stream, " +
+    "each span emitted exactly once") {
+    val in = tmp("graft_corr2_in_")
+    val base = 1700006400L
+    val users = Seq(0L, 1L)
+    def ticks(fromSec: Long, untilSec: Long): Seq[org.apache.spark.sql.Row] =
+      for {
+        t <- fromSec until untilSec by 600L
+        u <- users
+      } yield evRow(t * 10 + u, base + t, u,
+        u.toDouble + 0.01 * t + ((t / 600 + 3 * u) % 7).toDouble)
+    stageFile(in, "day0.parquet", base * 1000, ticks(0L, 86400L * 2))
+    val out = tmp("graft_corr2_out_")
+    val ck = tmp("graft_corr2_ck_")
+    Streams.windowedCorr(spark, in, out, ck, users,
+      bucket = "10 minutes", span = "1 day", watermark = "1 hour")
+    val first = spark.read.parquet(out)
+      .select("window_start", "i", "j").collect().toSet
+    assert(first.nonEmpty, "first drain emitted nothing")
+    // a later file lands (the continuous-deployment tick): the SAME
+    // checkpoint drains only the new data; its later event times push
+    // the watermark past the previously open spans
+    stageFile(in, "day2.parquet", base * 1000 + 1000,
+      ticks(86400L * 2, 86400L * 3))
+    Streams.windowedCorr(spark, in, out, ck, users,
+      bucket = "10 minutes", span = "1 day", watermark = "1 hour")
+    val rows = spark.read.parquet(out)
+      .select("window_start", "i", "j").collect().toSeq
+    // exactly-once per span pair: no duplicates across the two drains
+    assert(rows.size == rows.toSet.size,
+      s"duplicate span rows after restart: ${rows.size} vs ${rows.toSet.size}")
+    // and the restart emitted NEW spans (the day-1 matrix its first
+    // drain held open, now finalized by day-2's watermark)
+    assert(rows.toSet.size > first.size,
+      s"restart emitted nothing new (${rows.size} vs ${first.size})")
+  }
 }
