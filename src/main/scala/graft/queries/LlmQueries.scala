@@ -911,58 +911,105 @@ object LlmQueries {
   // vocabulary size at any corpus scale.
   private val BpeRounds = 3
   private val BpeSample = 200
+
+  /** Character-token table (word, freq, pos, tok) of a (word, freq)
+    * vocabulary — BPE's working relation, vocabulary-sized.
+    */
+  private def charToks(wc: DataFrame): DataFrame =
+    wc.select(col("word"), col("freq"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+      .withColumn("tok", expr("substr(word, pos + 1, 1)"))
+
+  /** Apply ONE merge (l, r) to a token table — the classic greedy
+    * left-to-right overlap rule (in "aaa", merge "a a" once, at the
+    * left), relationally: within each run of consecutive matching
+    * positions keep the even-indexed ones, drop each merge's right
+    * half, renumber. Shared by the learn loop (t9) and the
+    * apply-to-corpus tokenizer (t10) so the two can never drift.
+    */
+  private def bpeApplyMerge(toks: DataFrame, l: String,
+                            r: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val p = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+    val mm = p.where(col("tok") === l && col("nxt") === r)
+      .select(col("word"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy("word", "grp").orderBy("pos")))
+      .where((col("rn2") - 1) % 2 === 0)
+      .select(col("word"), col("pos"), lit(1).as("mg"))
+    p.join(mm, Seq("word", "pos"), "left")
+      .withColumn("pm", lag(col("mg"), 1).over(w))
+      .where(col("pm").isNull) // drop the right half of each merge
+      .select(col("word"), col("freq"), col("pos"),
+        when(col("mg") === 1, concat(col("tok"), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+      .withColumn("pos", row_number().over(w) - 1)
+  }
+
+  /** The BPE learn loop over the `doc_id < BpeSample` sample: one row
+    * per round — (round, merged_l, merged_r, pair_count,
+    * n_tokens_after, n_vocab_after).
+    */
+  private[graft] def bpeLearn(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long, Long, Long)] = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val w0 = T(s, d, "documents").where(col("doc_id") < BpeSample)
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var toks = charToks(w0).cache()
+    val rows = (1 to BpeRounds).map { i =>
+      val p = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      val best = p.where(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
+        .limit(1).head()
+      val (l, r, cnt) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      val next = bpeApplyMerge(toks, l, r).cache()
+      val st = next.agg(sum("freq").as("nt"),
+        countDistinct("tok").as("nv")).head()
+      // the superseded generation is never read again — release it
+      // eagerly instead of pinning every round's token relation until
+      // the harness's external clearCache
+      toks.unpersist()
+      toks = next
+      (i, l, r, cnt, st.getLong(0), st.getLong(1))
+    }
+    toks.unpersist() // the rounds are eager; the last generation too
+    rows
+  }
+
   private val qT9 = Q("t9_bpe_merges",
     (s, d) => {
       import s.implicits._
-      val w = Window.partitionBy("word").orderBy("pos")
-      val w0 = T(s, d, "documents").where(col("doc_id") < BpeSample)
-        .select(explode(Text.words(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      var toks = w0.select(col("word"), col("freq"),
-          explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
-        .withColumn("tok", expr("substr(word, pos + 1, 1)"))
-        .cache()
-      val rows = (1 to BpeRounds).map { i =>
-        val p = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
-        val best = p.where(col("nxt").isNotNull)
-          .groupBy("tok", "nxt").agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("tok"), col("nxt"))
-          .limit(1).head()
-        val (l, r, cnt) =
-          (best.getString(0), best.getString(1), best.getLong(2))
-        // left-to-right overlap rule: runs of consecutive matches keep
-        // their even-indexed positions (overlap only arises when l = r)
-        val mm = p.where(col("tok") === l && col("nxt") === r)
-          .select(col("word"), col("pos"))
-          .withColumn("grp", col("pos") - row_number().over(w))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy("word", "grp").orderBy("pos")))
-          .where((col("rn2") - 1) % 2 === 0)
-          .select(col("word"), col("pos"), lit(1).as("mg"))
-        val next = p.join(mm, Seq("word", "pos"), "left")
-          .withColumn("pm", lag(col("mg"), 1).over(w))
-          .where(col("pm").isNull) // drop the right half of each merge
-          .select(col("word"), col("freq"), col("pos"),
-            when(col("mg") === 1, concat(col("tok"), col("nxt")))
-              .otherwise(col("tok")).as("tok"))
-          .withColumn("pos", row_number().over(w) - 1)
-          .cache()
-        val st = next.agg(sum("freq").as("nt"),
-          countDistinct("tok").as("nv")).head()
-        // the superseded generation is never read again — release it
-        // eagerly instead of pinning every round's token relation until
-        // the harness's external clearCache
-        toks.unpersist()
-        toks = next
-        (i, l, r, cnt, st.getLong(0), st.getLong(1))
-      }
-      toks.unpersist() // the rounds are eager; the last generation too
-      rows.toDF("round", "merged_l", "merged_r", "pair_count",
+      bpeLearn(s, d).toDF("round", "merged_l", "merged_r", "pair_count",
           "n_tokens_after", "n_vocab_after")
         .orderBy("round")
     },
     Some {
-      val init = s"""w0 AS (
+      val rstats = (1 to BpeRounds).map { i =>
+        s""",
+        r$i AS (
+          SELECT $i AS round, b.l AS merged_l, b.r AS merged_r,
+            b.cnt AS pair_count,
+            (SELECT CAST(sum(freq) AS BIGINT) FROM t${i + 1})
+              AS n_tokens_after,
+            (SELECT count(DISTINCT tok) FROM t${i + 1}) AS n_vocab_after
+          FROM best$i b)"""
+      }.mkString
+      val sel = (1 to BpeRounds).map(i => s"SELECT * FROM r$i")
+        .mkString(" UNION ALL ")
+      bpeLearnSqlCtes + rstats + s" $sel ORDER BY round"
+    })
+
+  /** DuckDB mirror of [[bpeLearn]]: sample vocab (w0), char tokens
+    * (t1), and per-round p_i / best_i / mm_i / tn_i / t_{i+1} CTEs.
+    * Shared by t9's stats oracle and t10's apply-to-corpus oracle so
+    * the learned merges can never drift between the two grades.
+    */
+  private def bpeLearnSqlCtes: String = {
+    val init = s"""w0 AS (
           SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
           FROM (SELECT unnest(string_split(text, ' ')) AS w
                 FROM documents WHERE doc_id < $BpeSample)
@@ -971,8 +1018,8 @@ object LlmQueries {
           SELECT word, freq, pos, substr(word, pos + 1, 1) AS tok
           FROM (SELECT word, freq, unnest(range(strlen(word))) AS pos
                 FROM w0))"""
-      val rounds = (1 to BpeRounds).map { i =>
-        s"""p$i AS (
+    val rounds = (1 to BpeRounds).map { i =>
+      s"""p$i AS (
           SELECT word, freq, pos, tok,
             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
           FROM t$i),
@@ -1003,19 +1050,92 @@ object LlmQueries {
             tok
           FROM (SELECT *, lag(mg) OVER (
               PARTITION BY word ORDER BY pos) AS pm FROM tn$i)
-          WHERE pm IS NULL OR pm = 0),
-        r$i AS (
-          SELECT $i AS round, b.l AS merged_l, b.r AS merged_r,
-            b.cnt AS pair_count,
-            (SELECT CAST(sum(freq) AS BIGINT) FROM t${i + 1})
-              AS n_tokens_after,
-            (SELECT count(DISTINCT tok) FROM t${i + 1}) AS n_vocab_after
-          FROM best$i b)"""
+          WHERE pm IS NULL OR pm = 0)"""
+    }
+    (init +: rounds).mkString("WITH ", ",\n        ", "")
+  }
+
+  // t10: token-budget accounting under the learned subword vocab — the
+  // production reason t9 exists. The merge table is learned ONCE on the
+  // sample (memoized per fixture via Materialize.value, the persisted-
+  // artifact contract every trained component here uses: codebooks,
+  // signatures, now merges) and applied to the FULL corpus vocabulary —
+  // vocabulary-sized relational work regardless of corpus size — then
+  // per-document token counts come from one join of the corpus word
+  // occurrences against the per-word token table. The oracle re-learns
+  // the merges from the same sample CTEs (bpeLearnSqlCtes) and replays
+  // the apply rounds on the corpus vocab, so merge decisions, overlap
+  // handling and the final counts are all graded end to end.
+  private val qT10 = Q("t10_bpe_tokenize",
+    (s, d) => {
+      val merges = graft.sources.Materialize.value(d, "bpe_merges") {
+        bpeLearn(s, d).map(r => (r._2, r._3))
       }
-      val sel = (1 to BpeRounds).map(i => s"SELECT * FROM r$i")
-        .mkString(" UNION ALL ")
-      (init +: rounds).mkString("WITH ", ",\n        ", "") +
-        s" $sel ORDER BY round"
+      val docWords = graft.ops.Time.registerCached(
+        T(s, d, "documents")
+          .select(col("doc_id"), explode(Text.words(col("text")))
+            .as("word"))
+          .cache())
+      val vocab = docWords.groupBy("word").agg(count(lit(1)).as("freq"))
+      val toks = merges.foldLeft(charToks(vocab)) {
+        case (t, (l, r)) => bpeApplyMerge(t, l, r)
+      }
+      val perWord = toks.groupBy("word").agg(count(lit(1)).as("n_toks"))
+      docWords.join(perWord, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_toks").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val applyInit = s""",
+        dw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        vw AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+               FROM dw GROUP BY 1),
+        a1 AS (
+          SELECT word, freq, pos, substr(word, pos + 1, 1) AS tok
+          FROM (SELECT word, freq, unnest(range(strlen(word))) AS pos
+                FROM vw))"""
+      val applyRounds = (1 to BpeRounds).map { i =>
+        s""",
+        ap$i AS (
+          SELECT word, freq, pos, tok,
+            lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM a$i),
+        am$i AS (
+          SELECT word, pos FROM (
+            SELECT word, pos, row_number() OVER (
+                PARTITION BY word, grp ORDER BY pos) AS rn2
+            FROM (
+              SELECT p.word, p.pos, p.pos - row_number() OVER (
+                  PARTITION BY p.word ORDER BY p.pos) AS grp
+              FROM ap$i p, best$i b
+              WHERE p.tok = b.l AND p.nxt = b.r))
+          WHERE (rn2 - 1) % 2 = 0),
+        an$i AS (
+          SELECT q.word, q.freq, q.pos,
+            CASE WHEN m.pos IS NOT NULL THEN q.tok || q.nxt
+                 ELSE q.tok END AS tok,
+            CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END AS mg
+          FROM ap$i q LEFT JOIN am$i m
+            ON m.word = q.word AND m.pos = q.pos),
+        a${i + 1} AS (
+          SELECT word, freq,
+            row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+            tok
+          FROM (SELECT *, lag(mg) OVER (
+              PARTITION BY word ORDER BY pos) AS pm FROM an$i)
+          WHERE pm IS NULL OR pm = 0)"""
+      }.mkString
+      bpeLearnSqlCtes + applyInit + applyRounds + s""",
+        pw AS (SELECT word, CAST(count(*) AS BIGINT) AS n_toks
+               FROM a${BpeRounds + 1} GROUP BY 1)
+        SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(pw.n_toks) AS BIGINT) AS n_tokens
+        FROM dw JOIN pw USING (word)
+        GROUP BY 1 ORDER BY 1"""
     })
 
   // ------------------------------------------------------ similarity search
@@ -2080,7 +2200,7 @@ object LlmQueries {
 
   val all: Seq[Q] =
     Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9,
-      qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9,
+      qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9, qT10,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
       qM1, qM2, qM3, qM4, qC1)
 }
