@@ -978,12 +978,17 @@ object SparkEntry {
     *   - k ≤ `onePassMaxK`: the one-pass co-moment UDAF (every pair,
     *     exact; co-moment state crosses the one shuffle);
     *   - k > `onePassMaxK`: the LSH pair-pruned tier
-    *     ([[graft.ops.CorrPrune]]) — `minRho` is REQUIRED there
-    *     (candidate pruning needs a threshold to prune against; an
-    *     unthresholded full matrix at that width is the pair-join
-    *     tier, a deliberate non-goal of this entry point), and the
-    *     emitted pair set is the LSH candidates (recall governed by
-    *     bands/bits), each with its exact Pearson.
+    *     ([[graft.ops.CorrPrune]]) — `minRho` is REQUIRED there as the
+    *     caller's declaration that a thresholded result is acceptable
+    *     (an unthresholded full matrix at that width is the pair-join
+    *     tier, a deliberate non-goal of this entry point). The emitted
+    *     pair set is the LSH candidates (recall governed by
+    *     bands/bits), each with its exact UNROUNDED Pearson: the
+    *     threshold itself is applied BY THE CALLER after its own
+    *     rounding, so the caller's oracle can mirror the exact
+    *     round-then-filter order (a3e filters round(rho,4) >= 0.5;
+    *     filtering unrounded here would drop boundary pairs the
+    *     oracle keeps).
     *
     * Output columns either way: `i`, `j` (series USER ids, i < j),
     * `ii`, `jj` (0-based vids — the position in the sorted id set, the

@@ -182,7 +182,11 @@ object Flagship {
           struct(c.getField("i").as("i"), c.getField("j").as("j"),
             round(c.getField("rho"), 6).as("rho"))).as("cells"))
         .cache()
-      cells.count() // materialize once; the write loop only filters
+      // materialize once (the write loop only filters); a failure
+      // mid-count must release the partially cached blocks itself —
+      // the Failure branch below only reaches the panel registry
+      try cells.count()
+      catch { case e: Throwable => cells.unpersist(); throw e }
       (users, cells)
     }
     val (users, cells) = setup match {

@@ -913,24 +913,38 @@ object LlmQueries {
   private val BpeSample = 200
 
   /** Character-token table (word, freq, pos, tok) of a (word, freq)
-    * vocabulary — BPE's working relation, vocabulary-sized.
+    * vocabulary — BPE's working relation, vocabulary-sized. The
+    * empty-word guard matters: `split` emits "" for consecutive
+    * spaces, and an unguarded `sequence(0, -1)` counts DOWNWARD to
+    * [0, -1] (two bogus rows) where the oracle's `range(strlen)` has
+    * zero — the same hazard [[graft.ops.Text.shingles]] guards.
     */
   private def charToks(wc: DataFrame): DataFrame =
     wc.select(col("word"), col("freq"),
-        explode(sequence(lit(0), length(col("word")) - 1)).as("pos"))
+        explode(when(length(col("word")) > 0,
+            sequence(lit(0), length(col("word")) - 1))
+          .otherwise(typedLit(Seq.empty[Int]))).as("pos"))
       .withColumn("tok", expr("substr(word, pos + 1, 1)"))
 
-  /** Apply ONE merge (l, r) to a token table — the classic greedy
-    * left-to-right overlap rule (in "aaa", merge "a a" once, at the
-    * left), relationally: within each run of consecutive matching
+  /** The (word, freq, pos, tok, nxt) relation [[bpeApplyMerge]]
+    * consumes: each token paired with its right neighbor. Built once
+    * per round and shared with the learn loop's best-pair search so
+    * the lead window is never computed twice over the same generation.
+    */
+  private def bpeWithNext(toks: DataFrame): DataFrame =
+    toks.withColumn("nxt",
+      lead(col("tok"), 1).over(Window.partitionBy("word").orderBy("pos")))
+
+  /** Apply ONE merge (l, r) to a [[bpeWithNext]] relation — the classic
+    * greedy left-to-right overlap rule (in "aaa", merge "a a" once, at
+    * the left), relationally: within each run of consecutive matching
     * positions keep the even-indexed ones, drop each merge's right
     * half, renumber. Shared by the learn loop (t9) and the
     * apply-to-corpus tokenizer (t10) so the two can never drift.
     */
-  private def bpeApplyMerge(toks: DataFrame, l: String,
+  private def bpeApplyMerge(p: DataFrame, l: String,
                             r: String): DataFrame = {
     val w = Window.partitionBy("word").orderBy("pos")
-    val p = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
     val mm = p.where(col("tok") === l && col("nxt") === r)
       .select(col("word"), col("pos"))
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -953,20 +967,19 @@ object LlmQueries {
     */
   private[graft] def bpeLearn(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long, Long, Long)] = {
-    val w = Window.partitionBy("word").orderBy("pos")
     val w0 = T(s, d, "documents").where(col("doc_id") < BpeSample)
       .select(explode(Text.words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var toks = charToks(w0).cache()
     val rows = (1 to BpeRounds).map { i =>
-      val p = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      val p = bpeWithNext(toks)
       val best = p.where(col("nxt").isNotNull)
         .groupBy("tok", "nxt").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("tok"), col("nxt"))
         .limit(1).head()
       val (l, r, cnt) =
         (best.getString(0), best.getString(1), best.getLong(2))
-      val next = bpeApplyMerge(toks, l, r).cache()
+      val next = bpeApplyMerge(p, l, r).cache()
       val st = next.agg(sum("freq").as("nt"),
         countDistinct("tok").as("nv")).head()
       // the superseded generation is never read again — release it
@@ -1078,7 +1091,7 @@ object LlmQueries {
           .cache())
       val vocab = docWords.groupBy("word").agg(count(lit(1)).as("freq"))
       val toks = merges.foldLeft(charToks(vocab)) {
-        case (t, (l, r)) => bpeApplyMerge(t, l, r)
+        case (t, (l, r)) => bpeApplyMerge(bpeWithNext(t), l, r)
       }
       val perWord = toks.groupBy("word").agg(count(lit(1)).as("n_toks"))
       docWords.join(perWord, Seq("word"))

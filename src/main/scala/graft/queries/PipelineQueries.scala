@@ -698,7 +698,10 @@ object PipelineQueries {
       // the automatic tier selector: k ≤ 500 resolves to the one-pass
       // co-moment UDAF whose 0-based index IS the vid (the reference's
       // tickers.index(src)); past the ceiling the same entry point
-      // would hand LSH-pruned candidates with the identical columns
+      // would hand LSH-pruned candidates with the identical columns.
+      // minRho declares the thresholded contract this query already
+      // honors (weight > 0 below) — the value is applied by the
+      // caller after rounding, per panelRho's scaladoc
       val (_, edges) = SparkEntry.panelRho(s, d, 500, jan1, jan3, 600,
         minRho = Some(0.0))
       // both edge directions from ONE pass over the cells: each kept

@@ -165,14 +165,21 @@ object Sinks {
                          rhoCol: String, path: String): Seq[Long] = {
     val session = pairs.sparkSession
     import session.implicits._
-    // dropDuplicates: a malformed producer emitting the same (i, j)
-    // twice would otherwise silently misalign the dense fast path (a
-    // row can reach size == ids.size with a duplicated j and a missing
-    // id) and throw in the sparse path's map_from_entries — degrade
-    // predictably instead (keep-one, like the old pivot+first did)
-    val p = pairs.select(col(iCol).cast("long").as("i"),
-        col(jCol).cast("long").as("j"),
+    // Canonicalize + dedup: a malformed producer emitting the same
+    // pair twice — as (i, j) again, as its mirror (j, i), or as an
+    // explicit diagonal (i, i) — would otherwise silently misalign the
+    // dense fast path (a row can reach size == ids.size with a
+    // duplicated j and a missing id) or throw in the sparse path's
+    // map_from_entries after the internal mirror union. least/greatest
+    // folds mirrors onto the upper triangle (identity for well-formed
+    // input), the i < j filter drops producer diagonals (the writer
+    // owns the unit diagonal), and dropDuplicates keeps one — degrade
+    // predictably, like the old pivot+first did.
+    val ci = col(iCol).cast("long")
+    val cj = col(jCol).cast("long")
+    val p = pairs.select(least(ci, cj).as("i"), greatest(ci, cj).as("j"),
         col(rhoCol).cast("double").as("rho"))
+      .where(col("i") < col("j"))
       .dropDuplicates("i", "j")
       .cache()
     try {

@@ -77,6 +77,26 @@ class WideMatrixWriterSpec extends SparkTestBase {
       Seq((0, 1, Some(1.0e-4)), (0, 2, Some(-3.0e-7)), (1, 2, Some(1.0))))
   }
 
+  test("generic writer degrades keep-one on mirrored/diagonal/repeated " +
+    "duplicates instead of throwing or misaligning") {
+    val dir = scratchDir("graft_wm_dup_")
+    val pairs = Seq((1L, 2L, 0.5), (2L, 1L, 0.3), (1L, 1L, 9.9),
+      (1L, 2L, 0.5)).toDF("i", "j", "rho")
+    val ids = Sinks.writeWideMatrixCsv(pairs, "i", "j", "rho", dir)
+    assert(ids == Seq(1L, 2L))
+    val back = Sinks.readWideMatrixCsvLong(spark, dir, ids).collect()
+    assert(back.length == 1)
+    val r = back.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // keep-ONE of the conflicting duplicates (which one is unspecified)
+    assert(Set(0.3, 0.5).contains(r.getDouble(2)), r.toString)
+    // the producer's bogus (1,1,9.9) never reaches the diagonal
+    val lines = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val l1 = java.nio.file.Files.readAllLines(lines.toPath).get(1)
+    assert(l1.split(",", -1)(1) == "1.0", l1)
+  }
+
   test("seeded random shapes: 20 matrices, all byte-identical") {
     val rnd = new scala.util.Random(11)
     (1 to 20).foreach { _ =>
