@@ -204,10 +204,16 @@ object Flagship {
     try {
       windows.map { case (ws, we) =>
         Try {
+          val winCells = cells.where(col("win") === ws).select("cells")
+          // count on the cached cells is a cheap per-window probe; an
+          // empty window (structurally impossible for grid-aligned
+          // windows, but a caller can pass a wider range) must report
+          // rows = 0 like runDailyExport, not claim a k-wide matrix
+          val n = winCells.count()
           val path = s"$outDir/corr_${ws}_$we"
-          Sinks.writeWideMatrixCsvDense(
-            cells.where(col("win") === ws).select("cells"), users, path)
-          WindowResult(ws, we, ok = true, users.size.toLong, path, "")
+          Sinks.writeWideMatrixCsvDense(winCells, users, path)
+          WindowResult(ws, we, ok = true,
+            if (n == 0) 0L else users.size.toLong, path, "")
         } match {
           case Success(r) => r
           case Failure(e) =>

@@ -1090,8 +1090,16 @@ object LlmQueries {
             .as("word"))
           .cache())
       val vocab = docWords.groupBy("word").agg(count(lit(1)).as("freq"))
+      // localCheckpoint per round: bpeApplyMerge reads its input twice
+      // (the match positions and the merge projection), so an unbroken
+      // fold doubles the logical plan per round — 2^rounds charToks
+      // subtrees. Truncating lineage each round keeps plan size linear
+      // in rounds (the Components-loop pattern); the relation is
+      // vocabulary-sized, so each checkpoint is cheap at any corpus
+      // scale.
       val toks = merges.foldLeft(charToks(vocab)) {
-        case (t, (l, r)) => bpeApplyMerge(bpeWithNext(t), l, r)
+        case (t, (l, r)) =>
+          bpeApplyMerge(bpeWithNext(t), l, r).localCheckpoint()
       }
       val perWord = toks.groupBy("word").agg(count(lit(1)).as("n_toks"))
       docWords.join(perWord, Seq("word"))

@@ -697,13 +697,12 @@ object PipelineQueries {
       val jan3 = SparkEntry.jan3
       // the automatic tier selector: k ≤ 500 resolves to the one-pass
       // co-moment UDAF whose 0-based index IS the vid (the reference's
-      // tickers.index(src)); past the ceiling the same entry point
-      // would hand LSH-pruned candidates with the identical columns.
-      // minRho declares the thresholded contract this query already
-      // honors (weight > 0 below) — the value is applied by the
-      // caller after rounding, per panelRho's scaladoc
-      val (_, edges) = SparkEntry.panelRho(s, d, 500, jan1, jan3, 600,
-        minRho = Some(0.0))
+      // tickers.index(src)). minRho is deliberately None: this query
+      // needs EVERY weight > 0 edge, which the pruned tier cannot
+      // deliver (LSH recall at rho ≈ 0 is near zero) — past the
+      // ceiling the selector must refuse loudly rather than silently
+      // truncate the edge set
+      val (_, edges) = SparkEntry.panelRho(s, d, 500, jan1, jan3, 600)
       // both edge directions from ONE pass over the cells: each kept
       // pair explodes to its two orientations inline, so the old
       // cache + self-union (which scanned the edge set twice and

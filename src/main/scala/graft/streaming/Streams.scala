@@ -97,9 +97,10 @@ object Streams {
     batches
   }
 
-  /** The flagship as a STREAM: per-`span` pairwise correlation matrices
-    * over the live tick stream, as a chain of three event-time stateful
-    * operators (Spark's multiple-stateful-operator support) —
+  /** The flagship's correlation matrices as a STREAM: per-`span`
+    * pairwise correlations over the live tick stream, as a chain of
+    * three event-time stateful operators (Spark's
+    * multiple-stateful-operator support) —
     *
     *   1. tumbling `bucket` windows × series: the resample cell
     *      (avg of simultaneous ticks — A1's dedup-mean);
@@ -110,6 +111,19 @@ object Streams {
     *      co-moment UDAF ([[graft.functions.CorrMatrixAgg]]) — the SAME
     *      aggregate the batch tiers run, its Chan-mergeable buffer now
     *      carried as streaming state.
+    *
+    * ONE deliberate semantic difference from the batch flagship: no
+    * forward-fill. The batch panel ffills gaps before correlating
+    * (resampleFfill); here a bucket with no tick for a series stays
+    * NaN and the pairwise-complete UDAF simply skips it — correlation
+    * over OBSERVED cells. Streaming ffill would need an ordered
+    * carry-forward state per series (flatMapGroupsWithState — window
+    * functions over event order are not available in streaming), which
+    * is buildable but a different operator; consumers replacing the
+    * batch export must know sparse series correlate over fewer
+    * observations here. The spec grades stream ≡ batch over the SAME
+    * unfilled chain, which is exactly the contract this function
+    * promises.
     *
     * Append mode + watermark: a span's matrix is emitted exactly once,
     * when the watermark passes its end — the continuous form of the
@@ -136,9 +150,8 @@ object Streams {
                    bucket: String = "10 minutes", span: String = "1 hour",
                    watermark: String = "1 hour",
                    maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val k = users.size
     val corr = windowedCorrPlan(
-      eventsStream(spark, srcDir, maxFilesPerTrigger), users, k,
+      eventsStream(spark, srcDir, maxFilesPerTrigger), users,
       bucket, span, Some(watermark))
     val q = corr.writeStream
       .trigger(Trigger.AvailableNow())
@@ -156,8 +169,9 @@ object Streams {
     * proves stream ≡ batch on the same engine-side plan.
     */
   private[graft] def windowedCorrPlan(events: DataFrame, users: Seq[Long],
-      k: Int, bucket: String, span: String,
+      bucket: String, span: String,
       watermark: Option[String]): DataFrame = {
+    val k = users.size
     val src = events.where(col("user_id").isin(users: _*))
     val marked = watermark.fold(src)(w => src.withWatermark("ts", w))
     val cells = marked

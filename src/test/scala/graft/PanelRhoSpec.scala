@@ -15,9 +15,6 @@ class PanelRhoSpec extends SparkTestBase {
   private val jan1 = SparkEntry.jan1
   private val jan2 = SparkEntry.jan2
 
-  private def planOf(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
-
   test("below the ceiling: one-pass tier, complete pair set, vid map") {
     val (users, edges) = SparkEntry.panelRho(spark, sf, 50, jan1, jan2, 600)
     val k = users.size

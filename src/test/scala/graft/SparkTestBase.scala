@@ -10,6 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.build("graft-test")
 
+  /** Pre-execution physical plan string for plan-shape assertions —
+    * with the metadata string limit raised, because the default
+    * 100-char truncation can cut the table name out of the scan
+    * Location paths the asserts grep for. Shared so plan-inspecting
+    * specs cannot drift on that guard.
+    */
+  def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", 4000)
+    df.queryExecution.executedPlan.toString
+  }
+
   /** Temp dir registered for recursive deletion at JVM exit — specs
     * write parquet/CSV fixtures without accreting /tmp garbage across
     * test runs.

@@ -17,13 +17,6 @@ class PlanGuardSpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
-    // scan Location strings truncate at 100 chars by default, which can
-    // cut the table name out of the scratch path these asserts grep for
-    spark.conf.set("spark.sql.maxMetadataStringLength", 4000)
-    df.queryExecution.executedPlan.toString
-  }
-
   private def plan(name: String): String =
     planOf(SparkEntry.queries(name)(spark, sf))
 

@@ -374,7 +374,7 @@ class StreamsSpec extends SparkTestBase {
     val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
     val span = 86400L
     val cut = unix_timestamp(lit(maxTs)) - 3600L - span
-    val batchAll = Streams.windowedCorrPlan(ev, users, users.size,
+    val batchAll = Streams.windowedCorrPlan(ev, users,
         "10 minutes", "1 day", watermark = None)
     val streamed = all.where(col("window_start") + span <= cut)
     val batch = batchAll.where(col("window_start") + span <= cut)
