@@ -978,37 +978,50 @@ object SparkEntry {
     *   - k ≤ `onePassMaxK`: the one-pass co-moment UDAF (every pair,
     *     exact; co-moment state crosses the one shuffle);
     *   - k > `onePassMaxK`: the LSH pair-pruned tier
-    *     ([[graft.ops.CorrPrune]]) — `minRho` is REQUIRED there as the
-    *     caller's declaration that a thresholded result is acceptable
-    *     (an unthresholded full matrix at that width is the pair-join
-    *     tier, a deliberate non-goal of this entry point). The emitted
-    *     pair set is the LSH candidates (recall governed by
-    *     bands/bits), each with its exact UNROUNDED Pearson: the
-    *     threshold itself is applied BY THE CALLER after its own
-    *     rounding, so the caller's oracle can mirror the exact
-    *     round-then-filter order (a3e filters round(rho,4) >= 0.5;
-    *     filtering unrounded here would drop boundary pairs the
-    *     oracle keeps).
+    *     ([[graft.ops.CorrPrune]]) — `roundThenFilter` is REQUIRED
+    *     there as the caller's declaration that a thresholded result
+    *     is acceptable (an unthresholded full matrix at that width is
+    *     the pair-join tier, a deliberate non-goal of this entry
+    *     point). The emitted pair set is the LSH candidates (recall
+    *     governed by bands/bits), each with its exact Pearson.
+    *
+    * `roundThenFilter = Some((scale, t))` applies
+    * `round(rho, scale) >= t` INSIDE the selector, in exactly that
+    * order and in BOTH tiers, and emits the ROUNDED rho — so a
+    * caller's DuckDB oracle can mirror it verbatim, the result is
+    * identical on either side of the ceiling, and the pruned tier's
+    * vid mapping and downstream sort only ever see the
+    * threshold-survivor edges (the unfiltered candidate set never
+    * leaves the tier). The pruned branch also registers a cache on the
+    * filtered pre-vid survivors: its plan re-reads shared subtrees
+    * (the band-bucket self-join), where the one-pass branch is linear
+    * and a cache would only cost (both measured — Q.sortedSmall's
+    * scaladoc). With `roundThenFilter = None` (one-pass tier only)
+    * every pair is emitted with its exact unrounded rho.
     *
     * Output columns either way: `i`, `j` (series USER ids, i < j),
     * `ii`, `jj` (0-based vids — the position in the sorted id set, the
-    * graph consumers' vertex index), `rho` (exact, unrounded; callers
-    * round and threshold so their oracle can mirror it). Both branches
-    * are join-free on the output path (the id/index maps are
-    * `typedLit` expressions over the dimension-sized sorted id seq),
-    * so the g4 plan gate — no Inner join anywhere — holds through the
-    * selector.
+    * graph consumers' vertex index), `rho`. Both branches are
+    * join-free on the output path (the id/index maps are `typedLit`
+    * expressions over the dimension-sized sorted id seq), so the g4
+    * plan gate — no Inner join anywhere — holds through the selector.
     */
   private[graft] def panelRho(s: SparkSession, d: String, nUsers: Int,
       a: Long, b: Long, step: Long,
-      minRho: Option[Double] = None,
+      roundThenFilter: Option[(Int, Double)] = None,
       onePassMaxK: Int = OnePassMaxK): (Seq[Long], DataFrame) = {
     val nBuckets = (b - a) / step
     val (users, panel) = widePanel(s, d, nUsers, a, b, step)
     val k = users.size
+    def rounded(df: DataFrame): DataFrame = roundThenFilter match {
+      case Some((scale, t)) =>
+        df.withColumn("rho", round(col("rho"), scale))
+          .where(col("rho") >= t)
+      case None => df
+    }
     val edges =
       if (k <= onePassMaxK)
-        panel
+        rounded(panel
           .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
           .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
             .as("cells"))
@@ -1016,23 +1029,32 @@ object SparkEntry {
           .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
             element_at(typedLit(users), col("c.j") + 1).as("j"),
             col("c.i").as("ii"), col("c.j").as("jj"),
-            col("c.rho").as("rho"))
+            col("c.rho").as("rho")))
       else {
-        require(minRho.nonEmpty,
+        require(roundThenFilter.nonEmpty,
           s"k=$k exceeds the one-pass ceiling $onePassMaxK and no " +
             "threshold was given: the pruned tier needs one")
         // the filled panel is cached by resampleFfill, so this second
         // derivation reuses the same in-memory relation widePanel built
         val p = resampled(s, d, nUsers, a, b, step)
           .withColumn("pos", ((col("bucket") - a) / step + 1).cast("int"))
+        // round-then-filter BELOW the vid map, then a registered cache
+        // on the handful of survivors: the candidate plan's band-bucket
+        // self-join re-reads shared subtrees, which the cache pays for
+        // once (2.2 s vs 5.4 s measured on a3d's identical core at
+        // sf0.1 — Q.sortedSmall's scaladoc), and a caller's total-order
+        // sort then reads the cached edges instead of re-running the
+        // pruned plan
+        val survivors = graft.ops.Time.registerCached(
+          rounded(graft.ops.CorrPrune
+            .candidateRho(p, "user_id", "pos", "value",
+              dims = nBuckets.toInt, bands = 8, bits = 5)).cache())
         // vid mapping stays join-free: array_position over the sorted
         // id seq is O(k) per row, paid only on the threshold-pruned
         // edge set this tier exists to keep small
         def vid(c: Column) =
           (array_position(typedLit(users), c) - 1).cast("int")
-        graft.ops.CorrPrune
-          .candidateRho(p, "user_id", "pos", "value",
-            dims = nBuckets.toInt, bands = 8, bits = 5)
+        survivors
           .select(col("i"), col("j"), vid(col("i")).as("ii"),
             vid(col("j")).as("jj"), col("rho"))
       }
@@ -1166,13 +1188,16 @@ object SparkEntry {
   // ceiling forced below k — so the driver's correctness gate grades
   // panelRho's wide branch end to end, not just its spec. The oracle
   // is a3d's verbatim (the selector hands identical geometry to
-  // CorrPrune: 300 series, 144 grid positions, 8 bands × 5 bits).
+  // CorrPrune: 300 series, 144 grid positions, 8 bands × 5 bits, and
+  // the round(rho,4) >= 0.5 keep now rides INSIDE the selector in the
+  // oracle's exact round-then-filter order). sortedOnce on top: the
+  // selector's pruned branch already caches its survivors, so the sort
+  // reads a handful of cached edges.
   private val qA3e = Q("a3e_corr_auto_pruned",
     (s, d) => {
       val (_, edges) = panelRho(s, d, 300, jan1, jan2, 600,
-        minRho = Some(0.5), onePassMaxK = 1)
-      edges.select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
-        .where(col("rho") >= 0.5)
+        roundThenFilter = Some((4, 0.5)), onePassMaxK = 1)
+      edges.select("i", "j", "rho")
         .transform(Q.sortedOnce(_, "i", "j"))
     },
     a3dOracleSql)

@@ -697,7 +697,7 @@ object PipelineQueries {
       val jan3 = SparkEntry.jan3
       // the automatic tier selector: k ≤ 500 resolves to the one-pass
       // co-moment UDAF whose 0-based index IS the vid (the reference's
-      // tickers.index(src)). minRho is deliberately None: this query
+      // tickers.index(src)). roundThenFilter is deliberately None: this query
       // needs EVERY weight > 0 edge, which the pruned tier cannot
       // deliver (LSH recall at rho ≈ 0 is near zero) — past the
       // ceiling the selector must refuse loudly rather than silently

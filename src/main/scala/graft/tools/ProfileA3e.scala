@@ -29,7 +29,7 @@ object ProfileA3e {
     }
     time("panelRho pruned edges only") {
       val (_, e) = SparkEntry.panelRho(spark, sfDir, 300, jan1, jan2, 600,
-        minRho = Some(0.5), onePassMaxK = 1)
+        roundThenFilter = Some((4, 0.5)), onePassMaxK = 1)
       e.write.format("noop").mode("overwrite").save()
     }
     time("a3e full") {

@@ -41,25 +41,28 @@ class PanelRhoSpec extends SparkTestBase {
     val (users, exact) =
       SparkEntry.panelRho(spark, sf01, 100, jan1, jan2, 600)
     val (usersP, pruned) = SparkEntry.panelRho(spark, sf01, 100, jan1,
-      jan2, 600, minRho = Some(0.5), onePassMaxK = 1)
+      jan2, 600, roundThenFilter = Some((4, 0.5)), onePassMaxK = 1)
     assert(users == usersP)
     val pl = planOf(pruned)
     // the pruned plan is the LSH bucket machinery, not the UDAF
     assert(!pl.toLowerCase.contains("corrmatrixagg"), pl)
     assert(pl.contains("Join"), pl)
+    // the selector applied round(rho,4) >= 0.5 inside the pruned tier,
+    // so mirror the same round on the exact side before comparing
     val ex = exact.select(col("i"), col("j"),
-      col("ii").as("eii"), col("jj").as("ejj"), col("rho").as("erho"))
+      col("ii").as("eii"), col("jj").as("ejj"),
+      round(col("rho"), 4).as("erho"))
     val joined = pruned.join(ex, Seq("i", "j"), "left").collect()
     assert(joined.nonEmpty, "pruned tier emitted no candidates")
     joined.foreach { r =>
-      // every candidate exists in the exact matrix with the same rho
-      // (candidates are verified with the same exact Pearson) and the
-      // same vid mapping
-      assert(!r.isNullAt(r.fieldIndex("erho")) || r.isNullAt(r.fieldIndex("rho")),
+      // every emitted edge exists in the exact matrix with the same
+      // (rounded) rho — candidates are verified with the same exact
+      // Pearson — the same vid mapping, and survived the threshold
+      assert(!r.isNullAt(r.fieldIndex("erho")),
         s"candidate pair not in exact matrix: $r")
-      if (!r.isNullAt(r.fieldIndex("rho")) && !r.isNullAt(r.fieldIndex("erho")))
-        assert(math.abs(r.getAs[Double]("rho") - r.getAs[Double]("erho")) < 1e-9,
-          r.toString)
+      assert(math.abs(r.getAs[Double]("rho") - r.getAs[Double]("erho")) < 1e-9,
+        r.toString)
+      assert(r.getAs[Double]("rho") >= 0.5, s"threshold leak: $r")
       assert(r.getAs[Int]("ii") == r.getAs[Int]("eii"), r.toString)
       assert(r.getAs[Int]("jj") == r.getAs[Int]("ejj"), r.toString)
     }
@@ -67,7 +70,7 @@ class PanelRhoSpec extends SparkTestBase {
     // hyperplane buckets are md5-deterministic, so this is a fixed
     // property of the fixture, not a flaky sample — and it must not be
     // vacuously true
-    val hi = exact.where(col("rho") >= 0.9).count()
+    val hi = exact.where(round(col("rho"), 4) >= 0.9).count()
     assert(hi > 0, "fixture has no high-rho pair — recall check vacuous")
     val hiFound = pruned.where(col("rho") >= 0.9).count()
     // measured 42/47 = 0.894 on this fixture at 8 bands x 5 bits (the
@@ -76,6 +79,22 @@ class PanelRhoSpec extends SparkTestBase {
     // regression fails loudly without flaking on the boundary pairs
     assert(hiFound.toDouble / hi >= 0.85,
       s"high-rho recall $hiFound/$hi below 0.85")
+  }
+
+  test("roundThenFilter is tier-independent: the one-pass branch " +
+    "applies the same round-then-filter order") {
+    val (_, exact) = SparkEntry.panelRho(spark, sf, 50, jan1, jan2, 600)
+    val (_, filtered) = SparkEntry.panelRho(spark, sf, 50, jan1, jan2,
+      600, roundThenFilter = Some((4, 0.5)))
+    // still the one-pass plan (k well under the default ceiling)
+    assert(planOf(filtered).toLowerCase.contains("corrmatrixagg"))
+    val want = exact
+      .withColumn("rho", round(col("rho"), 4))
+      .where(col("rho") >= 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    val got = filtered.collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty, "filter left nothing — vacuous")
+    assert(got == want)
   }
 
   test("above the ceiling without a threshold refuses loudly") {
