@@ -119,10 +119,17 @@ class CatalogSpec extends SparkTestBase {
     try {
       assert(Catalog.eventsTsUnit(spark, fx) ==
         Catalog.TsUnit.NativeAdjusted)
-      val expected = src.agg(sum(unix_micros(col("ts")))).head().getLong(0)
-      val got = Catalog.load(spark, fx, "events")
-        .agg(sum(unix_micros(col("ts")))).head().getLong(0)
-      assert(got == expected, s"adjusted decode drift: $got != $expected")
+      // row-level equality against the NTZ-fixture rows, not just an
+      // aggregate: every (event_id, micros) pair must survive the
+      // adjusted round-trip exactly
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("event_id"), unix_micros(col("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expected = rows(src)
+      val got = rows(Catalog.load(spark, fx, "events"))
+      assert(got == expected,
+        s"adjusted decode drift: ${got.size} rows, first diff " +
+          got.zip(expected).find(p => p._1 != p._2))
       assert(Catalog.load(spark, fx, "events").schema("ts").dataType ==
         org.apache.spark.sql.types.TimestampType)
     } finally { src.unpersist(); () }
