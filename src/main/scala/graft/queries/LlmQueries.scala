@@ -317,66 +317,97 @@ object LlmQueries {
 
   // d4: exact bigram-shingle Jaccard similarity join over the
   // discriminative-shingle universe (df ≤ MaxDf), blocked by language.
+  //
+  // Round-12 reshape: the old form exploded postings FIRST and did
+  // everything relationally — df aggregate, anti-join, posting
+  // self-join, per-pair count, two size joins — eight exchanges whose
+  // fixed stage cost dominated at this per-language corpus shape
+  // (measured 4.2 s at sf0.1 for 150k postings). The set algebra now
+  // stays in the ARRAY domain per document until the one join that
+  // genuinely needs rows: distinct bigram-hash sets are built per doc
+  // (no shuffle), the hot-shingle cut is an array_except against a
+  // broadcast per-lang hot list (no shuffle), sizes ride the same row
+  // (no size joins), and only the PREFIX postings are exploded for the
+  // candidate self-join. Exchanges: df aggregate, candidate
+  // join+distinct, final single-partition sort — and the candidate
+  // count is pair-bounded exactly as before (every posting list is
+  // ≤ MaxDf). Same relational skeleton at 100 TB: per-doc arrays are
+  // bigram SETS (bounded by doc length, not corpus), the hot list is
+  // vocabulary-tail-sized, and the verify join is candidate-sized.
   private val qD4 = Q("d4_ngram_jaccard",
     (s, d) => {
       val docs = T(s, d, "documents")
-      // Inverted-index form: explode distinct bigrams once per doc, then
-      // pairs materialize only through shared (lang, shingle) postings and
-      // intersection sizes come from a hash-count — never an all-pairs
-      // block join carrying shingle arrays. Postings carry the bigram's
-      // xxhash64, not the string: the self-join shuffles 8-byte longs
-      // instead of ~13-char UTF8 keys. xxhash64, not md5/hash60: the hash
-      // only COLLATES here (the oracle counts over raw shingle strings,
-      // so hash values never cross engines — unlike d2, where the md5
-      // value feeds the minhash signature itself), and the codegen'd
-      // 64-bit hash skips md5's per-row digest + hex parse (same counts —
-      // a cross-bigram collision inside one pair is ~2^-64 and the
-      // oracle would flag it).
-      // cached: the df aggregate AND the filtered join below both
-      // consume the exploded+hashed postings — uncached, the shingle
-      // explode + hash pass runs twice (measured as the dominant phase)
-      val ex = docs.select(col("lang"), col("doc_id"),
-          explode(Text.shingles(col("text"), 2)).as("sh"))
-        .select(col("lang"), col("doc_id"), xxhash64(col("sh")).as("h"))
+      // Distinct bigram hashes per doc: xxhash64 over the word PAIR
+      // (no "w1 w2" concat string allocation), distinct in hash space.
+      // The hash only COLLATES here (the oracle counts over raw shingle
+      // strings, so hash values never cross engines — unlike d2, where
+      // the md5 value feeds the minhash signature itself); a
+      // cross-bigram collision inside one pair is ~2^-64 and the oracle
+      // would flag it.
+      // lang is folded INTO the hash: the posting self-join then keys
+      // on one 8-byte long instead of (string, long), and the language
+      // blocking holds because two different langs agreeing on
+      // xxhash64(lang, w1, w2) is the same ~2^-64 collision already
+      // accepted for the bigrams themselves.
+      val w = Text.words(col("text"))
+      val hs = array_distinct(
+        when(size(w) >= 2,
+          zip_with(slice(w, lit(1), size(w) - 1),
+            slice(w, lit(2), size(w) - 1),
+            (a, b) => xxhash64(col("lang"), a, b)))
+          .otherwise(array().cast("array<bigint>")))
+      val docsets = docs.select(col("lang"), col("doc_id"), hs.as("hs"))
         .cache()
-      // df cut: one aggregate over the postings finds the HOT shingles
-      // (df > MaxDf) — a tiny set on any real vocabulary (ultra-common
-      // shingles are by definition few) — and a broadcast ANTI-join
-      // removes them map-side. Joining the KEEP set instead would
-      // shuffle the full posting relation a second time just to filter
-      // it. exf feeds three consumers (sizes + both join sides), so it
-      // is cached.
-      val hot = ex.groupBy("lang", "h").agg(count(lit(1)).as("df"))
-        .where(col("df") > MaxDf).select("lang", "h")
-      val exf = ex.join(broadcast(hot), Seq("lang", "h"), "left_anti")
+      // df cut: one aggregate over the exploded sets finds the HOT
+      // shingles (df > MaxDf) — a tiny set on any real vocabulary
+      // (ultra-common shingles are by definition few) — collected into
+      // one per-lang array and removed by array_except under a
+      // broadcast join: the posting relation is never shuffled just to
+      // be filtered, and the post-cut set SIZE falls out of the same
+      // row instead of a per-doc aggregate + two joins later.
+      val hot = docsets
+        .select(col("lang"), explode(col("hs")).as("h"))
+        .groupBy("lang", "h").agg(count(lit(1)).as("df"))
+        .where(col("df") > MaxDf)
+        .groupBy("lang").agg(collect_list("h").as("hot"))
+      val setsF = docsets.join(broadcast(hot), Seq("lang"), "left")
+        .withColumn("hsf", array_except(col("hs"),
+          coalesce(col("hot"), array().cast("array<bigint>"))))
+        .withColumn("szf", size(col("hsf")))
+        .where(col("szf") > 0)
+        .select("lang", "doc_id", "hsf", "szf")
         .cache()
-      val sizes = exf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // Shape A/B (round 11): a posting-LIST pair expansion — groupBy
-      // (lang, h) → collect_list → nested-transform/flatten/explode of
-      // the ≤MaxDf-bounded ordered pairs — pays ONE shuffle where this
-      // join pays two, but measured 5.7 s vs 4.1 s at sf0.1: the
-      // per-group array allocation/flatten churn costs more than the
-      // saved exchange at these list sizes. The join form stays; at a
-      // skewed-vocabulary extreme (many lists near MaxDf) the list
-      // form's bounded expansion becomes the safer shape — revisit if
-      // MaxDf grows.
-      val inter = exf.select(col("lang"), col("doc_id").as("i"), col("h"))
-        .join(exf.select(col("lang"), col("doc_id").as("j"), col("h")),
-          Seq("lang", "h"))
+      // Intersection counts straight off the posting self-join, with
+      // each side's set SIZE riding its posting rows — sizes become
+      // grouping keys (they are functions of i/j), so jac falls out of
+      // the aggregate with NO size joins, and lang is reattached only
+      // on the threshold survivors (a ~1k-row join AQE broadcasts).
+      //
+      // The PPJoin positional prefix filter was implemented and A/B'd
+      // here (round 12): candidates only where the first
+      // szf − ⌈t·szf⌉ + 1 tokens under a global order intersect —
+      // lossless, but at t = 0.10 the prefix is 90% of every set, and
+      // it cut candidate pairs just 3.7% (889k → 856k with the
+      // rarest-first df order; this corpus's post-MaxDf df distribution
+      // is too flat for the suffix cut to bite) while adding the
+      // candidate-distinct shuffle and an array-verify pass over 856k
+      // pairs — measured 4.9 s vs 2.0 s for this count-join core at
+      // sf0.1. Prefix filtering pays at the t ≥ 0.5 thresholds d5's
+      // near-dup tiers serve, not at a 0.10 similarity sweep.
+      val post = setsF.select(col("doc_id"), col("szf"),
+        explode(col("hsf")).as("h"))
+      val inter = post
+        .select(col("doc_id").as("i"), col("szf").as("sa"), col("h"))
+        .join(post.select(col("doc_id").as("j"), col("szf").as("sb"),
+          col("h")), Seq("h"))
         .where(col("i") < col("j"))
-        .groupBy("lang", "i", "j").agg(count(lit(1)).as("inter"))
-      // per-document sizes carry no broadcast hint (corpus-sized, like
-      // d2's prefilter side — statistics pick the join strategy); only
-      // the genuinely bounded hot-shingle set above is hinted
+        .groupBy("i", "j", "sa", "sb").agg(count(lit(1)).as("inter"))
       inter
-        .join(sizes.select(col("doc_id").as("i"),
-          col("sz").as("sa")), Seq("i"))
-        .join(sizes.select(col("doc_id").as("j"),
-          col("sz").as("sb")), Seq("j"))
         .withColumn("jac", round(col("inter") /
           (col("sa") + col("sb") - col("inter")), 6))
         .where(col("jac") >= 0.10)
-        .transform(df => Q.sortedSmall(df.select("lang", "i", "j", "jac"), "i", "j"))
+        .join(setsF.select(col("doc_id").as("i"), col("lang")), Seq("i"))
+        .transform(df => Q.sortedOnce(df.select("lang", "i", "j", "jac"), "i", "j"))
     },
     Some(s"""WITH sh AS (
         SELECT doc_id, lang,

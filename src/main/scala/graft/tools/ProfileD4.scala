@@ -1,5 +1,6 @@
-// Dev scratch: phase timing of d4_ngram_jaccard (shingle explode+hash,
-// df cut, posting self-join, size joins).
+// Dev scratch: phase timing of d4_ngram_jaccard (array-domain shape:
+// per-doc bigram-hash sets, broadcast hot cut, prefix candidate join,
+// array_intersect verify).
 // Run: sbt "runMain graft.tools.ProfileD4 /root/testdata/sf0.1"
 package graft.tools
 
@@ -17,26 +18,50 @@ object ProfileD4 {
       r
     }
     val docs = Catalog.load(spark, d, "documents")
-    val ex = docs.select(col("lang"), col("doc_id"),
-        explode(Text.shingles(col("text"), 2)).as("sh"))
-      .select(col("lang"), col("doc_id"), Text.hash60(col("sh")).as("h"))
-    val keep = ex.groupBy("lang", "h").agg(count(lit(1)).as("df"))
-      .where(col("df") <= 64).select("lang", "h")
-    val exf = ex.join(keep, Seq("lang", "h")).cache()
-    time("explode+df+join")(println("[d4] nexf=" + exf.count()))
-    val sizes = exf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = exf.select(col("lang"), col("doc_id").as("i"), col("h"))
-      .join(exf.select(col("lang"), col("doc_id").as("j"), col("h")),
+    val w = Text.words(col("text"))
+    val hs = array_distinct(
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => xxhash64(a, b)))
+        .otherwise(array().cast("array<bigint>")))
+    val docsets = docs.select(col("lang"), col("doc_id"), hs.as("hs"))
+      .cache()
+    time("docsets build")(println("[d4] ndocs=" + docsets.count()))
+    val hot = docsets
+      .select(col("lang"), explode(col("hs")).as("h"))
+      .groupBy("lang", "h").agg(count(lit(1)).as("df"))
+      .where(col("df") > 64)
+      .groupBy("lang").agg(collect_list("h").as("hot"))
+    val setsF = docsets.join(broadcast(hot), Seq("lang"), "left")
+      .withColumn("hsf", array_sort(array_except(col("hs"),
+        coalesce(col("hot"), array().cast("array<bigint>")))))
+      .withColumn("szf", size(col("hsf")))
+      .where(col("szf") > 0)
+      .select("lang", "doc_id", "hsf", "szf")
+      .cache()
+    time("hot cut + setsF")(println("[d4] nsets=" + setsF.count()))
+    val pref = setsF.select(col("lang"), col("doc_id"),
+      explode(slice(col("hsf"), lit(1),
+        (col("szf") - ceil(col("szf") * 0.10) + 1).cast("int")))
+        .as("h"))
+    time("pref explode")(println("[d4] npref=" + pref.count()))
+    val cand = pref.select(col("lang"), col("doc_id").as("i"), col("h"))
+      .join(pref.select(col("lang"), col("doc_id").as("j"), col("h")),
         Seq("lang", "h"))
       .where(col("i") < col("j"))
-      .groupBy("lang", "i", "j").agg(count(lit(1)).as("inter"))
-    time("self-join+count")(println("[d4] ninter=" + inter.cache().count()))
-    val out = inter
-      .join(broadcast(sizes.select(col("doc_id").as("i"), col("sz").as("sa"))), Seq("i"))
-      .join(broadcast(sizes.select(col("doc_id").as("j"), col("sz").as("sb"))), Seq("j"))
-      .withColumn("jac", round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
+      .select("lang", "i", "j").distinct().cache()
+    time("cand join+distinct")(println("[d4] ncand=" + cand.count()))
+    val out = cand
+      .join(setsF.select(col("doc_id").as("i"),
+        col("hsf").as("ha"), col("szf").as("sa")), Seq("i"))
+      .join(setsF.select(col("doc_id").as("j"),
+        col("hsf").as("hb"), col("szf").as("sb")), Seq("j"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jac", round(col("inter") /
+        (col("sa") + col("sb") - col("inter")), 6))
       .where(col("jac") >= 0.10)
-    time("sizes+filter")(println("[d4] nout=" + out.count()))
+    time("verify+filter")(println("[d4] nout=" + out.count()))
     spark.stop()
   }
 }

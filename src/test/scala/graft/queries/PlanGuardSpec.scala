@@ -43,11 +43,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("Generate explode"), p)
   }
 
-  test("d4's hot-shingle cut and size prefilter are broadcast joins") {
+  test("d4's hot-shingle cut is a broadcast of the per-lang hot list") {
     val p = plan("d4_ngram_jaccard")
+    // the max-df cut joins the tiny per-lang hot arrays as the BUILD
+    // side of a broadcast outer join (array_except does the removal) —
+    // the corpus-sized doc-set relation must never shuffle to be
+    // filtered
     assert(p.contains("BroadcastHashJoin"), p)
-    // the max-df cut is a broadcast ANTI join against the tiny hot set
-    assert(p.contains("LeftAnti, BuildRight"), p)
+    assert(p.contains("LeftOuter, BuildRight"), p)
+    // sizes are grouping keys riding the posting rows: no corpus-sized
+    // size-lookup join may reappear downstream of the aggregate
+    assert(p.toLowerCase.contains("hashaggregate"), p)
   }
 
   test("e9/e11 ADC plans scan persisted codes — never retrain/re-encode") {
