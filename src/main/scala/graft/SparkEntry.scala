@@ -913,7 +913,7 @@ object SparkEntry {
   /** Shared oracle tail for the corr-matrix tiers (pair-join form —
     * DuckDB's `corr` is itself pairwise-complete, so it oracles both).
     */
-  private def corrSqlTail: String =
+  private[graft] def corrSqlTail: String =
     """ SELECT a.user_id AS i, b.user_id AS j,
           round(corr(a.price, b.price), 6) AS rho
         FROM filled a JOIN filled b
@@ -932,24 +932,43 @@ object SparkEntry {
     */
   private[graft] def widePanel(s: SparkSession, d: String, nUsers: Int,
       a: Long, b: Long, step: Long): (Seq[Long], DataFrame) = {
-    import s.implicits._
     val filled = resampled(s, d, nUsers, a, b, step)
-    val users: Seq[Long] = filled
-      .select("user_id").distinct()
+    val users = sortedUsers(filled)
+    (users, panelOf(filled, users))
+  }
+
+  /** Sorted distinct series ids of a long-form filled panel — dimension
+    * metadata (k ids), collected from the panel relation itself (its
+    * first action materializes whatever cache the consumers share
+    * anyway; a second raw tick scan just to list ids would dominate at
+    * the 100 TB posture and maintain the filter predicate twice).
+    */
+  private[graft] def sortedUsers(filled: DataFrame): Seq[Long] = {
+    val s = filled.sparkSession
+    import s.implicits._
+    filled.select("user_id").distinct()
       .orderBy("user_id").as[Long].collect().toSeq
-    // the bucket rides along so consumers can derive window keys for
-    // per-window aggregation (e1b); the global-matrix consumers simply
-    // aggregate over it.
-    //
-    // Dense fast path: the resample grid emits EVERY (user, bucket)
-    // row (missing values as null), so each bucket's user_id-sorted
-    // entry list is already in `users` order — O(k log k) per bucket.
-    // The map-probe fallback (one element_at per id) runs a LINEAR scan
-    // of Spark's array-backed MapData per lookup — O(k²) per bucket row
-    // (at k=500 the two forms measure the same, ~1.6 s/stage; the dense
-    // path is kept for its asymptotics at the k≈1-2k tier ceiling) —
-    // retained only as the correctness guard should a producer ever
-    // hand a sparse per-bucket key set.
+  }
+
+  /** The per-bucket k-wide vector assembly of [[widePanel]], factored
+    * out so any long-form panel RELATION — resampleFfill's cached
+    * output, or the bucketed lake table s15 materializes — feeds the
+    * same chain. When the source table is bucketed by `bucket`, the
+    * groupBy here plans with NO exchange: the on-disk layout is the
+    * hash partitioning.
+    *
+    * Dense fast path: the resample grid emits EVERY (user, bucket)
+    * row (missing values as null), so each bucket's user_id-sorted
+    * entry list is already in `users` order — O(k log k) per bucket.
+    * The map-probe fallback (one element_at per id) runs a LINEAR scan
+    * of Spark's array-backed MapData per lookup — O(k²) per bucket row
+    * (at k=500 the two forms measure the same, ~1.6 s/stage; the dense
+    * path is kept for its asymptotics at the k≈1-2k tier ceiling) —
+    * retained only as the correctness guard should a producer ever
+    * hand a sparse per-bucket key set.
+    */
+  private[graft] def panelOf(filled: DataFrame,
+      users: Seq[Long]): DataFrame = {
     val entries = array_sort(collect_list(struct(col("user_id"),
       coalesce(col("value"), lit(Double.NaN)).as("v"))))
     val dense = transform(col("es"), e => e.getField("v"))
@@ -957,12 +976,33 @@ object SparkEntry {
       e => struct(e.getField("user_id"), e.getField("v"))))
     val sparse = array(users.map(u =>
       coalesce(element_at(probe, lit(u)), lit(Double.NaN))): _*)
-    val panel = filled.groupBy("bucket").agg(entries.as("es"))
+    // the bucket rides along so consumers can derive window keys for
+    // per-window aggregation (e1b); the global-matrix consumers simply
+    // aggregate over it.
+    filled.groupBy("bucket").agg(entries.as("es"))
       .select(col("bucket"),
         when(size(col("es")) === users.size, dense).otherwise(sparse)
           .as("vals"))
-    (users, panel)
   }
+
+  /** The one-pass co-moment tier off an assembled wide panel: every
+    * pair's exact rho from ONE aggregate ([[graft.functions
+    * .CorrMatrixAgg]]), ids and 0-based vids mapped join-free via
+    * `typedLit` over the sorted id seq. `maxParts` bounds the partial
+    * buffers the final merge sees (merge cost scales with partitions,
+    * not rows).
+    */
+  private[graft] def onePassEdges(panel: DataFrame, users: Seq[Long],
+      maxParts: Int): DataFrame =
+    panel
+      .coalesce(maxParts)
+      .agg(graft.functions.CorrMatrix.corrMatrix(users.size)(col("vals"))
+        .as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
+        element_at(typedLit(users), col("c.j") + 1).as("j"),
+        col("c.i").as("ii"), col("c.j").as("jj"),
+        col("c.rho").as("rho"))
 
   /** Width ceiling for the one-pass co-moment tier: the UDAF's partial
     * buffer is k(k-1)/2 × 10 doubles (~10 MB at k=500, ~90 MB at
@@ -1021,15 +1061,8 @@ object SparkEntry {
     }
     val edges =
       if (k <= onePassMaxK)
-        rounded(panel
-          .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
-          .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
-            .as("cells"))
-          .select(explode(col("cells")).as("c"))
-          .select(element_at(typedLit(users), col("c.i") + 1).as("i"),
-            element_at(typedLit(users), col("c.j") + 1).as("j"),
-            col("c.i").as("ii"), col("c.j").as("jj"),
-            col("c.rho").as("rho")))
+        rounded(onePassEdges(panel, users,
+          graft.ops.Relational.boundedPartitions(nBuckets, 256)))
       else {
         require(roundThenFilter.nonEmpty,
           s"k=$k exceeds the one-pass ceiling $onePassMaxK and no " +

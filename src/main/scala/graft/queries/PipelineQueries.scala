@@ -296,6 +296,41 @@ object PipelineQueries {
       WHERE e.value > u.u_avg
       GROUP BY 1 ORDER BY 1"""))
 
+  // S15: the bucketed lake tier on the FLAGSHIP path — s14's layout
+  // story applied to the panel the wide-corr chain actually consumes.
+  // The resampled+ffilled panel (a3c's exact geometry: 500 users,
+  // jan1–jan3, 600 s grid) is written ONCE to the lake bucketed by
+  // `bucket` (bucketBy+sortBy through the session catalog), and the
+  // whole wide-corr chain re-reads it from there: the per-bucket
+  // vector assembly — groupBy(bucket), the chain's one data-sized
+  // pre-aggregation exchange — plans with NO shuffle at all, because
+  // the on-disk layout IS hashpartitioning(bucket). What remains in
+  // the plan is matrix-sized movement only: the co-moment UDAF's
+  // final gather and the single-partition output sort. At 100 TB this
+  // is the difference between re-shuffling the full panel for every
+  // matrix rebuild and shuffling it exactly once at ingest
+  // (PlanGuardSpec pins the zero-hash-exchange plan; the oracle is
+  // a3c's verbatim, so the lake round-trip is hash-graded against the
+  // in-memory chain's answer).
+  private val qS15 = Q("s15_bucketed_panel",
+    (s, d) => {
+      val jan1 = SparkEntry.jan1
+      val jan3 = SparkEntry.jan3
+      val filled = graft.sources.Materialize.bucketedTable(s, d,
+        "panel_by_bucket", 16, Seq("bucket")) {
+        SparkEntry.resampled(s, d, 500, jan1, jan3, 600)
+      }
+      val users = SparkEntry.sortedUsers(filled)
+      SparkEntry.onePassEdges(SparkEntry.panelOf(filled, users), users,
+          graft.ops.Relational.boundedPartitions((jan3 - jan1) / 600, 256))
+        .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
+        .transform(Q.sortedOnce(_, "i", "j"))
+    },
+    Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
+      600) + SparkEntry.corrSqlTail
+      .replace("round(corr(a.price, b.price), 6)",
+        "round(corr(a.price, b.price), 4)")))
+
   // S13/ORC: columnar-format roundtrip beyond parquet — ORC is the
   // other lake format Spark reads natively (same vectorized scan,
   // pushdown, pruning), and mixed parquet+ORC lakes are common. A slice
@@ -780,6 +815,6 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(qE1F, qE1b, qW3b, qS7, qS6w, qS6b, qS9, qS11, qS12, qS13, qS14,
-      qG1,
+      qS15, qG1,
       qG2, qG3, qG4, qW4b)
 }

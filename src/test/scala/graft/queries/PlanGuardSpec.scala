@@ -56,6 +56,21 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("hashaggregate"), p)
   }
 
+  test("s15's wide-corr chain plans zero hash exchanges off the " +
+    "bucketed panel") {
+    val p = plan("s15_bucketed_panel")
+    // the whole chain reads the bucketed lake table...
+    assert(p.contains("panel_by_bucket") || p.contains("Bucketed: true"),
+      p)
+    assert(p.toLowerCase.contains("corrmatrixagg"), p)
+    // ...and the per-bucket vector assembly rides the on-disk layout:
+    // no data-sized shuffle anywhere — the only exchanges are the
+    // matrix-sized single-partition gathers (UDAF final merge, output
+    // sort)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("e9/e11 ADC plans scan persisted codes — never retrain/re-encode") {
     val p9 = plan("e9_pq_recall")
     assert(p9.contains("pq_codes"), p9)
