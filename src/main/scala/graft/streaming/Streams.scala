@@ -136,14 +136,17 @@ object Streams {
     *
     * Output rows: (window_start epoch sec, i, j: series ids, rho).
     *
-    * Scale note: the panel-row assembly probes the per-bucket map once
-    * per series (`element_at`, a linear scan of Spark's array-backed
-    * MapData — O(k²) per bucket row). Fine for the broadcast-sized
-    * universes a continuous deployment keys on; at the batch tier's
-    * k≈1-2k ceiling, port widePanel's dense sorted-entries fast path
-    * into the aggregate. Restart semantics: the checkpoint + the
-    * idempotent per-batch sink make a restarted drain emit each newly
-    * finalized span exactly once (spec-pinned).
+    * Scale note: the panel-row assembly uses widePanel's dense
+    * sorted-entries fast path — when a bucket observed every series,
+    * its user_id-sorted entry list is already in `users` order and the
+    * row is O(k log k); only buckets with MISSING series (the normal
+    * streaming case, since nothing ffills here) fall back to the
+    * per-series map probe (`element_at`, a linear scan of Spark's
+    * array-backed MapData — O(k²) per bucket row, fine for the
+    * broadcast-sized universes a continuous deployment keys on).
+    * Restart semantics: the checkpoint + the idempotent per-batch sink
+    * make a restarted drain emit each newly finalized span exactly
+    * once (spec-pinned).
     */
   def windowedCorr(spark: SparkSession, srcDir: String, outDir: String,
                    checkpointDir: String, users: Seq[Long],
@@ -172,18 +175,35 @@ object Streams {
       bucket: String, span: String,
       watermark: Option[String]): DataFrame = {
     val k = users.size
+    // the dense fast path below aligns a complete bucket's
+    // user_id-sorted entries positionally with `users` — only valid
+    // when the declared universe is itself ascending, the same
+    // convention the batch widePanel's sorted id set guarantees
+    require(users == users.sorted,
+      "windowedCorr's series universe must be ascending-sorted")
     val src = events.where(col("user_id").isin(users: _*))
     val marked = watermark.fold(src)(w => src.withWatermark("ts", w))
     val cells = marked
       .groupBy(window(col("ts"), bucket), col("user_id"))
       .agg(avg("value").as("v"))
+    // widePanel's dense sorted-entries path (SparkEntry.panelOf): a
+    // bucket that observed EVERY series has its sorted entry list in
+    // `users` order already — O(k log k); a bucket with gaps (normal
+    // here: no streaming ffill) keeps the O(k²) map probe as the
+    // correctness guard for sparse key sets.
+    val entries = array_sort(collect_list(struct(col("user_id"),
+      col("v"))))
+    val dense = transform(col("es"), e => e.getField("v"))
+    val probe = map_from_entries(transform(col("es"),
+      e => struct(e.getField("user_id"), e.getField("v"))))
+    val sparse = array(users.map(u =>
+      coalesce(element_at(probe, lit(u)), lit(Double.NaN))): _*)
     val panel = cells
       .groupBy(window(window_time(col("window")), bucket).as("bw"))
-      .agg(map_from_entries(collect_list(struct(col("user_id"),
-        col("v")))).as("m"))
-      .select(col("bw"), array(users.map(u =>
-        coalesce(element_at(col("m"), lit(u)), lit(Double.NaN))): _*)
-        .as("vals"))
+      .agg(entries.as("es"))
+      .select(col("bw"),
+        when(size(col("es")) === k, dense).otherwise(sparse)
+          .as("vals"))
     panel
       .groupBy(window(window_time(col("bw")), span).as("hw"))
       .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
