@@ -1,0 +1,220 @@
+// Dev tool: the one query/phase profiler (consolidates the former
+// per-query Profile*/TimeQuery one-offs).
+//
+// Timing mode — Bench's methodology (noop sink, warm pass, cache
+// cleared per run, min/median of 3) for any named SparkEntry query:
+//   sbt "runMain graft.tools.Profile <sfDir> <query> [query...]"
+//
+// Phase mode — a named per-query phase decomposition, each phase timed
+// 3x with caches cleared, so a bench line can be attributed to its
+// dominant stage:
+//   sbt "runMain graft.tools.Profile <sfDir> --phases <set>"
+// Sets: panel | a3d | a3e | d4 | s6b | cc
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Catalog, Sessions, SparkEntry}
+
+object Profile {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def clear(spark: SparkSession): Unit = {
+    graft.ops.Time.unpersistPanels()
+    spark.catalog.clearCache()
+  }
+
+  /** Time one thunk 3× with caches cleared — phase-mode granularity. */
+  private def phase(spark: SparkSession, label: String)(f: => Any): Unit =
+    (1 to 3).foreach { i =>
+      clear(spark)
+      val t0 = System.nanoTime()
+      f match { case df: DataFrame => noop(df); case _ => () }
+      println(f"[p] $label%-28s run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+  private def timeQueries(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Unit = {
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown: ${unknown.mkString(", ")}")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try noop(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        println(s"[q] $name warm FAILED: ${e.getMessage}")
+      }
+      val times = (1 to 3).map { _ =>
+        clear(spark)
+        val t0 = System.nanoTime()
+        noop(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[q] $name%-28s median ${times(1)}%.2f s  min ${times.head}%.2f s")
+    }
+  }
+
+  // ------------------------------------------------------- phase sets
+
+  /** resampleFfill's pipeline (shared input of the a3/w1 families). */
+  private def phasesPanel(s: SparkSession, d: String): Unit = {
+    val jan1 = SparkEntry.jan1
+    val jan2 = SparkEntry.jan2
+    val ev = Catalog.load(s, d, "events").where(col("user_id") < 300)
+    phase(s, "scan+filter")(ev.select("user_id", "ts", "value"))
+    phase(s, "bucket-agg") {
+      ev.groupBy((unix_timestamp(col("ts")) -
+          unix_timestamp(col("ts")) % 600).as("bucket"), col("user_id"))
+        .agg(graft.ops.Exact.davg(col("value")).as("value")).count()
+    }
+    phase(s, "full resampleFfill") {
+      graft.ops.Time.resampleFfill(s, ev, "user_id", "ts", "value",
+        jan1, jan2, 600, graft.ops.Exact.davg(col("value"))).count()
+    }
+  }
+
+  /** a3d's pruned-corr core: panel, LSH candidates, exact verify. */
+  private def phasesA3d(s: SparkSession, d: String): Unit = {
+    val jan1 = SparkEntry.jan1
+    val jan3 = SparkEntry.sec("2024-01-03T00:00:00")
+    def panel = SparkEntry.resampled(s, d, 300, jan1, jan3, 600)
+      .withColumn("pos", ((col("bucket") - jan1) / 600 + 1).cast("int"))
+    phase(s, "panel")(panel.count())
+    phase(s, "candidates") {
+      graft.ops.CorrPrune.corrCandidates(panel, "user_id", "pos",
+        "value", 288, 8, 5).count()
+    }
+    phase(s, "candidates+verify") {
+      graft.ops.CorrPrune.candidateRho(panel, "user_id", "pos",
+        "value", 288, 8, 5)
+    }
+  }
+
+  /** The a3e selector route vs the direct a3d query. */
+  private def phasesA3e(s: SparkSession, d: String): Unit = {
+    val jan1 = SparkEntry.jan1
+    val jan2 = SparkEntry.jan2
+    phase(s, "widePanel users only") {
+      val (users, _) = SparkEntry.widePanel(s, d, 300, jan1, jan2, 600)
+      println(s"[p]   k=${users.size}")
+    }
+    phase(s, "a3d full")(SparkEntry.queries("a3d_corr_pruned")(s, d))
+    phase(s, "panelRho pruned edges") {
+      SparkEntry.panelRho(s, d, 300, jan1, jan2, 600,
+        roundThenFilter = Some((4, 0.5)), onePassMaxK = 1)._2
+    }
+    phase(s, "a3e full")(
+      SparkEntry.queries("a3e_corr_auto_pruned")(s, d))
+  }
+
+  /** d4's array-domain shape: doc sets, hot cut, count-join. */
+  private def phasesD4(s: SparkSession, d: String): Unit = {
+    val docs = Catalog.load(s, d, "documents")
+    val w = graft.ops.Text.words(col("text"))
+    val hs = array_distinct(
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => xxhash64(col("lang"), a, b)))
+        .otherwise(array().cast("array<bigint>")))
+    def docsets = docs.select(col("lang"), col("doc_id"), hs.as("hs"))
+    def setsF = {
+      val ds = docsets
+      val hot = ds.select(col("lang"), explode(col("hs")).as("h"))
+        .groupBy("lang", "h").agg(count(lit(1)).as("df"))
+        .where(col("df") > 64)
+        .groupBy("lang").agg(collect_list("h").as("hot"))
+      ds.join(broadcast(hot), Seq("lang"), "left")
+        .withColumn("hsf", array_except(col("hs"),
+          coalesce(col("hot"), array().cast("array<bigint>"))))
+        .withColumn("szf", size(col("hsf")))
+        .where(col("szf") > 0)
+        .select("lang", "doc_id", "hsf", "szf")
+    }
+    phase(s, "docsets")(docsets.count())
+    phase(s, "hot cut + setsF")(setsF.count())
+    phase(s, "inter count-join") {
+      val post = setsF.select(col("doc_id"), col("szf"),
+        explode(col("hsf")).as("h"))
+      post.select(col("doc_id").as("i"), col("szf").as("sa"), col("h"))
+        .join(post.select(col("doc_id").as("j"), col("szf").as("sb"),
+          col("h")), Seq("h"))
+        .where(col("i") < col("j"))
+        .groupBy("i", "j", "sa", "sb").agg(count(lit(1)).as("inter"))
+        .count()
+    }
+    phase(s, "d4 full")(SparkEntry.queries("d4_ngram_jaccard")(s, d))
+  }
+
+  /** s6b's chain: panel, UDAF, square-CSV write, read-back. */
+  private def phasesS6b(s: SparkSession, d: String): Unit = {
+    val jan1 = SparkEntry.jan1
+    val jan3 = SparkEntry.sec("2024-01-03T00:00:00")
+    phase(s, "resample+users collect") {
+      val (users, _) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
+      println(s"[p]   k=${users.size}")
+    }
+    phase(s, "panel rows")(
+      SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)._2)
+    phase(s, "panel+udaf edges") {
+      val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
+      SparkEntry.onePassEdges(panel, users,
+        graft.ops.Relational.boundedPartitions((jan3 - jan1) / 600, 256))
+    }
+    phase(s, "a3c full")(
+      SparkEntry.queries("a3c_corr_onepass_wide")(s, d))
+    phase(s, "s6b full")(
+      SparkEntry.queries("s6b_wide_corr_matrix")(s, d))
+  }
+
+  /** d6's pointer-jumping connected components, per-round timing. */
+  private def phasesCC(s: SparkSession, d: String): Unit = {
+    val t00 = System.nanoTime()
+    val pairs = SparkEntry.queries("d2_minhash_lsh")(s, d)
+      .select("i", "j").cache()
+    println(f"[p] pairs=${pairs.count()} build ${(System.nanoTime() - t00) / 1e9}%.2f s")
+    val sym = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .distinct().cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    println(s"[p] sym=${sym.count()} nodes=${labels.count()}")
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      val t0 = System.nanoTime()
+      val prop = sym.join(labels, col("a") === col("id"))
+        .groupBy(col("b").as("id")).agg(min("lbl").as("nlbl"))
+      val stepped = labels.join(prop, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
+        .localCheckpoint()
+      changed = stepped.where(col("nl") < col("lbl")).count()
+      labels = stepped.select(col("id"), col("nl").as("lbl"))
+      println(f"[p] round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+  }
+
+  private val phaseSets: Map[String, (SparkSession, String) => Unit] =
+    Map("panel" -> phasesPanel, "a3d" -> phasesA3d, "a3e" -> phasesA3e,
+      "d4" -> phasesD4, "s6b" -> phasesS6b, "cc" -> phasesCC)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rest = args.drop(1).toSeq
+    val spark = Sessions.build("profile")
+    rest match {
+      case Seq("--phases", set) =>
+        phaseSets.getOrElse(set,
+          sys.error(s"unknown phase set '$set' " +
+            s"(have: ${phaseSets.keys.toSeq.sorted.mkString(", ")})"))
+          .apply(spark, sfDir)
+      case names if names.nonEmpty => timeQueries(spark, sfDir, names)
+      case _ => sys.error(
+        "usage: Profile <sfDir> (<query> [query...] | --phases <set>)")
+    }
+    spark.stop()
+  }
+}
