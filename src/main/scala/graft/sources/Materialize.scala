@@ -61,7 +61,15 @@ object Materialize {
     * each other's tables mid-scan, and a pre-existing /tmp path owned
     * by another user is never reused.
     */
-  val root: String = sys.env.get("GRAFT_SCRATCH").getOrElse {
+  /** The per-process scratch directory (removed at JVM exit) — always
+    * computed, because [[bucketedTable]] uses it even when
+    * `GRAFT_SCRATCH` redirects [[root]]: a bucketed table's bucket
+    * spec lives in this JVM's in-memory session catalog, so its data
+    * files can never be meaningfully shared across processes — while
+    * two JVMs DROP+saveAsTable-ing the same shared path could clobber
+    * each other mid-scan.
+    */
+  private lazy val processRoot: String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val user = sanitize(sys.props.getOrElse("user.name", "anon"))
     val pid = ProcessHandle.current().pid()
@@ -76,6 +84,8 @@ object Materialize {
       } catch { case _: Throwable => () }))
     p
   }
+
+  val root: String = sys.env.get("GRAFT_SCRATCH").getOrElse(processRoot)
 
   /** Scratch path for a named table of a fixture dir (also used by the
     * sink roundtrip queries for their fixed write locations).
@@ -121,7 +131,12 @@ object Materialize {
       .replaceAll("[^a-z0-9_]", "_")
     synchronized {
       builtTables.getOrElseUpdate((dir, s"bucketed_$name"), {
-        val out = path(dir, s"bucketed_$name")
+        // ALWAYS under the per-process root, even when GRAFT_SCRATCH
+        // shares `root` across processes: the bucket spec is in this
+        // JVM's catalog only (the data files are useless to another
+        // process), and a shared path would let two JVMs' DROP TABLE +
+        // saveAsTable overwrite the same directory mid-scan.
+        val out = s"$processRoot/${dirKey(dir)}/bucketed_$name"
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         build.write.mode("overwrite")
           .bucketBy(buckets, keys.head, keys.tail: _*)

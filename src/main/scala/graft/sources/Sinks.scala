@@ -173,15 +173,27 @@ object Sinks {
     // map_from_entries after the internal mirror union. least/greatest
     // folds mirrors onto the upper triangle (identity for well-formed
     // input), the i < j filter drops producer diagonals (the writer
-    // owns the unit diagonal), and dropDuplicates keeps one — degrade
-    // predictably, like the old pivot+first did.
+    // owns the unit diagonal), and conflicting duplicates keep the
+    // DETERMINISTIC max(rho) — not dropDuplicates' arbitrary first, so
+    // a malformed producer yields stable artifact bytes — with the
+    // dropped-row count surfaced on stderr so the producer bug stays
+    // visible instead of masked (for well-formed input the aggregate
+    // is an identity and the warning never fires).
     val ci = col(iCol).cast("long")
     val cj = col(jCol).cast("long")
-    val p = pairs.select(least(ci, cj).as("i"), greatest(ci, cj).as("j"),
+    val pd = pairs.select(least(ci, cj).as("i"), greatest(ci, cj).as("j"),
         col(rhoCol).cast("double").as("rho"))
       .where(col("i") < col("j"))
-      .dropDuplicates("i", "j")
+      .groupBy("i", "j")
+      .agg(max(col("rho")).as("rho"), count(lit(1)).as("dups"))
       .cache()
+    val conflicted = pd.where(col("dups") > 1)
+      .agg(coalesce(sum(col("dups") - 1), lit(0L))).head().getLong(0)
+    if (conflicted > 0)
+      System.err.println(s"[sinks] writeWideMatrixCsv($path): dropped " +
+        s"$conflicted duplicate pair rows (kept max(rho) per pair) — " +
+        "malformed producer?")
+    val p = pd.select("i", "j", "rho")
     try {
       val ids = p.select(explode(array(col("i"), col("j"))).as("id"))
         .distinct().orderBy("id").as[Long].collect().toSeq
@@ -231,7 +243,7 @@ object Sinks {
       // consumer globs them); the text writer names parts .txt
       renameParts(session, path, ".txt", ".csv")
       ids
-    } finally { p.unpersist(); () }
+    } finally { pd.unpersist(); () }
   }
 
   /** [[writeWideMatrixCsv]] specialized to the one-row UDAF output: the
