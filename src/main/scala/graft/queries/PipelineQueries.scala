@@ -321,7 +321,15 @@ object PipelineQueries {
         SparkEntry.resampled(s, d, 500, jan1, jan3, 600)
       }
       val users = SparkEntry.sortedUsers(filled)
-      SparkEntry.onePassEdges(SparkEntry.panelOf(filled, users), users,
+      // the assembled panel is redistributed round-robin before the
+      // UDAF so the O(k²)-per-row update loop uses every core — this
+      // exchange moves only the ASSEMBLED matrix stream (buckets ×
+      // k-wide vector rows, ~1 MB here), not the tick data; the
+      // data-sized pre-aggregation below it stays exchange-free off
+      // the bucketed layout (the plan gate pins exactly that split)
+      SparkEntry.onePassEdges(
+          SparkEntry.panelOf(filled, users)
+            .repartition(s.sparkContext.defaultParallelism), users,
           graft.ops.Relational.boundedPartitions((jan3 - jan1) / 600, 256))
         .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
         .transform(Q.sortedOnce(_, "i", "j"))

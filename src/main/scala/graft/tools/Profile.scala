@@ -168,6 +168,28 @@ object Profile {
       SparkEntry.queries("s6b_wide_corr_matrix")(s, d))
   }
 
+  /** s15's bucketed-panel chain: id collect, assembly, UDAF, full. */
+  private def phasesS15(s: SparkSession, d: String): Unit = {
+    val jan1 = SparkEntry.jan1
+    val jan3 = SparkEntry.sec("2024-01-03T00:00:00")
+    def tbl = graft.sources.Materialize.bucketedTable(s, d,
+      "panel_by_bucket", 16, Seq("bucket")) {
+      SparkEntry.resampled(s, d, 500, jan1, jan3, 600)
+    }
+    phase(s, "table scan only")(tbl.count())
+    phase(s, "sortedUsers collect")(SparkEntry.sortedUsers(tbl))
+    phase(s, "panel assembly") {
+      SparkEntry.panelOf(tbl, SparkEntry.sortedUsers(tbl))
+    }
+    phase(s, "panel+udaf edges") {
+      val users = SparkEntry.sortedUsers(tbl)
+      SparkEntry.onePassEdges(SparkEntry.panelOf(tbl, users), users,
+        graft.ops.Relational.boundedPartitions((jan3 - jan1) / 600, 256))
+    }
+    phase(s, "s15 full")(
+      SparkEntry.queries("s15_bucketed_panel")(s, d))
+  }
+
   /** d6's pointer-jumping connected components, per-round timing. */
   private def phasesCC(s: SparkSession, d: String): Unit = {
     val t00 = System.nanoTime()
@@ -199,7 +221,8 @@ object Profile {
 
   private val phaseSets: Map[String, (SparkSession, String) => Unit] =
     Map("panel" -> phasesPanel, "a3d" -> phasesA3d, "a3e" -> phasesA3e,
-      "d4" -> phasesD4, "s6b" -> phasesS6b, "cc" -> phasesCC)
+      "d4" -> phasesD4, "s6b" -> phasesS6b, "s15" -> phasesS15,
+      "cc" -> phasesCC)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

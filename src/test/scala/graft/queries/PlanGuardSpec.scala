@@ -64,9 +64,11 @@ class PlanGuardSpec extends SparkTestBase {
       p)
     assert(p.toLowerCase.contains("corrmatrixagg"), p)
     // ...and the per-bucket vector assembly rides the on-disk layout:
-    // no data-sized shuffle anywhere — the only exchanges are the
-    // matrix-sized single-partition gathers (UDAF final merge, output
-    // sort)
+    // no DATA-sized shuffle anywhere. The only exchanges left are
+    // matrix-sized — the round-robin redistribution of the ~288
+    // assembled panel rows for UDAF update parallelism, and the
+    // single-partition gathers (UDAF final merge, output sort); no
+    // hash or range repartitioning of the scanned rows exists.
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
