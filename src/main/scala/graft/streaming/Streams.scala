@@ -116,14 +116,19 @@ object Streams {
     * forward-fill. The batch panel ffills gaps before correlating
     * (resampleFfill); here a bucket with no tick for a series stays
     * NaN and the pairwise-complete UDAF simply skips it — correlation
-    * over OBSERVED cells. Streaming ffill would need an ordered
-    * carry-forward state per series (flatMapGroupsWithState — window
-    * functions over event order are not available in streaming), which
-    * is buildable but a different operator; consumers replacing the
-    * batch export must know sparse series correlate over fewer
-    * observations here. The spec grades stream ≡ batch over the SAME
-    * unfilled chain, which is exactly the contract this function
-    * promises.
+    * over OBSERVED cells. The filled-panel semantics ARE available as
+    * a stream: [[resampleFfillStream]] produces the batch-equal
+    * forward-filled grid continuously (per-series carry-forward state
+    * via flatMapGroupsWithState — window functions over event order do
+    * not exist in streaming); it cannot feed THIS chain directly
+    * because Spark rejects a windowed aggregate downstream of
+    * flatMapGroupsWithState's append stream in the same query, so a
+    * filled continuous corr runs as two chained queries (ffill stream
+    * → landed panel → this chain's aggregate on a panel source).
+    * Consumers replacing the batch export with this single-query form
+    * must know sparse series correlate over fewer observations here.
+    * The spec grades stream ≡ batch over the SAME unfilled chain,
+    * which is exactly the contract this function promises.
     *
     * Append mode + watermark: a span's matrix is emitted exactly once,
     * when the watermark passes its end — the continuous form of the
@@ -167,6 +172,50 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Events-shaped streaming view of a landed [[resampleFfillStream]]
+    * cell table (`ts := bucket`), for chaining into
+    * [[windowedCorrFromCells]] as the SECOND query of the filled
+    * continuous-corr deployment. Null leading cells surface as NaN
+    * panel cells downstream — the pairwise-complete UDAF skips them,
+    * exactly the batch filled chain's semantics.
+    */
+  def cellsAsEventsStream(spark: SparkSession,
+      cellsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bucket", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("batch_id", LongType)))
+    spark.readStream.schema(schema).parquet(cellsDir)
+      .select(timestamp_seconds(col("bucket")).as("ts"), col("user_id"),
+        col("value"))
+  }
+
+  /** The FILLED continuous corr — the second of the two chained
+    * queries [[windowedCorr]]'s scaladoc describes: per-span corr
+    * matrices over the forward-filled panel [[resampleFfillStream]]
+    * lands, giving the batch flagship's ffill semantics continuously
+    * (StreamsSpec grades the composition against the batch FILLED
+    * chain). Same three-operator plan as windowedCorr; the `bucket`
+    * duration must equal the ffill stream's grid step so stage 1's
+    * dedup-mean is the identity on the landed cells.
+    */
+  def windowedCorrFromCells(spark: SparkSession, cellsDir: String,
+      outDir: String, checkpointDir: String, users: Seq[Long],
+      bucket: String = "10 minutes", span: String = "1 hour",
+      watermark: String = "1 hour"): Unit = {
+    val corr = windowedCorrPlan(cellsAsEventsStream(spark, cellsDir),
+      users, bucket, span, Some(watermark))
+    val q = corr.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentWrite(batch, outDir, id)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The shared logical chain of [[windowedCorr]] — also runnable on a
     * BATCH events DataFrame (watermark omitted), which is how the spec
     * proves stream ≡ batch on the same engine-side plan.
@@ -190,9 +239,13 @@ object Streams {
     // bucket that observed EVERY series has its sorted entry list in
     // `users` order already — O(k log k); a bucket with gaps (normal
     // here: no streaming ffill) keeps the O(k²) map probe as the
-    // correctness guard for sparse key sets.
+    // correctness guard for sparse key sets. Null cell values (a
+    // chained ffill-cell source's leading nulls) become NaN — the
+    // batch panelOf convention the UDAF's pairwise-complete skip
+    // expects — in BOTH paths (the sparse probe's coalesce only covers
+    // ABSENT entries, not null-valued ones).
     val entries = array_sort(collect_list(struct(col("user_id"),
-      col("v"))))
+      coalesce(col("v"), lit(Double.NaN)).as("v"))))
     val dense = transform(col("es"), e => e.getField("v"))
     val probe = map_from_entries(transform(col("es"),
       e => struct(e.getField("user_id"), e.getField("v"))))
@@ -383,6 +436,142 @@ object Streams {
           }
         } finally { sh.unpersist(); () }
         ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One filled grid cell of [[resampleFfillStream]] — the streaming
+    * twin of [[graft.ops.Time.resampleFfill]]'s output row (bucket:
+    * epoch sec, key, value ffilled, None before first observation).
+    */
+  case class FfillCell(bucket: Long, user_id: Long, value: Option[Double])
+
+  /** Per-series carry-forward state of [[resampleFfillStream]]:
+    * open-bucket partial sums/counts (bounded by watermark/step
+    * in-flight buckets per key), the next grid bucket to emit, and the
+    * last observed bucket-mean to carry forward.
+    */
+  private[streaming] case class FfillState(
+      pendSum: Map[Long, Double], pendCnt: Map[Long, Long],
+      nextBucket: Long, lastValue: Option[Double])
+
+  /** Advance one series' filled grid to the watermark: ingest this
+    * batch's ticks into open-bucket partials, then emit every grid
+    * cell whose bucket END the watermark has passed — the bucket's
+    * dedup-mean when observed, the carried last mean when not, None
+    * before the first observation. Ticks older than the emitted prefix
+    * are dropped (standard watermark late-data semantics — upstream
+    * aggregates drop them silently too). State is removed once the
+    * grid end is emitted; otherwise an event-time timeout at the next
+    * grid boundary past the watermark keeps pure carry-forward cells
+    * flowing even when the key sees no further ticks.
+    */
+  private def ffillAdvance(u: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Double)],
+      state: GroupState[FfillState],
+      startSec: Long, endSec: Long, stepSec: Long): Iterator[FfillCell] = {
+    val wmSec = state.getCurrentWatermarkMs() / 1000L
+    val st = state.getOption.getOrElse(
+      FfillState(Map.empty, Map.empty, startSec, None))
+    var pendSum = st.pendSum
+    var pendCnt = st.pendCnt
+    rows.foreach { case (_, ts, v) =>
+      val sec = ts.getTime / 1000L
+      val b = startSec + ((sec - startSec) / stepSec) * stepSec
+      if (b >= st.nextBucket) {
+        pendSum = pendSum.updated(b, pendSum.getOrElse(b, 0.0) + v)
+        pendCnt = pendCnt.updated(b, pendCnt.getOrElse(b, 0L) + 1L)
+      }
+    }
+    // the last grid bucket whose [b, b+step) window the watermark closed
+    val frontier =
+      if (wmSec < startSec + stepSec) startSec - stepSec
+      else math.min(endSec - stepSec,
+        startSec + ((wmSec - stepSec - startSec) / stepSec) * stepSec)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FfillCell]
+    var bkt = st.nextBucket
+    var last = st.lastValue
+    while (bkt <= frontier) {
+      pendCnt.get(bkt).foreach { n =>
+        last = Some(pendSum(bkt) / n)
+        pendSum -= bkt
+        pendCnt -= bkt
+      }
+      out += FfillCell(bkt, u, last)
+      bkt += stepSec
+    }
+    if (bkt > endSec - stepSec) state.remove()
+    else {
+      state.update(FfillState(pendSum, pendCnt, bkt, last))
+      state.setTimeoutTimestamp((math.max(wmSec, startSec) + stepSec) * 1000L)
+    }
+    out.iterator
+  }
+
+  /** The logical chain of [[resampleFfillStream]]: range filter,
+    * watermark, then ONE `flatMapGroupsWithState` per series doing
+    * bucket dedup-mean + grid + forward-fill together. A windowed
+    * bucket aggregate BEFORE the stateful map is not an option —
+    * Spark's unsupported-operations checker rejects
+    * flatMapGroupsWithState downstream of an aggregation — and is not
+    * needed: the in-state partials hold exactly the open buckets the
+    * windowed aggregate would, bounded by watermark/step per key.
+    */
+  private[graft] def resampleFfillStreamPlan(events: DataFrame,
+      startSec: Long, endSec: Long, stepSec: Long,
+      watermark: String): org.apache.spark.sql.Dataset[FfillCell] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("ts") >= timestamp_seconds(lit(startSec)) &&
+        col("ts") < timestamp_seconds(lit(endSec)))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FfillState, FfillCell](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (u, rows, state) =>
+          ffillAdvance(u, rows, state, startSec, endSec, stepSec)
+      }
+  }
+
+  /** STREAMING resample+ffill — closes the one semantic difference
+    * [[windowedCorr]] documents against the batch flagship: the batch
+    * chain forward-fills gaps before correlating
+    * ([[graft.ops.Time.resampleFfill]], the reference's
+    * `resample(freq).ffill()` — correlation_matrix_exporter.py:109),
+    * and this operator produces that SAME filled panel continuously.
+    * Emitted cells are append-mode and watermark-final: a grid cell
+    * (bucket, series) is written exactly once, when the watermark
+    * passes its bucket end — observed buckets carry their dedup-mean,
+    * gaps carry the last mean forward, leading cells before a series'
+    * first tick are null (all exactly the batch output's contract, so
+    * StreamsSpec grades stream ≡ batch row-for-row on the finalized
+    * prefix).
+    *
+    * State per series: the open-bucket partials (≤ watermark/step
+    * buckets) plus one carried double — bounded regardless of run
+    * length; removed entirely once the grid end is reached. Restart:
+    * checkpoint + the idempotent per-batch sink give exactly-once
+    * cells across drains (spec-pinned like windowedCorr's).
+    */
+  def resampleFfillStream(spark: SparkSession, srcDir: String,
+      outDir: String, checkpointDir: String,
+      startSec: Long, endSec: Long, stepSec: Long,
+      watermark: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val cells = resampleFfillStreamPlan(
+      eventsStream(spark, srcDir, maxFilesPerTrigger),
+      startSec, endSec, stepSec, watermark)
+    val q = cells.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        idempotentWrite(batch, outDir, id)
       }
       .start()
     q.awaitTermination()

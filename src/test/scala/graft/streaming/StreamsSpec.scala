@@ -335,6 +335,208 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("resampleFfillStream: streamed filled grid equals batch " +
+    "resampleFfill on the finalized prefix") {
+    val in = tmp("graft_ffill_in_")
+    val base = 1700006400L // aligned to a UTC day boundary
+    val step = 600L
+    val end = base + 86400L
+    // three series with DIFFERENT gap structure: u0 ticks every bucket,
+    // u1 skips a known mid-range (carry-forward must bridge it), u2
+    // starts late (leading cells must be null). Two ticks in one
+    // bucket for u0 exercise the dedup-mean.
+    val rows =
+      (for (t <- 0L until 43200L by step) yield
+        evRow(t * 100, base + t + 30, 0L, 1.0 + 0.001 * t)) ++
+      Seq(evRow(999999L, base + 630, 0L, 7.0)) ++ // 2nd tick in u0's bucket 1
+      (for (t <- 0L until 43200L by step
+            if t < 6000L || t >= 18000L) yield
+        evRow(t * 100 + 1, base + t + 60, 1L, 2.0 + 0.002 * t)) ++
+      (for (t <- 21600L until 43200L by step) yield
+        evRow(t * 100 + 2, base + t + 90, 2L, 3.0 + 0.003 * t))
+    stageFile(in, "ticks.parquet", base * 1000, rows)
+    val out = tmp("graft_ffill_out_")
+    val ck = tmp("graft_ffill_ck_")
+    Streams.resampleFfillStream(spark, in, out, ck, base, end, step,
+      watermark = "30 minutes")
+    val streamed = spark.read.parquet(out)
+      .select("bucket", "user_id", "value")
+    assert(streamed.count() > 0, "stream emitted no cells")
+    // exactly-once per grid cell
+    val keys = streamed.select("bucket", "user_id").collect().toSeq
+    assert(keys.size == keys.toSet.size, "duplicate grid cells")
+    // batch oracle: the real batch operator, same grid, same plain avg
+    val ev = spark.read.schema(graft.Catalog.schemas("events"))
+      .parquet(in)
+    val batch = graft.ops.Time.resampleFfill(spark, ev, "user_id", "ts",
+      "value", base, end, step, avg(col("value")))
+    // finalized prefix: the final watermark is max ts - delay; every
+    // bucket whose end is at or before it must have been emitted
+    val maxSec = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val wm = maxSec - 1800L
+    val frontier = base + ((wm - step - base) / step) * step
+    val sPrefix = streamed.where(col("bucket") <= frontier)
+    val bPrefix = batch.where(col("bucket") <= frontier)
+    assert(sPrefix.count() > 0, "prefix compare is vacuous")
+    assert(sPrefix.count() == bPrefix.count(),
+      s"stream ${sPrefix.count()} cells vs batch ${bPrefix.count()}")
+    // nothing streamed — prefix or not — is absent from the batch grid
+    assert(streamed.join(batch.select("bucket", "user_id"),
+      Seq("bucket", "user_id"), "left_anti").count() == 0)
+    // cell-for-cell: null-ness exact (leading nulls + carries), values
+    // equal to fp-accumulation-order tolerance
+    val j = sPrefix.join(
+      bPrefix.select(col("bucket"), col("user_id"),
+        col("value").as("bvalue")),
+      Seq("bucket", "user_id"), "full_outer")
+    assert(j.where(col("value").isNull =!= col("bvalue").isNull)
+      .count() == 0, "null-ness mismatch")
+    val defined = j.where(col("value").isNotNull)
+    assert(defined.count() > 0)
+    val maxDiff = defined.agg(max(abs(col("value") - col("bvalue"))))
+      .head().getDouble(0)
+    assert(maxDiff < 1e-9, s"max value diff $maxDiff")
+    // non-vacuity of the INTERESTING semantics: u1's gap buckets were
+    // emitted as carries (value present, no raw tick in the bucket),
+    // and u2 has leading nulls
+    val u1gap = sPrefix.where(col("user_id") === 1L &&
+      col("bucket") >= base + 6000L && col("bucket") < base + 18000L)
+    assert(u1gap.count() > 0 &&
+      u1gap.where(col("value").isNull).count() == 0,
+      "u1's gap was not carry-filled")
+    assert(sPrefix.where(col("user_id") === 2L &&
+      col("value").isNull).count() > 0, "u2 has no leading nulls")
+  }
+
+  test("resampleFfillStream restart: a later file extends the filled " +
+    "grid exactly once") {
+    val in = tmp("graft_ffill2_in_")
+    val base = 1700006400L
+    val step = 600L
+    val end = base + 86400L * 2
+    def ticks(from: Long, until: Long): Seq[org.apache.spark.sql.Row] =
+      for (t <- from until until by (step * 2)) yield // every OTHER bucket
+        evRow(t * 10, base + t, 5L, 1.0 + 0.01 * t)
+    stageFile(in, "d0.parquet", base * 1000, ticks(0L, 86400L))
+    val out = tmp("graft_ffill2_out_")
+    val ck = tmp("graft_ffill2_ck_")
+    Streams.resampleFfillStream(spark, in, out, ck, base, end, step,
+      watermark = "30 minutes")
+    val first = spark.read.parquet(out)
+      .select("bucket", "user_id").collect().toSet
+    assert(first.nonEmpty, "first drain emitted nothing")
+    stageFile(in, "d1.parquet", base * 1000 + 1000,
+      ticks(86400L, 86400L + 43200L))
+    Streams.resampleFfillStream(spark, in, out, ck, base, end, step,
+      watermark = "30 minutes")
+    val all = spark.read.parquet(out)
+      .select("bucket", "user_id").collect().toSeq
+    assert(all.size == all.toSet.size,
+      s"duplicate cells after restart: ${all.size} vs ${all.toSet.size}")
+    assert(all.toSet.size > first.size, "restart emitted nothing new")
+  }
+
+  test("filled continuous corr: ffill stream chained into " +
+    "windowedCorrFromCells equals the batch FILLED chain") {
+    val in = tmp("graft_fcorr_in_")
+    val base = 1700006400L
+    val step = 600L
+    val end = base + 86400L * 2
+    val users = Seq(0L, 1L, 2L)
+    // deterministic correlated series WITH GAPS: u2 skips every third
+    // bucket, so the filled chain genuinely differs from the unfilled
+    // one (the carry changes its correlations)
+    val rows = for {
+      t <- 0L until (86400L * 2) by step
+      u <- users
+      if u != 2L || (t / step) % 3 != 0
+    } yield evRow(t * 10 + u, base + t, u,
+      u.toDouble + 0.001 * t + ((t / step + 5 * u) % 11).toDouble)
+    stageFile(in, "ticks.parquet", base * 1000, rows)
+    val cellsOut = tmp("graft_fcorr_cells_")
+    Streams.resampleFfillStream(spark, in, cellsOut, tmp("graft_fcorr_ck1_"),
+      base, end, step, watermark = "1 hour")
+    val corrOut = tmp("graft_fcorr_corr_")
+    Streams.windowedCorrFromCells(spark, cellsOut, corrOut,
+      tmp("graft_fcorr_ck2_"), users,
+      bucket = "10 minutes", span = "1 day", watermark = "1 hour")
+    val streamed = spark.read.parquet(corrOut)
+      .select("window_start", "i", "j", "rho")
+    assert(streamed.count() > 0, "chained corr emitted nothing")
+    // batch comparator: the SAME corr plan over the batch-filled panel
+    val ev = spark.read.schema(graft.Catalog.schemas("events"))
+      .parquet(in)
+    val batchCells = graft.ops.Time.resampleFfill(spark, ev, "user_id",
+        "ts", "value", base, end, step, avg(col("value")))
+      .select(timestamp_seconds(col("bucket")).as("ts"), col("user_id"),
+        col("value"))
+    val batch = Streams.windowedCorrPlan(batchCells, users,
+      "10 minutes", "1 day", watermark = None)
+    // prefix: query 1's frontier is maxTs - 1h (minus one grid step);
+    // query 2's watermark then trails that frontier by another hour —
+    // spans whose end clears maxTs - 2h - step are certainly emitted;
+    // one extra step of margin keeps the boundary span out
+    val maxSec = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val span = 86400L
+    val cut = maxSec - 7200L - 2 * step
+    val sPrefix = streamed.where(col("window_start") + span <= cut)
+    val bPrefix = batch.where(col("window_start") + span <= cut)
+    assert(sPrefix.count() > 0, "prefix compare is vacuous")
+    assert(sPrefix.count() == bPrefix.count(),
+      s"stream ${sPrefix.count()} vs batch ${bPrefix.count()}")
+    val j = sPrefix.join(bPrefix
+        .select(col("window_start"), col("i"), col("j"),
+          col("rho").as("brho")),
+      Seq("window_start", "i", "j"), "full_outer")
+    assert(j.where(col("rho").isNull =!= col("brho").isNull).count() == 0)
+    val defined = j.where(col("rho").isNotNull)
+    assert(defined.count() > 0)
+    val maxDiff = defined.agg(max(abs(col("rho") - col("brho"))))
+      .head().getDouble(0)
+    assert(maxDiff < 1e-9, s"max rho diff $maxDiff")
+    // non-vacuity: the fill is load-bearing — the UNFILLED chain over
+    // the same ticks disagrees with the filled one on this fixture
+    val unfilled = Streams.windowedCorrPlan(ev, users,
+      "10 minutes", "1 day", watermark = None)
+      .where(col("window_start") + span <= cut)
+      .select(col("window_start"), col("i"), col("j"),
+        col("rho").as("urho"))
+    val cmp = bPrefix.join(unfilled, Seq("window_start", "i", "j"))
+      .where(abs(col("rho") - col("urho")) > 1e-6)
+    assert(cmp.count() > 0,
+      "fixture makes filled == unfilled — gap fixture broken")
+  }
+
+  test("documented limitation: a windowed aggregate cannot chain onto " +
+    "the ffill stream in one query") {
+    // windowedCorr's scaladoc says the filled continuous corr must run
+    // as two chained queries because Spark rejects an aggregation
+    // downstream of flatMapGroupsWithState in append mode. Pin that:
+    // if a Spark upgrade lifts the restriction, this fails and the
+    // single-query filled-corr chain should be built.
+    val in = tmp("graft_ffill3_in_")
+    val base = 1700006400L
+    stageFile(in, "t.parquet", base * 1000,
+      Seq(evRow(1L, base + 60, 0L, 1.0)))
+    val cells = Streams.resampleFfillStreamPlan(
+      Streams.eventsStream(spark, in), base, base + 3600, 600, "10 minutes")
+    val agg = cells.toDF()
+      .withColumn("ts", timestamp_seconds(col("bucket")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(avg("value").as("m"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .option("checkpointLocation", tmp("graft_ffill3_ck_"))
+        .format("noop").start()
+      try q.awaitTermination() finally q.stop()
+    }
+    assert(e.getMessage.toLowerCase.contains("flatmapgroupswithstate"),
+      e.getMessage)
+  }
+
   test("windowedCorr: streamed per-day corr matrices equal the batch " +
     "chain up to the watermark") {
     // the fixture corpus is far too sparse for ANY defined pairwise
