@@ -462,8 +462,10 @@ object Streams {
     * dedup-mean when observed, the carried last mean when not, None
     * before the first observation. Ticks older than the emitted prefix
     * are dropped (standard watermark late-data semantics — upstream
-    * aggregates drop them silently too). State is removed once the
-    * grid end is emitted; otherwise an event-time timeout at the next
+    * aggregates drop them silently too). Once the grid end is emitted the
+    * state collapses to a tombstone that classifies every later tick
+    * as late (see the emission branch for why removal would break
+    * exactly-once); before that, an event-time timeout at the next
     * grid boundary past the watermark keeps pure carry-forward cells
     * flowing even when the key sees no further ticks.
     */
@@ -472,18 +474,29 @@ object Streams {
       state: GroupState[FfillState],
       startSec: Long, endSec: Long, stepSec: Long): Iterator[FfillCell] = {
     val wmSec = state.getCurrentWatermarkMs() / 1000L
+    val hadState = state.exists
     val st = state.getOption.getOrElse(
       FfillState(Map.empty, Map.empty, startSec, None))
     var pendSum = st.pendSum
     var pendCnt = st.pendCnt
     rows.foreach { case (_, ts, v) =>
       val sec = ts.getTime / 1000L
+      // upper grid bound checked HERE, not as a pre-watermark filter:
+      // ticks past the grid end must still drive the watermark (they
+      // are what finalizes the LAST grid bucket — filtered before
+      // withWatermark, the watermark could never reach the grid end
+      // and the final cell would stay open forever)
       val b = startSec + ((sec - startSec) / stepSec) * stepSec
-      if (b >= st.nextBucket) {
+      if (sec < endSec && b >= st.nextBucket) {
         pendSum = pendSum.updated(b, pendSum.getOrElse(b, 0.0) + v)
         pendCnt = pendCnt.updated(b, pendCnt.getOrElse(b, 0L) + 1L)
       }
     }
+    // batch's key universe is "keys with ≥1 in-range tick": a key
+    // whose only rows were out-of-range must not enter the grid (it
+    // would emit an all-null series batch does not have); it joins
+    // the universe if and when an in-range tick arrives
+    if (!hadState && pendCnt.isEmpty) return Iterator.empty
     // the last grid bucket whose [b, b+step) window the watermark closed
     val frontier =
       if (wmSec < startSec + stepSec) startSec - stepSec
@@ -501,8 +514,17 @@ object Streams {
       out += FfillCell(bkt, u, last)
       bkt += stepSec
     }
-    if (bkt > endSec - stepSec) state.remove()
-    else {
+    if (bkt > endSec - stepSec) {
+      // grid complete: keep a TOMBSTONE (nextBucket = grid end, no
+      // pending, no timeout) instead of removing state — with state
+      // gone, a late replayed tick for this key would re-create it at
+      // startSec and re-emit the whole grid as duplicates. The
+      // tombstone makes every later tick fall to the `b >= nextBucket`
+      // late-data drop, preserving exactly-once per cell; it is one
+      // tiny row per key, and the whole operator is quiescent once the
+      // watermark passes the grid end anyway.
+      state.update(FfillState(Map.empty, Map.empty, bkt, None))
+    } else {
       state.update(FfillState(pendSum, pendCnt, bkt, last))
       state.setTimeoutTimestamp((math.max(wmSec, startSec) + stepSec) * 1000L)
     }
@@ -524,8 +546,11 @@ object Streams {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .where(col("ts") >= timestamp_seconds(lit(startSec)) &&
-        col("ts") < timestamp_seconds(lit(endSec)))
+      // lower bound only: a pre-start tick would mis-bucket (integer
+      // division toward zero), but ticks PAST the grid end stay in the
+      // stream so their event times advance the watermark — the upper
+      // bound is enforced inside ffillAdvance (see its ingest guard)
+      .where(col("ts") >= timestamp_seconds(lit(startSec)))
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
@@ -554,7 +579,7 @@ object Streams {
     *
     * State per series: the open-bucket partials (≤ watermark/step
     * buckets) plus one carried double — bounded regardless of run
-    * length; removed entirely once the grid end is reached. Restart:
+    * length; a tombstone after the grid end is reached. Restart:
     * checkpoint + the idempotent per-batch sink give exactly-once
     * cells across drains (spec-pinned like windowedCorr's).
     */

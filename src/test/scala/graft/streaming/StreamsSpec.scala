@@ -436,6 +436,41 @@ class StreamsSpec extends SparkTestBase {
     assert(all.toSet.size > first.size, "restart emitted nothing new")
   }
 
+  test("resampleFfillStream: a late tick replayed after the grid " +
+    "completed cannot re-emit cells (tombstone state)") {
+    val in = tmp("graft_ffill4_in_")
+    val base = 1700006400L
+    val step = 600L
+    val end = base + 7200L // 12-bucket grid, completes quickly
+    val rows = for (t <- 0L until 7200L by step) yield
+      evRow(t * 10, base + t, 9L, 1.0 + t)
+    stageFile(in, "d0.parquet", base * 1000, rows)
+    // a post-grid tick (another series, ts past the grid end) drives
+    // the watermark beyond the grid end — it never enters the grid
+    // (ffillAdvance's upper-bound guard) but its event time finalizes
+    // series 9's LAST bucket, reaching the tombstone branch
+    stageFile(in, "d1.parquet", base * 1000 + 1000,
+      Seq(evRow(999L, end + 120, 8L, 5.0)))
+    val out = tmp("graft_ffill4_out_")
+    val ck = tmp("graft_ffill4_ck_")
+    Streams.resampleFfillStream(spark, in, out, ck, base, end, step,
+      watermark = "1 minute")
+    val first = spark.read.parquet(out)
+      .where(col("user_id") === 9L).select("bucket").collect().toSeq
+    assert(first.size == 12, s"grid not complete: ${first.size} of 12")
+    // now a LATE tick for the completed series 9 lands (an old
+    // timestamp replayed into the source dir)
+    stageFile(in, "late.parquet", base * 1000 + 2000,
+      Seq(evRow(1000L, base + 600, 9L, 99.0)))
+    Streams.resampleFfillStream(spark, in, out, ck, base, end, step,
+      watermark = "1 minute")
+    val after = spark.read.parquet(out)
+      .where(col("user_id") === 9L).select("bucket").collect().toSeq
+    assert(after.size == after.toSet.size,
+      s"late replay duplicated cells: ${after.size} vs ${after.toSet.size}")
+    assert(after.size == 12, s"cell count changed: ${after.size}")
+  }
+
   test("filled continuous corr: ffill stream chained into " +
     "windowedCorrFromCells equals the batch FILLED chain") {
     val in = tmp("graft_fcorr_in_")
