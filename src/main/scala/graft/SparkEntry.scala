@@ -908,14 +908,19 @@ object SparkEntry {
         .agg(round(graft.ops.Stats.pearson(col("va"), col("vb")), 6).as("rho"))
         .transform(Q.sortedSmall(_, "i", "j"))
     },
-    Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
+    Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail()))
 
   /** Shared oracle tail for the corr-matrix tiers (pair-join form —
     * DuckDB's `corr` is itself pairwise-complete, so it oracles both).
     */
-  private[graft] def corrSqlTail: String =
-    """ SELECT a.user_id AS i, b.user_id AS j,
-          round(corr(a.price, b.price), 6) AS rho
+  /** The corr-matrix oracle tail over the `filled` CTE, with the
+    * rounding scale a real parameter — callers used to string-replace
+    * the rounded expression, which would silently no-op (grading 6 dp
+    * against a 4 dp result) if this snippet were ever reformatted.
+    */
+  private[graft] def corrSqlTail(scale: Int = 6): String =
+    s""" SELECT a.user_id AS i, b.user_id AS j,
+          round(corr(a.price, b.price), $scale) AS rho
         FROM filled a JOIN filled b
           ON a.bucket = b.bucket AND a.user_id < b.user_id
         GROUP BY 1, 2 ORDER BY i, j"""
@@ -969,20 +974,41 @@ object SparkEntry {
     */
   private[graft] def panelOf(filled: DataFrame,
       users: Seq[Long]): DataFrame = {
-    val entries = array_sort(collect_list(struct(col("user_id"),
-      coalesce(col("value"), lit(Double.NaN)).as("v"))))
-    val dense = transform(col("es"), e => e.getField("v"))
-    val probe = map_from_entries(transform(col("es"),
-      e => struct(e.getField("user_id"), e.getField("v"))))
-    val sparse = array(users.map(u =>
-      coalesce(element_at(probe, lit(u)), lit(Double.NaN))): _*)
+    val (entries, vals) =
+      panelValsExpr(users, col("user_id"), col("value"))
     // the bucket rides along so consumers can derive window keys for
     // per-window aggregation (e1b); the global-matrix consumers simply
     // aggregate over it.
     filled.groupBy("bucket").agg(entries.as("es"))
-      .select(col("bucket"),
-        when(size(col("es")) === users.size, dense).otherwise(sparse)
-          .as("vals"))
+      .select(col("bucket"), vals(col("es")).as("vals"))
+  }
+
+  /** The ONE dense/sparse vector-assembly expression pair behind both
+    * the batch panel ([[panelOf]]) and the streaming panel
+    * ([[graft.streaming.Streams]].windowedCorrPlan) — shared so the
+    * "stream ≡ batch on the same engine-side plan" contract cannot
+    * drift between two copies. Returns (the per-bucket entries
+    * aggregate, es-column => k-wide vals column). Null values become
+    * NaN in BOTH paths (the sparse probe's coalesce only covers
+    * ABSENT entries, not null-valued ones); the dense path's
+    * positional alignment requires the ascending universe.
+    */
+  private[graft] def panelValsExpr(users: Seq[Long], key: Column,
+      value: Column): (Column, Column => Column) = {
+    require(users == users.sorted,
+      "the series universe must be ascending-sorted (the dense path " +
+        "aligns sorted entries positionally with it)")
+    val entries = array_sort(collect_list(struct(key.as("k"),
+      coalesce(value, lit(Double.NaN)).as("v"))))
+    def vals(es: Column): Column = {
+      val dense = transform(es, e => e.getField("v"))
+      val probe = map_from_entries(transform(es,
+        e => struct(e.getField("k"), e.getField("v"))))
+      val sparse = array(users.map(u =>
+        coalesce(element_at(probe, lit(u)), lit(Double.NaN))): _*)
+      when(size(es) === users.size, dense).otherwise(sparse)
+    }
+    (entries, vals)
   }
 
   /** The one-pass co-moment tier off an assembled wide panel: every
@@ -1109,7 +1135,7 @@ object SparkEntry {
           round(col("c.rho"), 6).as("rho"))
         .orderBy("i", "j")
     },
-    Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail))
+    Some(ffillSqlCte(10, jan1, jan8, 300) + corrSqlTail()))
 
   // A3 at the reference's true panel width (it correlates k≈500 symbols,
   // correlation_matrix_exporter.py README): every fixture user (150 at
@@ -1140,9 +1166,7 @@ object SparkEntry {
         // k=500 for no reuse (measured; see Q.scala)
         .transform(Q.sortedOnce(_, "i", "j"))
     },
-    Some(ffillSqlCte(500, jan1, jan3, 600) + corrSqlTail
-      .replace("round(corr(a.price, b.price), 6)",
-        "round(corr(a.price, b.price), 4)")))
+    Some(ffillSqlCte(500, jan1, jan3, 600) + corrSqlTail(4)))
 
   // A3 tier iv: the LSH pair-pruned thresholded correlation search
   // (ops/CorrPrune) on the same wide panel as a3c — the tier that takes

@@ -334,49 +334,56 @@ object LlmQueries {
   // ≤ MaxDf). Same relational skeleton at 100 TB: per-doc arrays are
   // bigram SETS (bounded by doc length, not corpus), the hot list is
   // vocabulary-tail-sized, and the verify join is candidate-sized.
+  /** d4's per-doc DISTINCT bigram-hash sets: xxhash64 over the word
+    * PAIR (no "w1 w2" concat string allocation), distinct in hash
+    * space. The hash only COLLATES (the oracle counts over raw shingle
+    * strings, so hash values never cross engines — unlike d2, where
+    * the md5 value feeds the minhash signature itself); a cross-bigram
+    * collision inside one pair is ~2^-64 and the oracle would flag it.
+    * lang is folded INTO the hash: the posting self-join then keys on
+    * one 8-byte long instead of (string, long), and the language
+    * blocking holds because two different langs agreeing on
+    * xxhash64(lang, w1, w2) is the same accepted collision class.
+    * Shared with Profile's d4 phase set so the profiler measures the
+    * SHIPPED stages, not a copy that can drift.
+    */
+  private[graft] def d4DocSets(s: SparkSession, d: String): DataFrame = {
+    val w = Text.words(col("text"))
+    val hs = array_distinct(
+      when(size(w) >= 2,
+        zip_with(slice(w, lit(1), size(w) - 1),
+          slice(w, lit(2), size(w) - 1),
+          (a, b) => xxhash64(col("lang"), a, b)))
+        .otherwise(array().cast("array<bigint>")))
+    T(s, d, "documents").select(col("lang"), col("doc_id"), hs.as("hs"))
+  }
+
+  /** d4's df cut over [[d4DocSets]]: one aggregate over the exploded
+    * sets finds the HOT shingles (df > MaxDf) — a tiny set on any real
+    * vocabulary (ultra-common shingles are by definition few) —
+    * collected into one per-lang array and removed by array_except
+    * under a broadcast join: the posting relation is never shuffled
+    * just to be filtered, and the post-cut set SIZE falls out of the
+    * same row instead of a per-doc aggregate + two joins later.
+    */
+  private[graft] def d4FilteredSets(docsets: DataFrame): DataFrame = {
+    val hot = docsets
+      .select(col("lang"), explode(col("hs")).as("h"))
+      .groupBy("lang", "h").agg(count(lit(1)).as("df"))
+      .where(col("df") > MaxDf)
+      .groupBy("lang").agg(collect_list("h").as("hot"))
+    docsets.join(broadcast(hot), Seq("lang"), "left")
+      .withColumn("hsf", array_except(col("hs"),
+        coalesce(col("hot"), array().cast("array<bigint>"))))
+      .withColumn("szf", size(col("hsf")))
+      .where(col("szf") > 0)
+      .select("lang", "doc_id", "hsf", "szf")
+  }
+
   private val qD4 = Q("d4_ngram_jaccard",
     (s, d) => {
-      val docs = T(s, d, "documents")
-      // Distinct bigram hashes per doc: xxhash64 over the word PAIR
-      // (no "w1 w2" concat string allocation), distinct in hash space.
-      // The hash only COLLATES here (the oracle counts over raw shingle
-      // strings, so hash values never cross engines — unlike d2, where
-      // the md5 value feeds the minhash signature itself); a
-      // cross-bigram collision inside one pair is ~2^-64 and the oracle
-      // would flag it.
-      // lang is folded INTO the hash: the posting self-join then keys
-      // on one 8-byte long instead of (string, long), and the language
-      // blocking holds because two different langs agreeing on
-      // xxhash64(lang, w1, w2) is the same ~2^-64 collision already
-      // accepted for the bigrams themselves.
-      val w = Text.words(col("text"))
-      val hs = array_distinct(
-        when(size(w) >= 2,
-          zip_with(slice(w, lit(1), size(w) - 1),
-            slice(w, lit(2), size(w) - 1),
-            (a, b) => xxhash64(col("lang"), a, b)))
-          .otherwise(array().cast("array<bigint>")))
-      val docsets = docs.select(col("lang"), col("doc_id"), hs.as("hs"))
-        .cache()
-      // df cut: one aggregate over the exploded sets finds the HOT
-      // shingles (df > MaxDf) — a tiny set on any real vocabulary
-      // (ultra-common shingles are by definition few) — collected into
-      // one per-lang array and removed by array_except under a
-      // broadcast join: the posting relation is never shuffled just to
-      // be filtered, and the post-cut set SIZE falls out of the same
-      // row instead of a per-doc aggregate + two joins later.
-      val hot = docsets
-        .select(col("lang"), explode(col("hs")).as("h"))
-        .groupBy("lang", "h").agg(count(lit(1)).as("df"))
-        .where(col("df") > MaxDf)
-        .groupBy("lang").agg(collect_list("h").as("hot"))
-      val setsF = docsets.join(broadcast(hot), Seq("lang"), "left")
-        .withColumn("hsf", array_except(col("hs"),
-          coalesce(col("hot"), array().cast("array<bigint>"))))
-        .withColumn("szf", size(col("hsf")))
-        .where(col("szf") > 0)
-        .select("lang", "doc_id", "hsf", "szf")
-        .cache()
+      val docsets = d4DocSets(s, d).cache()
+      val setsF = d4FilteredSets(docsets).cache()
       // Intersection counts straight off the posting self-join, with
       // each side's set SIZE riding its posting rows — sizes become
       // grouping keys (they are functions of i/j), so jac falls out of

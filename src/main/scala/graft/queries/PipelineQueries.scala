@@ -321,12 +321,18 @@ object PipelineQueries {
         SparkEntry.resampled(s, d, 500, jan1, jan3, 600)
       }
       val users = SparkEntry.sortedUsers(filled)
-      // the assembled panel is redistributed round-robin before the
-      // UDAF so the O(k²)-per-row update loop uses every core — this
-      // exchange moves only the ASSEMBLED matrix stream (buckets ×
-      // k-wide vector rows, ~1 MB here), not the tick data; the
-      // data-sized pre-aggregation below it stays exchange-free off
-      // the bucketed layout (the plan gate pins exactly that split)
+      // The round-robin repartition's job is NOT update parallelism —
+      // onePassEdges' coalesce(boundedPartitions(288, 256)) = 1 runs
+      // the UDAF update single-task ON PURPOSE (A/B'd: maxParts=32
+      // parallelizes the 36M-pair update but merges 32 × ~10 MB
+      // co-moment buffers, 3.3 s vs 1.8 s; same trade the r11
+      // partition sweep found for a3c). Without an exchange in
+      // between, though, coalesce(1) would swallow the SCAN and
+      // per-bucket assembly into that one task too (Q.sortedSmall's
+      // scaladoc documents the same coalesce trap) — measured 3.8 s.
+      // The repartition is the stage barrier that keeps the data-sized
+      // part parallel, and it moves only the ASSEMBLED matrix stream
+      // (288 k-wide vector rows, ~1 MB), not the scanned ticks.
       SparkEntry.onePassEdges(
           SparkEntry.panelOf(filled, users)
             .repartition(s.sparkContext.defaultParallelism), users,
@@ -335,9 +341,7 @@ object PipelineQueries {
         .transform(Q.sortedOnce(_, "i", "j"))
     },
     Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
-      600) + SparkEntry.corrSqlTail
-      .replace("round(corr(a.price, b.price), 6)",
-        "round(corr(a.price, b.price), 4)")))
+      600) + SparkEntry.corrSqlTail(4)))
 
   // S13/ORC: columnar-format roundtrip beyond parquet — ORC is the
   // other lake format Spark reads natively (same vectorized scan,

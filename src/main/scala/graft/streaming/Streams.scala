@@ -224,39 +224,25 @@ object Streams {
       bucket: String, span: String,
       watermark: Option[String]): DataFrame = {
     val k = users.size
-    // the dense fast path below aligns a complete bucket's
-    // user_id-sorted entries positionally with `users` — only valid
-    // when the declared universe is itself ascending, the same
-    // convention the batch widePanel's sorted id set guarantees
-    require(users == users.sorted,
-      "windowedCorr's series universe must be ascending-sorted")
     val src = events.where(col("user_id").isin(users: _*))
     val marked = watermark.fold(src)(w => src.withWatermark("ts", w))
     val cells = marked
       .groupBy(window(col("ts"), bucket), col("user_id"))
       .agg(avg("value").as("v"))
-    // widePanel's dense sorted-entries path (SparkEntry.panelOf): a
-    // bucket that observed EVERY series has its sorted entry list in
-    // `users` order already — O(k log k); a bucket with gaps (normal
-    // here: no streaming ffill) keeps the O(k²) map probe as the
-    // correctness guard for sparse key sets. Null cell values (a
-    // chained ffill-cell source's leading nulls) become NaN — the
-    // batch panelOf convention the UDAF's pairwise-complete skip
-    // expects — in BOTH paths (the sparse probe's coalesce only covers
-    // ABSENT entries, not null-valued ones).
-    val entries = array_sort(collect_list(struct(col("user_id"),
-      coalesce(col("v"), lit(Double.NaN)).as("v"))))
-    val dense = transform(col("es"), e => e.getField("v"))
-    val probe = map_from_entries(transform(col("es"),
-      e => struct(e.getField("user_id"), e.getField("v"))))
-    val sparse = array(users.map(u =>
-      coalesce(element_at(probe, lit(u)), lit(Double.NaN))): _*)
+    // the SAME dense/sparse vector assembly as the batch panel — one
+    // shared expression builder (SparkEntry.panelValsExpr, which also
+    // enforces the ascending universe the dense path's positional
+    // alignment needs), so the stream ≡ batch contract cannot drift
+    // between two hand-maintained copies: a complete bucket rides the
+    // O(k log k) sorted-entries path, gaps (the normal case here — no
+    // single-query ffill) fall back to the O(k²) map probe, and null
+    // cell values become NaN in both.
+    val (entries, vals) = graft.SparkEntry.panelValsExpr(users,
+      col("user_id"), col("v"))
     val panel = cells
       .groupBy(window(window_time(col("window")), bucket).as("bw"))
       .agg(entries.as("es"))
-      .select(col("bw"),
-        when(size(col("es")) === k, dense).otherwise(sparse)
-          .as("vals"))
+      .select(col("bw"), vals(col("es")).as("vals"))
     panel
       .groupBy(window(window_time(col("bw")), span).as("hw"))
       .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
@@ -497,10 +483,15 @@ object Streams {
     // would emit an all-null series batch does not have); it joins
     // the universe if and when an in-range tick arrives
     if (!hadState && pendCnt.isEmpty) return Iterator.empty
+    // the batch grid is range(start, end, step): its LAST bucket is
+    // start-aligned below end, NOT necessarily end - step (a grid
+    // whose span is not a step multiple still emits the ragged final
+    // bucket, and so must we)
+    val lastBucket = startSec + ((endSec - 1 - startSec) / stepSec) * stepSec
     // the last grid bucket whose [b, b+step) window the watermark closed
     val frontier =
       if (wmSec < startSec + stepSec) startSec - stepSec
-      else math.min(endSec - stepSec,
+      else math.min(lastBucket,
         startSec + ((wmSec - stepSec - startSec) / stepSec) * stepSec)
     val out = scala.collection.mutable.ArrayBuffer.empty[FfillCell]
     var bkt = st.nextBucket
@@ -514,7 +505,7 @@ object Streams {
       out += FfillCell(bkt, u, last)
       bkt += stepSec
     }
-    if (bkt > endSec - stepSec) {
+    if (bkt > lastBucket) {
       // grid complete: keep a TOMBSTONE (nextBucket = grid end, no
       // pending, no timeout) instead of removing state — with state
       // gone, a late replayed tick for this key would re-create it at
@@ -543,6 +534,10 @@ object Streams {
   private[graft] def resampleFfillStreamPlan(events: DataFrame,
       startSec: Long, endSec: Long, stepSec: Long,
       watermark: String): org.apache.spark.sql.Dataset[FfillCell] = {
+    // same fail-fast as the batch grid (Time.grid): a start off the
+    // step lattice would silently mis-bucket every tick
+    require(startSec % stepSec == 0,
+      s"grid start $startSec is not aligned to step $stepSec")
     val spark = events.sparkSession
     import spark.implicits._
     events

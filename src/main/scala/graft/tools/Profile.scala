@@ -41,17 +41,24 @@ object Profile {
     require(unknown.isEmpty, s"unknown: ${unknown.mkString(", ")}")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      try noop(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        println(s"[q] $name warm FAILED: ${e.getMessage}")
+      // a failing query is reported and SKIPPED — the remaining names
+      // still profile (the timed loop would otherwise rethrow the same
+      // error the warm pass just caught and lose the session)
+      val warmed =
+        try { noop(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          println(s"[q] $name FAILED, skipping: ${e.getMessage}")
+          false
+        }
+      if (warmed) {
+        val times = (1 to 3).map { _ =>
+          clear(spark)
+          val t0 = System.nanoTime()
+          noop(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[q] $name%-28s median ${times(1)}%.2f s  min ${times.head}%.2f s")
       }
-      val times = (1 to 3).map { _ =>
-        clear(spark)
-        val t0 = System.nanoTime()
-        noop(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[q] $name%-28s median ${times(1)}%.2f s  min ${times.head}%.2f s")
     }
   }
 
@@ -108,30 +115,14 @@ object Profile {
       SparkEntry.queries("a3e_corr_auto_pruned")(s, d))
   }
 
-  /** d4's array-domain shape: doc sets, hot cut, count-join. */
+  /** d4's array-domain shape: doc sets, hot cut, count-join — the
+    * SHIPPED stages (graft.queries.LlmQueries.d4DocSets/
+    * d4FilteredSets), not a copy that could drift from the query.
+    */
   private def phasesD4(s: SparkSession, d: String): Unit = {
-    val docs = Catalog.load(s, d, "documents")
-    val w = graft.ops.Text.words(col("text"))
-    val hs = array_distinct(
-      when(size(w) >= 2,
-        zip_with(slice(w, lit(1), size(w) - 1),
-          slice(w, lit(2), size(w) - 1),
-          (a, b) => xxhash64(col("lang"), a, b)))
-        .otherwise(array().cast("array<bigint>")))
-    def docsets = docs.select(col("lang"), col("doc_id"), hs.as("hs"))
-    def setsF = {
-      val ds = docsets
-      val hot = ds.select(col("lang"), explode(col("hs")).as("h"))
-        .groupBy("lang", "h").agg(count(lit(1)).as("df"))
-        .where(col("df") > 64)
-        .groupBy("lang").agg(collect_list("h").as("hot"))
-      ds.join(broadcast(hot), Seq("lang"), "left")
-        .withColumn("hsf", array_except(col("hs"),
-          coalesce(col("hot"), array().cast("array<bigint>"))))
-        .withColumn("szf", size(col("hsf")))
-        .where(col("szf") > 0)
-        .select("lang", "doc_id", "hsf", "szf")
-    }
+    import graft.queries.LlmQueries.{d4DocSets, d4FilteredSets}
+    def docsets = d4DocSets(s, d)
+    def setsF = d4FilteredSets(docsets)
     phase(s, "docsets")(docsets.count())
     phase(s, "hot cut + setsF")(setsF.count())
     phase(s, "inter count-join") {

@@ -66,9 +66,11 @@ class PlanGuardSpec extends SparkTestBase {
     // ...and the per-bucket vector assembly rides the on-disk layout:
     // no DATA-sized shuffle anywhere. The only exchanges left are
     // matrix-sized — the round-robin redistribution of the ~288
-    // assembled panel rows for UDAF update parallelism, and the
-    // single-partition gathers (UDAF final merge, output sort); no
-    // hash or range repartitioning of the scanned rows exists.
+    // assembled panel rows (the stage barrier that keeps the scan +
+    // assembly out of the UDAF's deliberate coalesce(1); see the
+    // query's comment for the A/B) and the single-partition gathers
+    // (UDAF final merge, output sort); no hash or range
+    // repartitioning of the scanned rows exists.
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
