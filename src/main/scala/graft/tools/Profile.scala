@@ -181,33 +181,20 @@ object Profile {
       SparkEntry.queries("s15_bucketed_panel")(s, d))
   }
 
-  /** d6's pointer-jumping connected components, per-round timing. */
+  /** d6's clustering cost, measured on the SHIPPED operator
+    * (ops/Components — local union-find + double pointer jump), not a
+    * scratch reimplementation. Set GRAFT_CC_DEBUG=1 for its per-round
+    * progress lines.
+    */
   private def phasesCC(s: SparkSession, d: String): Unit = {
     val t00 = System.nanoTime()
     val pairs = SparkEntry.queries("d2_minhash_lsh")(s, d)
-      .select("i", "j").cache()
+      .select("i", "j")
     println(f"[p] pairs=${pairs.count()} build ${(System.nanoTime() - t00) / 1e9}%.2f s")
-    val sym = pairs.select(col("i").as("a"), col("j").as("b"))
-      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
-      .distinct().cache()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    println(s"[p] sym=${sym.count()} nodes=${labels.count()}")
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      round += 1
-      val t0 = System.nanoTime()
-      val prop = sym.join(labels, col("a") === col("id"))
-        .groupBy(col("b").as("id")).agg(min("lbl").as("nlbl"))
-      val stepped = labels.join(prop, Seq("id"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nl"))
-        .localCheckpoint()
-      changed = stepped.where(col("nl") < col("lbl")).count()
-      labels = stepped.select(col("id"), col("nl").as("lbl"))
-      println(f"[p] round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    phase(s, "connectedComponents") {
+      graft.ops.Components.connectedComponents(pairs, "i", "j").count()
     }
+    phase(s, "d6 full")(SparkEntry.queries("d6_dup_clusters")(s, d))
   }
 
   private val phaseSets: Map[String, (SparkSession, String) => Unit] =
