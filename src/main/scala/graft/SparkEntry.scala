@@ -541,6 +541,40 @@ object SparkEntry {
       FROM g LEFT JOIN b ON g.bucket = b.bucket AND g.user_id = b.user_id
       ORDER BY g.user_id, g.bucket"""))
 
+  // W16 (round 12): the STREAMING resample+ffill ON THE ORACLE GATE —
+  // the first streaming operator graded by the DuckDB compare rather
+  // than only by stream≡batch specs. The query stages the tick slice
+  // in the engine's public encoding (a stream source reads files the
+  // engine itself landed — fixture-encoding quirks are the batch
+  // catalog's concern), drains Streams.resampleFfillStream over the
+  // [jan2, jan3) 5-minute grid, and returns the landed cell table.
+  // The staged slice runs through jan8 so post-grid ticks drive the
+  // watermark past the grid end — every cell finalizes and the oracle
+  // is the batch w1's ffill CTE verbatim, no prefix cut. Grading this
+  // on the oracle is only possible because the stream's bucket mean
+  // replicates Exact.davg's decimal arithmetic bit-for-bit
+  // (Streams.FfillState). Re-runs are idempotent: the staged source
+  // and checkpoint are per-JVM, so a second drain moves nothing and
+  // reads back the same cells.
+  private val qW16 = Q("w16_streaming_ffill",
+    (s, d) => {
+      val srcName = "w16_stream_src"
+      graft.sources.Materialize.table(s, d, srcName) {
+        T(s, d, "events").where(col("user_id") < 8 &&
+          col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan8))
+      }
+      val src = graft.sources.Materialize.path(d, srcName)
+      val cells = graft.sources.Materialize.path(d, "w16_stream_cells")
+      val ck = graft.sources.Materialize.path(d, "w16_stream_ck")
+      graft.streaming.Streams.resampleFfillStream(s, src, cells, ck,
+        jan2, jan3, 300, watermark = "30 minutes")
+      s.read.parquet(cells)
+        .select(col("bucket"), col("user_id"), col("value").as("price"))
+        .orderBy("user_id", "bucket")
+    },
+    Some(ffillSqlCte(8, jan2, jan3, 300) +
+      " SELECT bucket, user_id, price FROM filled ORDER BY user_id, bucket"))
+
   // W9: the reference's FINEST demonstrated frequency — 250 ms resample
   // +ffill (notebook cell 15, README.md:12) over a 4-hour session. The
   // point of the row is scale posture, not new semantics: the 250 ms
@@ -1267,7 +1301,7 @@ object SparkEntry {
     qA1, qA2, qA6, qA7,
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
-    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14,
+    qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
     qA3, qA3b, qA3c, qA3d, qA3e) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all

@@ -434,13 +434,28 @@ object Streams {
   case class FfillCell(bucket: Long, user_id: Long, value: Option[Double])
 
   /** Per-series carry-forward state of [[resampleFfillStream]]:
-    * open-bucket partial sums/counts (bounded by watermark/step
-    * in-flight buckets per key), the next grid bucket to emit, and the
-    * last observed bucket-mean to carry forward.
+    * open-bucket partial DECIMAL sums/counts (bounded by
+    * watermark/step in-flight buckets per key), the next grid bucket
+    * to emit, and the last observed bucket-mean to carry forward. The
+    * sums are java.math.BigDecimal so the emitted bucket mean can
+    * replicate the batch dedup-mean ([[graft.ops.Exact.davg]] —
+    * decimal(18,6) sum, double divide, HALF_UP 6 dp round) bit-for-bit
+    * — which is what lets the streamed grid be graded on the SAME
+    * DuckDB oracle as the batch w1 (the w16 gate row).
     */
   private[streaming] case class FfillState(
-      pendSum: Map[Long, Double], pendCnt: Map[Long, Long],
+      pendSum: Map[Long, java.math.BigDecimal], pendCnt: Map[Long, Long],
       nextBucket: Long, lastValue: Option[Double])
+
+  /** Exactly Spark's `round(try_divide(sum(value cast decimal(18,6))
+    * cast double, count), 6)` — Exact.davg's arithmetic, re-played on
+    * the streamed partials: double→decimal via BigDecimal.valueOf
+    * (Double.toString semantics, Spark's Cast) with HALF_UP at scale
+    * 6, exact decimal sum, double division, HALF_UP 6 dp round.
+    */
+  private def davgOf(sum: java.math.BigDecimal, n: Long): Double =
+    java.math.BigDecimal.valueOf(sum.doubleValue() / n)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Advance one series' filled grid to the watermark: ingest this
     * batch's ticks into open-bucket partials, then emit every grid
@@ -474,7 +489,10 @@ object Streams {
       // and the final cell would stay open forever)
       val b = startSec + ((sec - startSec) / stepSec) * stepSec
       if (sec < endSec && b >= st.nextBucket) {
-        pendSum = pendSum.updated(b, pendSum.getOrElse(b, 0.0) + v)
+        val vd = java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        pendSum = pendSum.updated(b,
+          pendSum.getOrElse(b, java.math.BigDecimal.ZERO).add(vd))
         pendCnt = pendCnt.updated(b, pendCnt.getOrElse(b, 0L) + 1L)
       }
     }
@@ -498,7 +516,7 @@ object Streams {
     var last = st.lastValue
     while (bkt <= frontier) {
       pendCnt.get(bkt).foreach { n =>
-        last = Some(pendSum(bkt) / n)
+        last = Some(davgOf(pendSum(bkt), n))
         pendSum -= bkt
         pendCnt -= bkt
       }
@@ -566,11 +584,13 @@ object Streams {
     * and this operator produces that SAME filled panel continuously.
     * Emitted cells are append-mode and watermark-final: a grid cell
     * (bucket, series) is written exactly once, when the watermark
-    * passes its bucket end — observed buckets carry their dedup-mean,
-    * gaps carry the last mean forward, leading cells before a series'
-    * first tick are null (all exactly the batch output's contract, so
-    * StreamsSpec grades stream ≡ batch row-for-row on the finalized
-    * prefix).
+    * passes its bucket end — observed buckets carry their dedup-mean
+    * (the batch Exact.davg arithmetic, replicated bit-for-bit — see
+    * [[FfillState]]), gaps carry the last mean forward, leading cells
+    * before a series' first tick are null (all exactly the batch
+    * output's contract, so StreamsSpec grades stream ≡ batch
+    * row-for-row on the finalized prefix, and the w16 gate row grades
+    * the streamed grid against the batch w1's own DuckDB oracle).
     *
     * State per series: the open-bucket partials (≤ watermark/step
     * buckets) plus one carried double — bounded regardless of run

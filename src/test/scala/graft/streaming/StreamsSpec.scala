@@ -369,7 +369,7 @@ class StreamsSpec extends SparkTestBase {
     val ev = spark.read.schema(graft.Catalog.schemas("events"))
       .parquet(in)
     val batch = graft.ops.Time.resampleFfill(spark, ev, "user_id", "ts",
-      "value", base, end, step, avg(col("value")))
+      "value", base, end, step, graft.ops.Exact.davg(col("value")))
     // finalized prefix: the final watermark is max ts - delay; every
     // bucket whose end is at or before it must have been emitted
     val maxSec = ev.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
@@ -502,7 +502,7 @@ class StreamsSpec extends SparkTestBase {
     val ev = spark.read.schema(graft.Catalog.schemas("events"))
       .parquet(in)
     val batchCells = graft.ops.Time.resampleFfill(spark, ev, "user_id",
-        "ts", "value", base, end, step, avg(col("value")))
+        "ts", "value", base, end, step, graft.ops.Exact.davg(col("value")))
       .select(timestamp_seconds(col("bucket")).as("ts"), col("user_id"),
         col("value"))
     val batch = Streams.windowedCorrPlan(batchCells, users,
