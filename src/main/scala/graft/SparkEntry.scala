@@ -502,7 +502,15 @@ object SparkEntry {
 
   private[graft] def resampled(s: SparkSession, d: String, nUsers: Int,
                         a: Long, b: Long, step: Long): DataFrame =
-    Time.resampleFfill(s,
+    resampledParts(s, d, nUsers, a, b, step)._2
+
+  /** [[resampled]] exposing `(bucketed, filled)` — the bucketed stage is
+    * the cheap cached prefix the id-universe collect should ride (see
+    * [[graft.ops.Time.resampleFfillParts]]).
+    */
+  private[graft] def resampledParts(s: SparkSession, d: String, nUsers: Int,
+                        a: Long, b: Long, step: Long): (DataFrame, DataFrame) =
+    Time.resampleFfillParts(s,
       T(s, d, "events").where(col("user_id") < nUsers),
       "user_id", "ts", "value", a, b, step,
       davg(col("value")))
@@ -559,13 +567,18 @@ object SparkEntry {
   private val qW16 = Q("w16_streaming_ffill",
     (s, d) => {
       val srcName = "w16_stream_src"
-      graft.sources.Materialize.table(s, d, srcName) {
+      // processTable/processPath, NOT table/path: these three dirs carry
+      // a streaming checkpoint's lifetime, which is strictly this JVM —
+      // under a shared GRAFT_SCRATCH root a stale checkpoint would
+      // survive fixture regeneration and read back old cells against a
+      // freshly computed oracle.
+      graft.sources.Materialize.processTable(s, d, srcName) {
         T(s, d, "events").where(col("user_id") < 8 &&
           col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan8))
       }
-      val src = graft.sources.Materialize.path(d, srcName)
-      val cells = graft.sources.Materialize.path(d, "w16_stream_cells")
-      val ck = graft.sources.Materialize.path(d, "w16_stream_ck")
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val cells = graft.sources.Materialize.processPath(d, "w16_stream_cells")
+      val ck = graft.sources.Materialize.processPath(d, "w16_stream_ck")
       graft.streaming.Streams.resampleFfillStream(s, src, cells, ck,
         jan2, jan3, 300, watermark = "30 minutes")
       s.read.parquet(cells)
@@ -963,30 +976,33 @@ object SparkEntry {
     * Array[Double] row per bucket, NaN = missing) — the input shape of
     * [[graft.functions.CorrMatrixAgg]]. Shared by the a3 one-pass tiers
     * and the wide graph-edge builder (g4). The key set (k ids —
-    * dimension metadata, not data) is collected from the CACHED filled
-    * panel itself: its first action materializes the cache every
-    * consumer shares anyway, and a second raw tick scan just to list
-    * ids would dominate at the 100 TB posture (and would maintain the
-    * filter predicate in two places).
+    * dimension metadata, not data) is collected from the CACHED
+    * bucketed prefix, not from a second raw tick scan (which would
+    * dominate at the 100 TB posture and maintain the filter predicate
+    * twice) and not from the filled grid either — the metadata job
+    * should not pay the grid join + ffill window, which materialize
+    * inside the consumer's own first action instead.
     */
   private[graft] def widePanel(s: SparkSession, d: String, nUsers: Int,
       a: Long, b: Long, step: Long): (Seq[Long], DataFrame) = {
-    val filled = resampled(s, d, nUsers, a, b, step)
-    val users = sortedUsers(filled)
+    val (bucketed, filled) = resampledParts(s, d, nUsers, a, b, step)
+    val users = sortedUsers(bucketed)
     (users, panelOf(filled, users))
   }
 
-  /** Sorted distinct series ids of a long-form filled panel — dimension
-    * metadata (k ids), collected from the panel relation itself (its
-    * first action materializes whatever cache the consumers share
-    * anyway; a second raw tick scan just to list ids would dominate at
-    * the 100 TB posture and maintain the filter predicate twice).
+  /** Sorted distinct series ids of a long-form panel relation —
+    * dimension metadata (k ids), collected from the panel itself (its
+    * first action materializes whatever cache/lake table the consumers
+    * share anyway). The sort happens on the DRIVER: k ids is a few KB,
+    * and a distributed `orderBy` would add a range exchange (with its
+    * boundary-sampling pass) to a job whose entire output is collected
+    * two lines later.
     */
-  private[graft] def sortedUsers(filled: DataFrame): Seq[Long] = {
-    val s = filled.sparkSession
+  private[graft] def sortedUsers(panel: DataFrame): Seq[Long] = {
+    val s = panel.sparkSession
     import s.implicits._
-    filled.select("user_id").distinct()
-      .orderBy("user_id").as[Long].collect().toSeq
+    panel.select("user_id").distinct()
+      .as[Long].collect().sorted.toSeq
   }
 
   /** The per-bucket k-wide vector assembly of [[widePanel]], factored

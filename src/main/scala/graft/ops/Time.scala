@@ -113,7 +113,7 @@ object Time {
       col(tsCol) >= timestamp_millis(lit(startMs)) &&
         col(tsCol) < timestamp_millis(lit(endMs)),
       ems - pmod(ems, lit(stepMs)),
-      startMs, endMs, stepMs, agg)
+      startMs, endMs, stepMs, agg)._2
   }
 
   /** The shared resample body behind [[resampleFfill]] (epoch-second
@@ -140,7 +140,7 @@ object Time {
                                 start: Long, end: Long, step: Long,
                                 agg: Column,
                                 fill: (DataFrame, String, String, String)
-                                  => DataFrame = ffill): DataFrame = {
+                                  => DataFrame = ffill): (DataFrame, DataFrame) = {
     val bucketed = ticks.where(rangeFilter)
       .groupBy(bucketExpr.as("bucket"), col(keyCol))
       .agg(agg.as(valueCol))
@@ -151,7 +151,7 @@ object Time {
     val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
     val filled = fill(joined, keyCol, "bucket", valueCol).cache()
     cachedPanels.add(filled)
-    filled
+    (bucketed, filled)
   }
 
   /** Backward-fill twin of [[resampleFfill]] — identical bucket + grid
@@ -166,7 +166,7 @@ object Time {
       col(tsCol) >= timestamp_seconds(lit(startSec)) &&
         col(tsCol) < timestamp_seconds(lit(endSec)),
       bucketSec(col(tsCol), stepSec),
-      startSec, endSec, stepSec, agg, bfill)
+      startSec, endSec, stepSec, agg, bfill)._2
 
   /** Bucket + mean (the reference's dedup-mean of simultaneous ticks, A1:
     * correlation_matrix_exporter.py:109) then grid-join + ffill — the full
@@ -179,6 +179,21 @@ object Time {
                     tsCol: String, valueCol: String,
                     startSec: Long, endSec: Long, stepSec: Long,
                     agg: Column): DataFrame =
+    resampleFfillParts(spark, ticks, keyCol, tsCol, valueCol,
+      startSec, endSec, stepSec, agg)._2
+
+  /** [[resampleFfill]] exposing BOTH cached stages as
+    * `(bucketed, filled)`. The bucketed panel is the cheap prefix (tick
+    * scan + bucket aggregate, no grid join, no ffill window) — callers
+    * that need the series-id universe collect it from `bucketed`, so
+    * the collect's first action materializes only the prefix both
+    * stages share, and the grid+ffill work stays inside the consumer's
+    * own action instead of riding the metadata job.
+    */
+  def resampleFfillParts(spark: SparkSession, ticks: DataFrame,
+                         keyCol: String, tsCol: String, valueCol: String,
+                         startSec: Long, endSec: Long, stepSec: Long,
+                         agg: Column): (DataFrame, DataFrame) =
     resampleFfillCore(spark, ticks, keyCol, valueCol,
       col(tsCol) >= timestamp_seconds(lit(startSec)) &&
         col(tsCol) < timestamp_seconds(lit(endSec)),

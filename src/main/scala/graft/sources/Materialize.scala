@@ -93,6 +93,35 @@ object Materialize {
   def path(dir: String, name: String): String =
     s"$root/${dirKey(dir)}/$name"
 
+  /** Per-process scratch path — like [[path]] but ALWAYS under the
+    * per-process root, even when `GRAFT_SCRATCH` redirects [[root]] to a
+    * shared location. Streaming checkpoints and stream-staged sources
+    * must live here: a checkpoint encodes THIS JVM's query progress (a
+    * stale one surviving fixture regeneration would read back old cells
+    * and grade them against a freshly computed oracle), and two
+    * concurrent JVMs sharing one checkpoint/output dir corrupt each
+    * other's offsets mid-drain.
+    */
+  def processPath(dir: String, name: String): String =
+    s"$processRoot/${dirKey(dir)}/$name"
+
+  /** Like [[table]] but persisted under the per-process root (see
+    * [[processPath]]) — for stream-staged sources, which are read by a
+    * checkpointed streaming query and so inherit the checkpoint's
+    * per-process lifetime requirements.
+    */
+  def processTable(spark: SparkSession, dir: String, name: String)
+                  (build: => DataFrame): DataFrame = {
+    val p = synchronized {
+      builtTables.getOrElseUpdate((dir, s"process_$name"), {
+        val out = processPath(dir, name)
+        build.write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+    spark.read.parquet(p)
+  }
+
   /** The named table for fixture `dir`: built + written once per JVM by
     * `build`, a parquet scan of the persisted result ever after.
     */

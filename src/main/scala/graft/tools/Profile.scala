@@ -9,7 +9,8 @@
 // 3x with caches cleared, so a bench line can be attributed to its
 // dominant stage:
 //   sbt "runMain graft.tools.Profile <sfDir> --phases <set>"
-// Sets: panel | a3d | a3e | d4 | s6b | cc
+// Sets: see phaseSets below (panel | a3d | a3e | d4 | s6b | s15 | cc);
+// an unknown set errors with the current list.
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -188,8 +189,14 @@ object Profile {
     */
   private def phasesCC(s: SparkSession, d: String): Unit = {
     val t00 = System.nanoTime()
-    val pairs = SparkEntry.queries("d2_minhash_lsh")(s, d)
-      .select("i", "j")
+    // materialize the pair graph to scratch parquet ONCE: phase() clears
+    // all caches per run, so timing connectedComponents over the raw d2
+    // plan would re-run the whole minhash pipeline each iteration and
+    // attribute its cost to CC
+    val out = graft.sources.Materialize.processPath(d, "profile_cc_pairs")
+    SparkEntry.queries("d2_minhash_lsh")(s, d).select("i", "j")
+      .write.mode("overwrite").parquet(out)
+    val pairs = s.read.parquet(out)
     println(f"[p] pairs=${pairs.count()} build ${(System.nanoTime() - t00) / 1e9}%.2f s")
     phase(s, "connectedComponents") {
       graft.ops.Components.connectedComponents(pairs, "i", "j").count()

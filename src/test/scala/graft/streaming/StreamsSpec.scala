@@ -568,8 +568,14 @@ class StreamsSpec extends SparkTestBase {
         .format("noop").start()
       try q.awaitTermination() finally q.stop()
     }
-    assert(e.getMessage.toLowerCase.contains("flatmapgroupswithstate"),
-      e.getMessage)
+    // the intercept above is the real canary (a lifted restriction makes
+    // it fail); this only pins that the rejection came from the
+    // streaming UnsupportedOperationChecker rather than some unrelated
+    // analysis error — by its error condition, with the message
+    // substring as fallback so a condition rename alone can't fail it
+    assert(e.getCondition == "_LEGACY_ERROR_TEMP_3102" ||
+      e.getMessage.toLowerCase.contains("flatmapgroupswithstate"),
+      s"condition=${e.getCondition} msg=${e.getMessage}")
   }
 
   test("windowedCorr: streamed per-day corr matrices equal the batch " +
