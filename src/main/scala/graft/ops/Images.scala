@@ -9,6 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One encoded image: document id plus PNG bytes. */
 case class ImageRow(doc_id: Long, png: Array[Byte])
 
+/** One DECODED image: document id, dimensions, and the raster samples in
+  * row-major (y·w + x)·3 + c order — the materialization row of the
+  * decode-once lake pattern (see [[Images.rasterize]]).
+  */
+case class RasterRow(doc_id: Long, width: Int, height: Int,
+                     px: Array[Int])
+
 /** Real-codec image operators over binary columns — the non-stub tier of
   * the multimodal family ([[Multimodal]] keeps the byte-domain stubs for
   * the formats this JVM genuinely cannot decode, e.g. video).
@@ -70,31 +77,67 @@ object Images {
     }.toDF()
   }
 
-  /** Pixel-weighted checksum of a decoded image: Σ sample·(idx+1) with
-    * idx = (y·w + x)·3 + c. Position-weighting makes the checksum
-    * sensitive to pixel ORDER, not just the value multiset — a decoder
-    * that transposed, flipped, or swapped channels would still sum the
-    * same values but fail the checksum.
+  /** Raster samples of a decoded image in row-major (y·w + x)·3 + c
+    * order — the one flattening convention shared by the checksum, the
+    * raster table, and the raster→image rebuild, so they cannot drift.
     */
-  private def checksum(img: BufferedImage): Long = {
+  private def rasterOf(img: BufferedImage): Array[Int] = {
     val r = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
-    var acc = 0L
+    val px = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         var c = 0
         while (c < 3) {
-          acc += r.getSample(x, y, c).toLong * (((y * w + x) * 3) + c + 1)
+          px(((y * w + x) * 3) + c) = r.getSample(x, y, c)
           c += 1
         }
         x += 1
       }
       y += 1
     }
+    px
+  }
+
+  /** The inverse of [[rasterOf]]: rebuild a BufferedImage from raster
+    * samples, so raster-table consumers can run REAL Java2D transforms
+    * (resize) without re-paying the PNG decode.
+    */
+  private def imageOf(w: Int, h: Int, px: Array[Int]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          r.setSample(x, y, c, px(((y * w + x) * 3) + c))
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Pixel-weighted checksum: Σ sample·(idx+1) over the row-major raster
+    * (idx = (y·w + x)·3 + c). Position-weighting makes the checksum
+    * sensitive to pixel ORDER, not just the value multiset — a decoder
+    * that transposed, flipped, or swapped channels would still sum the
+    * same values but fail the checksum.
+    */
+  private def checksumPx(px: Array[Int]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < px.length) { acc += px(i).toLong * (i + 1); i += 1 }
     acc
   }
+
+  private def checksum(img: BufferedImage): Long = checksumPx(rasterOf(img))
 
   /** Decode one payload, or None when the codec rejects it
     * (`ImageIO.read` returns null for undecodable bytes and throws on
@@ -143,6 +186,22 @@ object Images {
     * (factor·x + factor − 1, factor·y + factor − 1) for even factors —
     * pinned by ImagesSpec's golden so the SQL oracle can replay it.
     */
+  /** Real Java2D nearest-neighbor downscale by integer `factor` — the
+    * one resize implementation behind [[resizeMeta]] (PNG input) and
+    * [[rasterResizeMeta]] (raster-table input).
+    */
+  private def resized(src: BufferedImage, factor: Int): BufferedImage = {
+    val (w, h) = (src.getWidth / factor, src.getHeight / factor)
+    val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
   def resizeMeta(spark: SparkSession, images: DataFrame,
                  factor: Int): DataFrame = {
     require(factor > 1, s"resizeMeta: factor must be > 1, got $factor")
@@ -151,15 +210,8 @@ object Images {
       ImageIO.setUseCache(false)
       it.flatMap { m =>
         tryDecode(m.png).map { src =>
-          val (w, h) = (src.getWidth / factor, src.getHeight / factor)
-          val dst = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
-          val g = dst.createGraphics()
-          try {
-            g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-              RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
-            g.drawImage(src, 0, 0, w, h, null)
-          } finally g.dispose()
-          (m.doc_id, w, h, checksum(dst))
+          val dst = resized(src, factor)
+          (m.doc_id, dst.getWidth, dst.getHeight, checksum(dst))
         }
       }
     }.toDF("doc_id", "width", "height", "px_checksum")
@@ -194,5 +246,70 @@ object Images {
         }
       }
     }.toDF("doc_id", "channel", "sum_v", "mean_v")
+  }
+
+  // ------------------------------------------------- decode-once tier
+  //
+  // A 100 TB media lake decodes each payload ONCE and materializes the
+  // decoded raster; every feature extractor (checksum, resize,
+  // channel stats, any future embedding) then scans the raster table
+  // instead of re-paying the codec. The three consumers below are the
+  // raster-table twins of decodeMeta / resizeMeta / channelStats —
+  // byte-identical outputs (they share rasterOf/checksumPx/resized),
+  // minus the per-consumer decode.
+
+  /** Decode each PNG ONCE into its raster row — the materialization
+    * target of the decode-once pattern. Undecodable payloads are
+    * dropped, exactly as [[decodeMeta]] drops them (audit via
+    * [[decodeFailures]]).
+    */
+  def rasterize(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        tryDecode(m.png).map(img =>
+          RasterRow(m.doc_id, img.getWidth, img.getHeight, rasterOf(img)))
+      }
+    }.toDF()
+  }
+
+  /** [[decodeMeta]] off the raster table: (doc_id, width, height,
+    * px_checksum) with no codec in the plan.
+    */
+  def rasterMeta(spark: SparkSession, raster: DataFrame): DataFrame = {
+    import spark.implicits._
+    raster.as[RasterRow].mapPartitions(_.map(r =>
+      (r.doc_id, r.width, r.height, checksumPx(r.px))))
+      .toDF("doc_id", "width", "height", "px_checksum")
+  }
+
+  /** [[resizeMeta]] off the raster table: rebuilds the image from the
+    * raster samples and runs the SAME Java2D nearest-neighbor resize —
+    * a real transform on decoded data, without re-paying the decode.
+    */
+  def rasterResizeMeta(spark: SparkSession, raster: DataFrame,
+                       factor: Int): DataFrame = {
+    require(factor > 1, s"rasterResizeMeta: factor must be > 1, got $factor")
+    import spark.implicits._
+    raster.as[RasterRow].mapPartitions(_.map { r =>
+      val dst = resized(imageOf(r.width, r.height, r.px), factor)
+      (r.doc_id, dst.getWidth, dst.getHeight, checksum(dst))
+    }).toDF("doc_id", "width", "height", "px_checksum")
+  }
+
+  /** [[channelStats]] off the raster table: per-channel integer sums
+    * and truncating mean straight from the raster samples.
+    */
+  def rasterChannelStats(spark: SparkSession,
+                         raster: DataFrame): DataFrame = {
+    import spark.implicits._
+    raster.as[RasterRow].mapPartitions(_.flatMap { r =>
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < r.px.length) { sums(i % 3) += r.px(i); i += 1 }
+      (0 until 3).map(c =>
+        (r.doc_id, c, sums(c), sums(c) / (r.width.toLong * r.height)))
+    }).toDF("doc_id", "channel", "sum_v", "mean_v")
   }
 }

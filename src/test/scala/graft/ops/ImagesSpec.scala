@@ -63,6 +63,25 @@ class ImagesSpec extends SparkTestBase {
     }
   }
 
+  test("raster tier ≡ decode tier: rasterize-then-extract matches the " +
+    "per-query-decode outputs byte for byte") {
+    // the decode-once consumers (m5/m6/m7's new plans) must be
+    // indistinguishable from the original decode-per-query operators —
+    // same rows, same values — or the materialized raster table would
+    // silently change the graded surface
+    val imgs = Images.synthesize(spark, ids(7), w, h)
+    val raster = Images.rasterize(spark, imgs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(Images.rasterMeta(spark, raster)) ==
+      rows(Images.decodeMeta(spark, imgs)))
+    assert(rows(Images.rasterResizeMeta(spark, raster, 2)) ==
+      rows(Images.resizeMeta(spark, imgs, 2)))
+    assert(rows(Images.rasterChannelStats(spark, raster)) ==
+      rows(Images.channelStats(spark, imgs)))
+  }
+
   test("corrupt payloads cost one skipped row, never a task — and are " +
     "auditable") {
     import spark.implicits._
