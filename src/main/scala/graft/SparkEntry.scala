@@ -1125,7 +1125,9 @@ object SparkEntry {
   private[graft] def panelRho(s: SparkSession, d: String, nUsers: Int,
       a: Long, b: Long, step: Long,
       roundThenFilter: Option[(Int, Double)] = None,
-      onePassMaxK: Int = OnePassMaxK): (Seq[Long], DataFrame) = {
+      onePassMaxK: Int = OnePassMaxK,
+      broadcastVerifyMaxCells: Long =
+        graft.ops.CorrPrune.BroadcastVerifyMaxCells): (Seq[Long], DataFrame) = {
     val nBuckets = (b - a) / step
     val (users, panel) = widePanel(s, d, nUsers, a, b, step)
     val k = users.size
@@ -1147,6 +1149,19 @@ object SparkEntry {
         // derivation reuses the same in-memory relation widePanel built
         val p = resampled(s, d, nUsers, a, b, step)
           .withColumn("pos", ((col("bucket") - a) / step + 1).cast("int"))
+        // verify-path selection by panel size: the broadcast verify
+        // ships each executor the whole panel (right up to ~160 MB =
+        // BroadcastVerifyMaxCells grid cells); past that the vector
+        // verify contracts the panel to one compact row per series and
+        // joins candidates against it — no panel broadcast anywhere
+        // (PlanGuardSpec pins both shapes)
+        val rho =
+          if (k.toLong * nBuckets <= broadcastVerifyMaxCells)
+            graft.ops.CorrPrune.candidateRho(p, "user_id", "pos", "value",
+              dims = nBuckets.toInt, bands = 8, bits = 5)
+          else
+            graft.ops.CorrPrune.candidateRhoVectors(p, "user_id", "pos",
+              "value", dims = nBuckets.toInt, bands = 8, bits = 5)
         // round-then-filter BELOW the vid map, then a registered cache
         // on the handful of survivors: the candidate plan's band-bucket
         // self-join re-reads shared subtrees, which the cache pays for
@@ -1154,10 +1169,7 @@ object SparkEntry {
         // sf0.1 — Q.sortedSmall's scaladoc), and a caller's total-order
         // sort then reads the cached edges instead of re-running the
         // pruned plan
-        val survivors = graft.ops.Time.registerCached(
-          rounded(graft.ops.CorrPrune
-            .candidateRho(p, "user_id", "pos", "value",
-              dims = nBuckets.toInt, bands = 8, bits = 5)).cache())
+        val survivors = graft.ops.Time.registerCached(rounded(rho).cache())
         // vid mapping stays join-free: array_position over the sorted
         // id seq is O(k) per row, paid only on the threshold-pruned
         // edge set this tier exists to keep small
@@ -1309,6 +1321,31 @@ object SparkEntry {
     },
     a3dOracleSql)
 
+  // A3 tier iv at the POST-BROADCAST regime, forced: the same pruned
+  // search as a3d through CorrPrune.candidateRhoVectors — the verify
+  // path panelRho selects once k·dims exceeds BroadcastVerifyMaxCells
+  // (~160 MB of panel, k ≳ 2000 at 10⁴ positions), where shipping every
+  // executor a panel copy stops scaling. The panel contracts to one
+  // compact vector row per series; candidate pairs join the vectors and
+  // the identical Stats.pearson verifies map-side-partially — no panel
+  // broadcast anywhere (PlanGuardSpec pins it in the cluster shape).
+  // Identical geometry and output to a3d, so the oracle is a3d's
+  // verbatim — the driver's gate grades that the two physical verify
+  // strategies agree bit-for-bit after the 4-dp round.
+  private val qA3f = Q("a3f_corr_pruned_unbroadcast",
+    (s, d) => {
+      val panel = resampled(s, d, 300, jan1, jan2, 600)
+        .withColumn("pos",
+          ((col("bucket") - jan1) / 600 + 1).cast("int"))
+      graft.ops.CorrPrune
+        .candidateRhoVectors(panel, "user_id", "pos", "value",
+          dims = 144, bands = A3dBands, bits = A3dBits)
+        .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
+        .where(col("rho") >= 0.5)
+        .transform(Q.sortedSmall(_, "i", "j"))
+    },
+    a3dOracleSql)
+
   // --------------------------------------------------------------- wiring
 
   private val all: Seq[Q] = Seq(
@@ -1318,7 +1355,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
-    qA3, qA3b, qA3c, qA3d, qA3e) ++
+    qA3, qA3b, qA3c, qA3d, qA3e, qA3f) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all
 

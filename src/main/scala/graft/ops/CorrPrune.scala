@@ -97,4 +97,47 @@ object CorrPrune {
       .groupBy("i", "j")
       .agg(Stats.pearson(col("va"), col("vb")).as("rho"))
   }
+
+  /** Panel-cell ceiling for [[candidateRho]]'s broadcast verify: k·dims
+    * grid cells ≈ 8 bytes each, so 2×10⁷ cells is the ~160 MB panel the
+    * broadcast comment bounds. Past it, [[candidateRhoVectors]] is the
+    * verify path — [[graft.SparkEntry.panelRho]] switches on this.
+    */
+  val BroadcastVerifyMaxCells: Long = 20000000L
+
+  /** [[candidateRho]] without broadcasting the panel: the verify path
+    * for panels past [[BroadcastVerifyMaxCells]] (k ≳ 2000 at 10⁴
+    * positions), where shipping every executor a full panel copy stops
+    * scaling. The panel is first contracted to ONE COMPACT VECTOR ROW
+    * per series (pos-ordered value array — k rows instead of k·dims),
+    * which is the only panel-sized shuffle in the plan; each candidate
+    * pair then joins its two vectors (shuffles move candidate-sized
+    * relations and k vector rows, never the cell-level panel), the pair
+    * explodes its zipped positions MAP-SIDE, and the partial-aggregated
+    * [[Stats.pearson]] — the identical aggregate the broadcast path
+    * runs, null slots skipped pairwise — crosses the final shuffle as
+    * one co-moment row per pair. Same output as [[candidateRho]] on any
+    * input; only the physical strategy differs.
+    */
+  def candidateRhoVectors(panel: DataFrame, keyCol: String, posCol: String,
+                          valueCol: String, dims: Int, bands: Int,
+                          bits: Int): DataFrame = {
+    val cand = corrCandidates(panel, keyCol, posCol, valueCol, dims,
+      bands, bits)
+    // array_sort orders the structs by pos (distinct within a series),
+    // so the vector is position-aligned; null values ride inside the
+    // structs (collect_list only skips null STRUCTS) and keep the
+    // pairwise-complete semantics through the zip below
+    val vecs = panel.groupBy(col(keyCol))
+      .agg(transform(array_sort(collect_list(struct(col(posCol).as("p"),
+        col(valueCol).as("v")))), e => e.getField("v")).as("vs"))
+    cand
+      .join(vecs.select(col(keyCol).as("i"), col("vs").as("va")), Seq("i"))
+      .join(vecs.select(col(keyCol).as("j"), col("vs").as("vb")), Seq("j"))
+      .select(col("i"), col("j"),
+        explode(zip_with(col("va"), col("vb"),
+          (x, y) => struct(x.as("x"), y.as("y")))).as("e"))
+      .groupBy("i", "j")
+      .agg(Stats.pearson(col("e.x"), col("e.y")).as("rho"))
+  }
 }

@@ -100,24 +100,43 @@ object LlmQueries {
      Text.bandKeys(Text.minhashSignature(sh, "doc_id", 12),
        "doc_id", 2, 6))
 
+  /** Bucket layout of the signature lake: the band table is bucketed by
+    * its probe key (band, bkey) so d8's candidate join reads two
+    * in-place scans of the same layout (zero exchange, s15's shape);
+    * the set table is bucketed by doc_id so the per-side size/shingle
+    * attachment joins never move it. 16 buckets, matching the panel
+    * lake table.
+    */
+  private val DedupBuckets = 16
+  private val dedupKeys = Map(
+    "dedup_bands" -> Seq("band", "bkey"),
+    "dedup_sets" -> Seq("doc_id"))
+
   /** Builds (once per JVM) BOTH persisted signature tables from a single
     * cached pass over the corpus shingles, then unpersists — the cache
-    * exists only for the build's lifetime, never the session's.
+    * exists only for the build's lifetime, never the session's. Both
+    * are BUCKETED lake tables (see [[dedupKeys]]): at 100 TB the probe
+    * joins of every later ingest batch ride the on-disk layout instead
+    * of re-shuffling the corpus signatures per batch.
     */
   private def dedupTable(s: SparkSession, d: String,
                          which: String): DataFrame = {
-    if (!Materialize.isBuilt(d, "dedup_sets") ||
-        !Materialize.isBuilt(d, "dedup_bands")) {
+    // bucketedTable memoizes under "bucketed_<name>"
+    if (!Materialize.isBuilt(d, "bucketed_dedup_sets") ||
+        !Materialize.isBuilt(d, "bucketed_dedup_bands")) {
       val sh = shingleHashes(s, d).cache()
       try {
         val (sets, bands) = signatureTables(sh)
-        Materialize.table(s, d, "dedup_sets")(sets)
-        Materialize.table(s, d, "dedup_bands")(bands)
+        Materialize.bucketedTable(s, d, "dedup_sets", DedupBuckets,
+          dedupKeys("dedup_sets"))(sets)
+        Materialize.bucketedTable(s, d, "dedup_bands", DedupBuckets,
+          dedupKeys("dedup_bands"))(bands)
         ()
       } finally { sh.unpersist(); () }
     }
     // both built above — the by-name builder is never forced
-    Materialize.table(s, d, which)(sys.error(s"$which already built"))
+    Materialize.bucketedTable(s, d, which, DedupBuckets,
+      dedupKeys(which))(sys.error(s"$which already built"))
   }
 
   /** Persisted per-doc shingle-hash sets (doc_id, hs sorted, sz) — the
@@ -134,6 +153,60 @@ object LlmQueries {
   private[graft] def dedupBands(s: SparkSession, d: String): DataFrame =
     dedupTable(s, d, "dedup_bands")
 
+  /** Banded-LSH candidate generation + exact Jaccard verification over
+    * the signature lake tables — the ONE near-dup pair shape behind the
+    * corpus self-dedup ([[d2Pairs]]: both band sides the same table)
+    * and the incremental probe ([[deltaVerdicts]]: delta bands probe
+    * the corpus). Returns (i, j, jac) with jac ≥ 0.95 at 6 dp.
+    *
+    * Join order is the lake-layout shape: the (band, bkey) probe runs
+    * FIRST with nothing attached — when both sides scan the
+    * (band, bkey)-bucketed table it plans with zero exchanges, and a
+    * micro-batch-sized probe side broadcasts — then size + shingle set
+    * attach to the (delta-sized) candidate relation in ONE join per
+    * side against the doc_id-bucketed set table's in-place scan.
+    *
+    * Size-ratio prefilter: jac <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    * whose sizes differ by more than the threshold can never verify.
+    * Margin 0.949999 (not 0.95) keeps pairs whose exact jac rounds up
+    * to the 6-dp threshold, so the output is provably unchanged (the
+    * oracle skips the prefilter). It cuts candidates between the
+    * attachment and the O(|A|+|B|) intersection — still the expensive
+    * step it exists to guard. No broadcast HINT on the set side:
+    * (doc_id, sz, hs) is one row PER DOCUMENT — corpus-sized — so
+    * forcing a broadcast would collect the corpus onto the driver at
+    * 10⁹ docs; statistics pick the strategy.
+    *
+    * The verify itself is a hash-set array intersection: |cand| rows
+    * each carrying two ~|doc|-long arrays, O(|A|+|B|) per pair, no
+    * shuffle wider than the candidate set. This beats the
+    * inverted-index count-join (candidate × postings equi-join +
+    * aggregation, shuffling Σ|pair postings| rows — measured 2× slower
+    * at sf0.1) whenever shingle sets fit comfortably in a row, as
+    * unigram/bigram sets do; for huge per-doc sets the count-join
+    * remains the fallback shape.
+    */
+  private def verifiedPairs(aBands: DataFrame, bBands: DataFrame,
+                            sets: DataFrame): DataFrame = {
+    val a = aBands.select(col("band"), col("bkey"), col("doc_id").as("i"))
+    val b = bBands.select(col("band"), col("bkey"), col("doc_id").as("j"))
+    val cand = a.join(b, Seq("band", "bkey"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("i"), col("sz").as("sa"),
+        col("hs").as("ha")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("sz").as("sb"),
+        col("hs").as("hb")), Seq("j"))
+      .where(least(col("sa"), col("sb")) * 1000000L >=
+        greatest(col("sa"), col("sb")) * 949999L)
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jac", round(col("inter") /
+        (col("sa") + col("sb") - col("inter")), 6))
+      .where(col("jac") >= 0.95)
+      .select("i", "j", "jac")
+  }
+
   /** d2's verified near-dup pair relation (i, j, jac ≥ 0.95), persisted
     * once and consumed by the pair query itself and d6's cluster
     * construction — d6's plan is components-over-a-table-scan, never a
@@ -142,45 +215,7 @@ object LlmQueries {
   private[queries] def d2Pairs(s: SparkSession, d: String): DataFrame =
     Materialize.table(s, d, "dedup_pairs") {
       val bands = dedupBands(s, d)
-      val sets = dedupSets(s, d)
-      val a = bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
-      val b = bands.select(col("band"), col("bkey"), col("doc_id").as("j"))
-      // Size-ratio prefilter: jac <= min(|A|,|B|)/max(|A|,|B|), so pairs
-      // whose sizes differ by more than the threshold can never verify.
-      // Margin 0.949999 (not 0.95) keeps pairs whose exact jac rounds up
-      // to the 6-dp threshold, so the output is provably unchanged.
-      // No broadcast HINT on the size side: (doc_id, sz) is one row PER
-      // DOCUMENT — corpus-sized, not dimension-sized — so forcing a
-      // broadcast would collect the corpus onto the driver at 10⁹ docs.
-      // Left to statistics, Spark broadcasts while the table is small
-      // and switches to a shuffled join when it is not.
-      val cand = a
-        .join(sets.select(col("doc_id").as("i"),
-          col("sz").as("sa")), Seq("i"))
-        .join(b.join(sets.select(col("doc_id").as("j"),
-          col("sz").as("sb")), Seq("j")), Seq("band", "bkey"))
-        .where(col("i") < col("j") &&
-          least(col("sa"), col("sb")) * 1000000L >=
-            greatest(col("sa"), col("sb")) * 949999L)
-        .select("i", "j", "sa", "sb").distinct()
-      // Verify per candidate pair with a hash-set array intersection:
-      // |cand| rows each carrying two ~|doc|-long arrays, O(|A|+|B|) per
-      // pair, no shuffle wider than the candidate set. This beats the
-      // inverted-index count-join (candidate × postings equi-join +
-      // aggregation, shuffling Σ|pair postings| rows — measured 2× slower
-      // at sf0.1) whenever shingle sets fit comfortably in a row, as
-      // unigram/bigram sets do; for huge per-doc sets the count-join
-      // remains the fallback shape.
-      cand
-        .join(sets.select(col("doc_id").as("i"), col("hs").as("ha")),
-          Seq("i"))
-        .join(sets.select(col("doc_id").as("j"), col("hs").as("hb")),
-          Seq("j"))
-        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-        .withColumn("jac", round(col("inter") /
-          (col("sa") + col("sb") - col("inter")), 6))
-        .where(col("jac") >= 0.95)
-        .select("i", "j", "jac")
+      verifiedPairs(bands, bands, dedupSets(s, d))
   }
 
   private val qD2 = Q("d2_minhash_lsh",
@@ -500,33 +535,12 @@ object LlmQueries {
   private[graft] def deltaVerdicts(allBands: DataFrame,
       deltaBands: DataFrame, allSets: DataFrame, deltaIds: DataFrame,
       th: Long): DataFrame = {
-      val a = allBands.select(col("band"), col("bkey"),
-        col("doc_id").as("i"))
-      val b = deltaBands.select(col("band"), col("bkey"),
-        col("doc_id").as("j"))
-      val sets = allSets
-      // same size-ratio prefilter + hash-set verify as d2 (provably
-      // output-neutral, so the oracle skips the prefilter); as in d2,
-      // the per-document size side carries NO broadcast hint — it is
-      // corpus-sized, and statistics pick the join strategy
-      val cand = a
-        .join(sets.select(col("doc_id").as("i"),
-          col("sz").as("sa")), Seq("i"))
-        .join(b.join(sets.select(col("doc_id").as("j"),
-          col("sz").as("sb")), Seq("j")), Seq("band", "bkey"))
-        .where(col("i") < col("j") &&
-          least(col("sa"), col("sb")) * 1000000L >=
-            greatest(col("sa"), col("sb")) * 949999L)
-        .select("i", "j", "sa", "sb").distinct()
-      val m = cand
-        .join(sets.select(col("doc_id").as("i"), col("hs").as("ha")),
-          Seq("i"))
-        .join(sets.select(col("doc_id").as("j"), col("hs").as("hb")),
-          Seq("j"))
-        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
-        .withColumn("jac", round(col("inter") /
-          (col("sa") + col("sb") - col("inter")), 6))
-        .where(col("jac") >= 0.95)
+      // the shared band-probe-first candidate+verify shape
+      // ([[verifiedPairs]]): the corpus band/set tables are only ever
+      // scanned in place — the previous shape attached per-doc sizes to
+      // the FULL band table before probing, which sort-merge-shuffled
+      // corpus bands AND corpus sets on every ingest batch
+      val m = verifiedPairs(allBands, deltaBands, allSets)
         .groupBy(col("j").as("doc_id"))
         .agg(min("i").as("match_id"), count(lit(1)).as("n_matches"))
       deltaIds.select("doc_id")

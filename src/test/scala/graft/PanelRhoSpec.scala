@@ -97,6 +97,24 @@ class PanelRhoSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("past the broadcast-verify cell ceiling the selector switches " +
+    "to the vector verify, value-identically") {
+    val sf01 = "/root/testdata/sf0.01"
+    def run(maxCells: Long) = SparkEntry.panelRho(spark, sf01, 100, jan1,
+      jan2, 600, roundThenFilter = Some((4, 0.5)), onePassMaxK = 1,
+      broadcastVerifyMaxCells = maxCells)
+    val (_, bc) = run(Long.MaxValue) // broadcast verify
+    val (_, vec) = run(1L)           // forced past the cell ceiling
+    // the vector plan ships no raw panel broadcast; the broadcast plan
+    // does (hinted) — the strategies differ...
+    assert(planOf(bc).contains("BroadcastHashJoin"), planOf(bc))
+    // ...but the emitted edge sets are identical to the last bit
+    val b = bc.collect().map(_.toString).sorted.toSeq
+    val v = vec.collect().map(_.toString).sorted.toSeq
+    assert(b.nonEmpty, "no edges — vacuous")
+    assert(v == b)
+  }
+
   test("above the ceiling without a threshold refuses loudly") {
     val e = intercept[IllegalArgumentException] {
       SparkEntry.panelRho(spark, sf, 50, jan1, jan2, 600,

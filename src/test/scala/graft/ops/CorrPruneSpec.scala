@@ -69,4 +69,28 @@ class CorrPruneSpec extends SparkTestBase {
       dims = 48, bands = 2, bits = 4).count()
     assert(n < 8L * 7 / 2, s"2 bands × 16 buckets over 8 series must drop some of the 28 pairs (got $n)")
   }
+
+  test("candidateRhoVectors ≡ candidateRho: same pairs, same rho, " +
+    "including null grid slots") {
+    // leading-null slots (pre-first-observation ffill output) must keep
+    // the pairwise-complete semantics through the vector zip exactly as
+    // the position-join does
+    val withNulls = panel.withColumn("value",
+      when(col("key") === 1L && col("pos") <= 5, lit(null))
+        .otherwise(col("value")))
+    for (p <- Seq(panel, withNulls)) {
+      val bc = CorrPrune.candidateRho(p, "key", "pos", "value",
+          dims = 48, bands = 6, bits = 4)
+        .select("i", "j", "rho").as[(Long, Long, Double)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+      val vec = CorrPrune.candidateRhoVectors(p, "key", "pos", "value",
+          dims = 48, bands = 6, bits = 4)
+        .select("i", "j", "rho").as[(Long, Long, Double)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+      assert(vec.keySet == bc.keySet)
+      vec.foreach { case (k, r) =>
+        assert(math.abs(r - bc(k)) < 1e-12, s"pair $k: $r vs ${bc(k)}")
+      }
+    }
+  }
 }

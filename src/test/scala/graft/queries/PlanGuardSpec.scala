@@ -43,6 +43,48 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("Generate explode"), p)
   }
 
+  test("d8's probe rides the bucketed signature-lake layout — no " +
+    "exchange ever shuffles a lake-table scan") {
+    // the dedup band/set tables are written bucketBy((band, bkey) /
+    // doc_id): the incremental probe's joins must consume the on-disk
+    // layout, so no Exchange (shuffle OR broadcast build) may sit
+    // directly above a lake-table scan. Exchanges of candidate-sized
+    // relations downstream of a join/aggregate barrier are fine — those
+    // move delta-sized data. Asserted in the cluster shape (broadcasts
+    // disabled), like s14: at 100 TB nothing here fits a broadcast.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def lakeScanWithoutBarrier(p: SparkPlan): Boolean = p match {
+      case s: FileSourceScanExec =>
+        s.tableIdentifier.exists(t =>
+          t.table.contains("dedup_bands") || t.table.contains("dedup_sets"))
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        false
+      case other => other.children.exists(lakeScanWithoutBarrier)
+    }
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = SparkEntry.queries("d8_incremental_dedup")(spark, sf)
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val offenders = root.collect {
+        case e: Exchange if lakeScanWithoutBarrier(e.child) => e.nodeName
+      }
+      assert(offenders.isEmpty,
+        s"lake-table scans shuffled by:\n${offenders.mkString("\n")}")
+      val p = planOf(df)
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("d4's hot-shingle cut is a broadcast of the per-lang hot list") {
     val p = plan("d4_ngram_jaccard")
     // the max-df cut joins the tiny per-lang hot arrays as the BUILD
@@ -116,6 +158,61 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("Inner"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       p)
+  }
+
+  test("a3f's vector verify never broadcasts the panel (a3d's broadcast " +
+    "hints stay pinned as the small-panel shape)") {
+    // the two verify strategies of the pruned corr tier: candidateRho
+    // broadcasts the raw panel sides (right for panels under
+    // BroadcastVerifyMaxCells — pinned here as present), while the
+    // vector path must plan NO broadcast whose input is cell-level
+    // panel data — only aggregate-contracted relations (the per-series
+    // stats, the per-series vectors, the hyperplanes) may ever build a
+    // broadcast. Walked structurally: a broadcast build reaching a
+    // Window (the ffill) or a file scan without crossing an aggregate
+    // is a raw-panel ship.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def rawPanel(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        false
+      case _: org.apache.spark.sql.execution.window.WindowExec => true
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      // the resampled panel is cached, so its cell-level rows surface
+      // as an in-memory scan rather than a file scan
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        true
+      case other => other.children.exists(rawPanel)
+    }
+    // full traversal: the sortedSmall cache wraps the whole pruned plan
+    // in an InMemoryRelation (and AQE nests adaptive nodes inside it) —
+    // a plain collect() would see only Sort→Exchange→InMemoryTableScan
+    // and pass vacuously either way
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val into = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+        case im: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => walk(im.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      (p +: into) ++ p.children.flatMap(walk)
+    }
+    def broadcastOffenders(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      walk(df.queryExecution.executedPlan).collect {
+        case e: BroadcastExchangeExec if rawPanel(e.child) => e.nodeName
+      }
+    }
+    // a3d: the small-panel broadcast verify — the raw-panel broadcasts
+    // ARE the strategy (the measured map-side expansion win)
+    assert(broadcastOffenders("a3d_corr_pruned").nonEmpty,
+      "walk no longer reaches a3d's hinted panel broadcasts — " +
+        "the guard below would be vacuous")
+    // a3f: the vector verify — zero raw-panel broadcasts, at any
+    // threshold (its joins carry only aggregate-contracted relations)
+    val off = broadcastOffenders("a3f_corr_pruned_unbroadcast")
+    assert(off.isEmpty, s"vector verify ships raw panel:\n$off")
   }
 
   test("a11 keeps the single-pass shape — no distinct-aggregate Expand") {
