@@ -10,6 +10,12 @@ import java.nio.file.{Files, Paths}
   * or prune the output projection, so the measured time is the real cost of
   * producing every output row. A failing query is reported loudly on stderr
   * and recorded as -1 so a time-to-crash never pollutes the total.
+  *
+  * Host-state instrumentation (see SCALE.md's measurement section):
+  * endpoint canaries + load_avg bracket the sweep; a per-query micro
+  * canary lands in `canary_q`, and `suspect` lists every query whose
+  * micro canary ran ≥2× the sweep's own floor (`canary_floor`) — the
+  * per-line contamination signal endpoint canaries cannot provide.
   */
 object Bench {
 
@@ -37,6 +43,23 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Single-shot micro canary (~1/5 the endpoint canary's range, one
+    * run): interleaved after EVERY query so each per-query time carries
+    * its own host-state reading. Endpoint canaries proved blind to
+    * mid-sweep contention twice (r12's a3d and r13's e1b both recorded
+    * multi-× phantoms between clean endpoints); this closes that gap at
+    * ~0.1 s per query. Single-shot on purpose — a min-of-N would hide
+    * exactly the transient it exists to catch.
+    */
+  private def microCanarySec(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    val t0 = System.nanoTime()
+    spark.range(0L, 100000000L, 1L)
+      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
+      .agg(sum(col("h"))).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
@@ -54,6 +77,9 @@ object Bench {
     // after the sweep: their pair brackets the host's load over the run
     val loadStart = loadAvg
     val canaryStart = canarySec(spark)
+    // warm the micro canary's own codegen once, or the alphabetically
+    // first query inherits a false suspect flag from ITS warmup
+    microCanarySec(spark)
     // Median of 3 timed runs per query: single-shot times swung 2-4× in
     // both directions between rounds on byte-identical code (GC, JIT
     // recompilation, page-cache state), so no per-round perf delta is
@@ -84,21 +110,40 @@ object Bench {
         }
       }
       if (times.size < Runs) failures += 1
+      // the micro canary reads the host state THIS query just ran
+      // under — recorded per query so a mid-sweep load spike is visible
+      // on the line it contaminated, not just at the endpoints
+      val micro = microCanarySec(spark)
       if (times.size == Runs)
-        name -> (times.sorted.apply(Runs / 2), times.min)
-      else name -> (-1.0, -1.0)
+        name -> (times.sorted.apply(Runs / 2), times.min, micro)
+      else name -> (-1.0, -1.0, micro)
     }
     val good = results.filter(_._2._1 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
+    val qsCanary = results.map { case (k, v) => "\"" + k + "\":" + v._3 }
+      .mkString("{", ",", "}")
+    // self-calibrating suspect flag: the sweep's fastest micro canary is
+    // the host's clean floor for THIS run; any query whose micro canary
+    // ran ≥2× that floor executed under materially different host
+    // conditions, so its per-query seconds are not comparable across
+    // rounds (the r12/r13 phantom regressions were 2.4-3.4×). A fully
+    // contaminated sweep self-reports through the ENDPOINT canaries
+    // instead — the two signals are complementary.
+    val microFloor = results.map(_._2._3).min
+    val suspects = results.collect {
+      case (k, (_, _, m)) if m >= 2.0 * microFloor => k
+    }
+    val suspectJson =
+      suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2._1).sum
     val totalMin = good.map(_._2._2).sum
     val canaryEnd = canarySec(spark)
     val loadEnd = loadAvg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary_q":$qsCanary,"suspect":$suspectJson,"canary_floor":$microFloor,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
     println(line)
     // the driver's stdout capture truncates long lines from the front,
     // losing the alphabetically-early per-query times — always persist

@@ -76,6 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("pearson_arrays"),
+      new ExpressionInfo(classOf[graft.functions.PearsonArrays].getName,
+        "pearson_arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "pearson_arrays(va, vb) takes 2 array<double> arguments")
+        graft.functions.PearsonArrays(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName,
         "bloom_build"),

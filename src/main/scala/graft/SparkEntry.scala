@@ -588,6 +588,63 @@ object SparkEntry {
     Some(ffillSqlCte(8, jan2, jan3, 300) +
       " SELECT bucket, user_id, price FROM filled ORDER BY user_id, bucket"))
 
+  // W17 (round 14): the STREAMING per-span corr matrices ON THE ORACLE
+  // GATE — w16 proved the recipe (stage the slice in the engine's own
+  // encoding, drain under Trigger.AvailableNow, grade the landed table
+  // on a batch-SQL oracle); this applies it to Streams.windowedCorr,
+  // the continuous form of the flagship's per-window corr export. The
+  // fixture's tick density (~2.2 events/user/day) defines pairwise
+  // correlations only at coarse grain, so the continuous deployment
+  // here is daily dedup-mean buckets × 7-day spans over 15 series —
+  // most pairs co-observe 5-6 daily buckets per span, so the graded
+  // matrices carry real rho values, not just nulls. The whole staged
+  // slice (through Jan 30) drives the watermark a comfortable 5 days
+  // past the last graded span's end (Jan 25), so every graded span has
+  // finalized deterministically; rho is rounded at 4 dp on both sides
+  // (the UDAF's Chan-merge partials are order-sensitive at ~1e-12,
+  // eight orders inside the rounding slack). Pairs with undefined rho
+  // (fewer than two co-observed buckets, or a constant side) are
+  // emitted as null by the UDAF and reinstated in the oracle by a
+  // universe cross join — row sets match exactly.
+  private val qW17 = Q("w17_streaming_corr",
+    (s, d) => {
+      val srcName = "w17_stream_src"
+      graft.sources.Materialize.processTable(s, d, srcName) {
+        T(s, d, "events").where(col("user_id") < 15)
+      }
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val out = graft.sources.Materialize.processPath(d, "w17_stream_corr")
+      val ck = graft.sources.Materialize.processPath(d, "w17_stream_ck")
+      graft.streaming.Streams.windowedCorr(s, src, out, ck,
+        users = (0L until 15L).toSeq, bucket = "1 day", span = "7 days",
+        watermark = "1 hour")
+      s.read.parquet(out)
+        .where(col("window_start") <= 1705536000L)
+        .select(col("window_start"), col("i"), col("j"),
+          round(col("rho"), 4).as("rho"))
+        .transform(Q.sortedOnce(_, "window_start", "i", "j"))
+    },
+    Some(s"""WITH b AS (
+        SELECT $EP - $EP % 86400 AS bucket, user_id, avg(value) AS v
+        FROM events WHERE user_id < 15
+        GROUP BY 1, 2),
+      u AS (SELECT range AS user_id FROM range(0, 15)),
+      spans AS (
+        SELECT DISTINCT bucket - bucket % 604800 AS window_start FROM b),
+      pairs AS (
+        SELECT s.window_start, a.user_id AS i, c.user_id AS j
+        FROM spans s CROSS JOIN u a CROSS JOIN u c
+        WHERE a.user_id < c.user_id),
+      rhos AS (
+        SELECT a.bucket - a.bucket % 604800 AS window_start,
+          a.user_id AS i, c.user_id AS j, round(corr(a.v, c.v), 4) AS rho
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.user_id < c.user_id
+        GROUP BY 1, 2, 3)
+      SELECT p.window_start, p.i, p.j, r.rho
+      FROM pairs p LEFT JOIN rhos r USING (window_start, i, j)
+      WHERE p.window_start <= 1705536000
+      ORDER BY p.window_start, p.i, p.j"""))
+
   // W9: the reference's FINEST demonstrated frequency — 250 ms resample
   // +ffill (notebook cell 15, README.md:12) over a 4-hour session. The
   // point of the row is scale posture, not new semantics: the 250 ms
@@ -1150,11 +1207,15 @@ object SparkEntry {
         val p = resampled(s, d, nUsers, a, b, step)
           .withColumn("pos", ((col("bucket") - a) / step + 1).cast("int"))
         // verify-path selection by panel size: the broadcast verify
-        // ships each executor the whole panel (right up to ~160 MB =
+        // ships each executor the whole panel (right up to ~128 MB =
         // BroadcastVerifyMaxCells grid cells); past that the vector
         // verify contracts the panel to one compact row per series and
-        // joins candidates against it — no panel broadcast anywhere
-        // (PlanGuardSpec pins both shapes)
+        // joins candidates against it — no panel broadcast in the
+        // cluster shape, where size-based broadcasts are gone and only
+        // hints remain (PlanGuardSpec pins both shapes at
+        // autoBroadcastJoinThreshold=-1; at fixture scale the planner
+        // may still broadcast the small bucketed cell panel into the
+        // shared grid join, which is size adaptivity, not a hint)
         val rho =
           if (k.toLong * nBuckets <= broadcastVerifyMaxCells)
             graft.ops.CorrPrune.candidateRho(p, "user_id", "pos", "value",
@@ -1324,7 +1385,7 @@ object SparkEntry {
   // A3 tier iv at the POST-BROADCAST regime, forced: the same pruned
   // search as a3d through CorrPrune.candidateRhoVectors — the verify
   // path panelRho selects once k·dims exceeds BroadcastVerifyMaxCells
-  // (~160 MB of panel, k ≳ 2000 at 10⁴ positions), where shipping every
+  // (~128 MB of panel, k ≳ 2000 at 10⁴ positions), where shipping every
   // executor a panel copy stops scaling. The panel contracts to one
   // compact vector row per series; candidate pairs join the vectors and
   // the identical Stats.pearson verifies map-side-partially — no panel
@@ -1355,6 +1416,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
+    qW17,
     qA3, qA3b, qA3c, qA3d, qA3e, qA3f) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all

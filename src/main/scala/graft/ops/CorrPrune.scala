@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   * per-series S = Σxq, n = count, the centered projection's sign is
   *   sign(Σ_p s_p·(xq_p − S/n)) = sign(n·Σ_p s_p·xq_p − S·Σ_p s_p)
   * — all long arithmetic, no floating mean whose last ulp could flip a
-  * bucket bit between engines. Bounds: |xq| ≤ 10⁹, positions ≤ 10³ keeps
-  * n·Σs·xq under 10¹⁵ ≪ 2⁶³.
+  * bucket bit between engines. Bounds: with |xq| ≤ 10⁹ and n non-null
+  * positions per series, |n·Σs·xq| ≤ n²·10⁹ — safe below 2⁶³ for
+  * n ≤ ~3×10⁴ observed positions (10⁴, the tier's target grid, leaves
+  * two orders of headroom; a denser series overflows loudly in ANSI
+  * mode rather than mis-bucketing).
   *
   * Cost shape at k series × T buckets: bucketing shuffles k·bands rows
   * (the plane join is per-position, like d2's band machinery); candidate
@@ -48,13 +51,22 @@ object CorrPrune {
       .where(col("xq").isNotNull)
     val stats = ex.groupBy(keyCol)
       .agg(sum("xq").as("sx"), count(lit(1)).as("nx"))
-    val planes =
+    // the plane table is bands·bits·dims rows — broadcast it only while
+    // that is genuinely dimension-small (a few MB: 8×5 planes at 10⁴
+    // positions is 400k rows). At very wide grids (dims ≳ 10⁵) the
+    // "dimension table" is tens of millions of rows and the hint would
+    // force a multi-GB broadcast build; leaving it unhinted lets the
+    // planner shuffle-join it, which is the right cluster shape there
+    val planesRaw =
       Similarity.hyperplanes(panel.sparkSession, bands, bits, dims)
+    val planes =
+      if (bands.toLong * bits * dims <= 4000000L) broadcast(planesRaw)
+      else planesRaw
     val projAggs = (0 until bits).flatMap(b => Seq(
       sum(when(col("bit") === b, col("s") * col("xq")).otherwise(0L))
         .as(s"p$b"),
       sum(when(col("bit") === b, col("s")).otherwise(0L)).as(s"q$b")))
-    val bk = ex.join(broadcast(planes), Seq("pos"))
+    val bk = ex.join(planes, Seq("pos"))
       .groupBy(col(keyCol), col("band"))
       .agg(projAggs.head, projAggs.tail: _*)
       .join(broadcast(stats), Seq(keyCol))
@@ -74,16 +86,27 @@ object CorrPrune {
     * LSH candidate pair — unrounded and unfiltered, so callers control
     * the threshold/rounding (and their oracle mirrors it). Output rows
     * are a subset of the exact all-pairs answer; recall is governed by
-    * bands/bits.
+    * bands/bits. A candidate pair with zero pairwise-complete slots
+    * emits no row (see the null-slot filter below); such pairs carry a
+    * null rho in [[candidateRhoVectors]] instead — the two agree
+    * exactly on every pair with at least one complete slot, and after
+    * any rho threshold on all pairs.
     */
   def candidateRho(panel: DataFrame, keyCol: String, posCol: String,
                    valueCol: String, dims: Int, bands: Int,
                    bits: Int): DataFrame = {
     val cand = corrCandidates(panel, keyCol, posCol, valueCol, dims,
       bands, bits)
-    val a = panel.select(col(keyCol).as("i"), col(posCol).as("pos"),
+    // null-valued cells never reach the aggregate: pearson's when-guard
+    // would null them out anyway (bit-identical sums), but on a sparse
+    // panel they are the bulk of the candidate×dims expansion, and each
+    // would still pay the aggregate's full per-row CASE/round/decimal
+    // machinery — measured ~3 µs/row, 30× the whole verify on a
+    // mostly-null grid
+    val nn = panel.where(col(valueCol).isNotNull)
+    val a = nn.select(col(keyCol).as("i"), col(posCol).as("pos"),
       col(valueCol).as("va"))
-    val b = panel.select(col(keyCol).as("j"), col(posCol).as("pos"),
+    val b = nn.select(col(keyCol).as("j"), col(posCol).as("pos"),
       col(valueCol).as("vb"))
     // Broadcast the panel sides: the candidate×dims expansion (pairs ·
     // positions) stays map-side and the only shuffle is the final
@@ -91,19 +114,21 @@ object CorrPrune {
     // shuffle the expanded relation (measured 2× the whole query's cost
     // at sf0.1). The panel is dimension-sized (k·dims), broadcastable by
     // construction for any k this tier serves; at cluster scale the same
-    // shape holds (a 2000×10⁴ panel is ~160 MB — switch to a bucketed
-    // layout past that).
+    // shape holds (a 2000×10⁴ panel is ~160 MB, the ceiling's scale —
+    // past it the vector verify takes over).
     cand.join(broadcast(a), Seq("i")).join(broadcast(b), Seq("j", "pos"))
       .groupBy("i", "j")
       .agg(Stats.pearson(col("va"), col("vb")).as("rho"))
   }
 
   /** Panel-cell ceiling for [[candidateRho]]'s broadcast verify: k·dims
-    * grid cells ≈ 8 bytes each, so 2×10⁷ cells is the ~160 MB panel the
-    * broadcast comment bounds. Past it, [[candidateRhoVectors]] is the
-    * verify path — [[graft.SparkEntry.panelRho]] switches on this.
+    * grid cells ≈ 8 bytes each, so 1.6×10⁷ cells is the ~128 MB panel
+    * the broadcast comment bounds. Past it, [[candidateRhoVectors]] is
+    * the verify path — [[graft.SparkEntry.panelRho]] switches on this.
+    * (PanelRhoSpec drives the flip organically at a 134-series ×
+    * 135000-bucket grid = 1.81×10⁷ cells, no forced ceiling.)
     */
-  val BroadcastVerifyMaxCells: Long = 20000000L
+  val BroadcastVerifyMaxCells: Long = 16000000L
 
   /** [[candidateRho]] without broadcasting the panel: the verify path
     * for panels past [[BroadcastVerifyMaxCells]] (k ≳ 2000 at 10⁴
@@ -112,32 +137,62 @@ object CorrPrune {
     * per series (pos-ordered value array — k rows instead of k·dims),
     * which is the only panel-sized shuffle in the plan; each candidate
     * pair then joins its two vectors (shuffles move candidate-sized
-    * relations and k vector rows, never the cell-level panel), the pair
-    * explodes its zipped positions MAP-SIDE, and the partial-aggregated
-    * [[Stats.pearson]] — the identical aggregate the broadcast path
-    * runs, null slots skipped pairwise — crosses the final shuffle as
-    * one co-moment row per pair. Same output as [[candidateRho]] on any
-    * input; only the physical strategy differs.
+    * relations and k vector rows, never the cell-level panel), and the
+    * pair's exact rho comes from ONE call of the
+    * [[graft.functions.PearsonArrays]] kernel — bit-identical to the
+    * [[Stats.pearson]] aggregate the broadcast path runs, null slots
+    * skipped pairwise, with no slot ever inflated into a row (every
+    * explode/HOF shape measured µs-scale per slot; the kernel is a
+    * JIT-compiled primitive loop). Same output as [[candidateRho]] on any
+    * GRID-COMPLETE panel — every series carries a row for every pos
+    * 1..dims, values possibly null (the shape [[graft.ops.Time]]'s
+    * resample core emits by construction) — up to one degenerate
+    * corner: a candidate pair with ZERO pairwise-complete slots keeps a
+    * null-rho row here and emits nothing there (identical after any
+    * rho threshold). That precondition is what
+    * lets the zip align by array index; it is ENFORCED loudly (a series
+    * whose row count differs from dims raises, instead of silently
+    * shifting every later slot and verifying the wrong pairs —
+    * CorrPruneSpec pins both the equality and the guard; a duplicated
+    * pos exactly compensated by a missing one would evade the count,
+    * but no grid producer emits that shape). Null VALUES
+    * are fine anywhere: they ride the vectors as null slots and
+    * [[Stats.pearson]] skips a position whenever either side is null,
+    * exactly the rows the per-pos inner join never produces.
     */
   def candidateRhoVectors(panel: DataFrame, keyCol: String, posCol: String,
                           valueCol: String, dims: Int, bands: Int,
                           bits: Int): DataFrame = {
     val cand = corrCandidates(panel, keyCol, posCol, valueCol, dims,
       bands, bits)
-    // array_sort orders the structs by pos (distinct within a series),
-    // so the vector is position-aligned; null values ride inside the
-    // structs (collect_list only skips null STRUCTS) and keep the
-    // pairwise-complete semantics through the zip below
+    // array_sort orders the structs by pos (first struct field), so on
+    // a grid-complete panel index i-1 IS pos i; the size check turns a
+    // violated precondition into an error, not a misaligned verify.
+    // Everything here is linear in the series length — an earlier
+    // pos→value-map formulation read slots back with element_at, whose
+    // per-lookup LINEAR map scan made vector construction quadratic
+    // (catastrophic at 10⁵ positions)
+    val sorted = array_sort(collect_list(struct(col(posCol).as("p"),
+      col(valueCol).as("v"))))
     val vecs = panel.groupBy(col(keyCol))
-      .agg(transform(array_sort(collect_list(struct(col(posCol).as("p"),
-        col(valueCol).as("v")))), e => e.getField("v")).as("vs"))
+      .agg(sorted.as("s"))
+      .select(col(keyCol),
+        when(size(col("s")) === dims, transform(col("s"),
+            e => e.getField("v")))
+          .otherwise(raise_error(concat(lit("candidateRhoVectors needs " +
+            "a grid-complete panel: series "), col(keyCol).cast("string"),
+            lit(s" has "), size(col("s")).cast("string"),
+            lit(s" rows, expected $dims")))).as("vs"))
     cand
       .join(vecs.select(col(keyCol).as("i"), col("vs").as("va")), Seq("i"))
       .join(vecs.select(col(keyCol).as("j"), col("vs").as("vb")), Seq("j"))
+      // one scalar fold per pair, no explode: candidate·dims slots as
+      // ROWS pay per-row operator machinery (~3 µs/slot measured, in
+      // every explode shape tried), where the fold is one lambda step
+      // per slot — and every candidate pair keeps exactly one output
+      // row (zero-overlap pairs get null rho, matching the broadcast
+      // path's n=0 aggregate on a grid-complete panel)
       .select(col("i"), col("j"),
-        explode(zip_with(col("va"), col("vb"),
-          (x, y) => struct(x.as("x"), y.as("y")))).as("e"))
-      .groupBy("i", "j")
-      .agg(Stats.pearson(col("e.x"), col("e.y")).as("rho"))
+        Stats.pearsonArrays(col("va"), col("vb")).as("rho"))
   }
 }

@@ -48,4 +48,17 @@ object Stats {
     val vy = (n * syy - sy * sy).cast("double")
     when(n >= 2 && vx > 0 && vy > 0, cov / sqrt(vx * vy))
   }
+
+  /** [[pearson]] over a PAIR OF ALIGNED ARRAYS, one scalar result per
+    * row — for consumers that hold both series of a pair in array
+    * columns (the pruned-corr vector verify). Bit-identical arithmetic
+    * to the aggregate form inside its documented envelope; see
+    * [[graft.functions.PearsonArrays]] for the exactness contract and
+    * why this is a native kernel expression rather than any
+    * explode/HOF composition (every built-in shape pays µs-scale
+    * per-slot machinery; the kernel is one JIT-compiled primitive
+    * loop per pair).
+    */
+  def pearsonArrays(va: Column, vb: Column): Column =
+    call_function("pearson_arrays", va, vb)
 }

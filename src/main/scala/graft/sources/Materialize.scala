@@ -35,7 +35,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
 
-  private val builtTables = scala.collection.mutable.Map[(String, String), String]()
+  // keyed (namespace, dir, name): the namespace tag keeps the three
+  // memoization families (plain / per-process / bucketed) from ever
+  // colliding with a table literally named e.g. "process_x"
+  private val builtTables =
+    scala.collection.mutable.Map[(String, String, String), String]()
   private val builtValues = scala.collection.mutable.Map[(String, String), Any]()
 
   private def sanitize(s: String): String =
@@ -113,7 +117,7 @@ object Materialize {
   def processTable(spark: SparkSession, dir: String, name: String)
                   (build: => DataFrame): DataFrame = {
     val p = synchronized {
-      builtTables.getOrElseUpdate((dir, s"process_$name"), {
+      builtTables.getOrElseUpdate(("process", dir, name), {
         val out = processPath(dir, name)
         build.write.mode("overwrite").parquet(out)
         out
@@ -128,7 +132,7 @@ object Materialize {
   def table(spark: SparkSession, dir: String, name: String)
            (build: => DataFrame): DataFrame = {
     val p = synchronized {
-      builtTables.getOrElseUpdate((dir, name), {
+      builtTables.getOrElseUpdate(("table", dir, name), {
         val out = path(dir, name)
         build.write.mode("overwrite").parquet(out)
         out
@@ -159,7 +163,7 @@ object Materialize {
     val tbl = s"graft_${dirKey(dir)}_$name".toLowerCase
       .replaceAll("[^a-z0-9_]", "_")
     synchronized {
-      builtTables.getOrElseUpdate((dir, s"bucketed_$name"), {
+      builtTables.getOrElseUpdate(("bucketed", dir, name), {
         // ALWAYS under the per-process root, even when GRAFT_SCRATCH
         // shares `root` across processes: the bucket spec is in this
         // JVM's catalog only (the data files are useless to another
@@ -184,7 +188,7 @@ object Materialize {
     * and release it when all are written.
     */
   def isBuilt(dir: String, name: String): Boolean =
-    synchronized(builtTables.contains((dir, name)))
+    synchronized(builtTables.contains(("table", dir, name)))
 
   /** Driver-side memoized value (codebooks and other dimension-sized
     * metadata) for fixture `dir`.

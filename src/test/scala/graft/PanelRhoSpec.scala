@@ -105,14 +105,56 @@ class PanelRhoSpec extends SparkTestBase {
       broadcastVerifyMaxCells = maxCells)
     val (_, bc) = run(Long.MaxValue) // broadcast verify
     val (_, vec) = run(1L)           // forced past the cell ceiling
-    // the vector plan ships no raw panel broadcast; the broadcast plan
-    // does (hinted) — the strategies differ...
+    // the strategies differ: the broadcast plan carries the hinted
+    // panel-side joins (pinned here), and the vector plan ships no
+    // panel broadcast in the cluster shape — that structural half is
+    // pinned where the walk-and-classify machinery lives, PlanGuardSpec
+    // "a3f's vector verify ships no panel broadcast in the CLUSTER
+    // shape"; value equality across the flip is THIS test's claim
     assert(planOf(bc).contains("BroadcastHashJoin"), planOf(bc))
     // ...but the emitted edge sets are identical to the last bit
     val b = bc.collect().map(_.toString).sorted.toSeq
     val v = vec.collect().map(_.toString).sorted.toSeq
     assert(b.nonEmpty, "no edges — vacuous")
     assert(v == b)
+  }
+
+  test("the UNFORCED selector crosses the cell ceiling organically at " +
+    "a wide grid, and the two verify strategies agree bit-for-bit") {
+    // grid [2023-12-08, 2024-01-02) at 16 s: 135000 buckets × the 134
+    // series with data in range = 1.81e7 cells — past the 1.6e7 default
+    // ceiling with NOTHING forced (the forced-flip test above pins the
+    // same equality with maxCells = 1; this one proves the selector's
+    // own arithmetic takes the vector path on a genuinely-wide panel).
+    // Most of the grid precedes the data (the fill starts at the first
+    // January observation), which is exactly the kind of panel where
+    // the null-slot handling of both verifies has to agree
+    val sf01 = "/root/testdata/sf0.01"
+    val dec8 = 1701993600L
+    def run(maxCells: Option[Long]) = maxCells match {
+      case None => SparkEntry.panelRho(spark, sf01, 150, dec8, jan2, 16L,
+        roundThenFilter = Some((4, 0.5)), onePassMaxK = 1)
+      case Some(m) => SparkEntry.panelRho(spark, sf01, 150, dec8, jan2,
+        16L, roundThenFilter = Some((4, 0.5)), onePassMaxK = 1,
+        broadcastVerifyMaxCells = m)
+    }
+    val (users, vecDf) = run(None) // DEFAULT ceiling — nothing forced
+    val cells = users.size.toLong * ((jan2 - dec8) / 16L)
+    assert(cells > graft.ops.CorrPrune.BroadcastVerifyMaxCells,
+      s"fixture geometry no longer exceeds the ceiling ($cells) — " +
+        "the organic-flip claim would be vacuous")
+    // the selector's own arithmetic must have picked the vector verify:
+    // the kernel expression appears, the per-pos broadcast verify's
+    // (j, pos) join does not
+    val p = planOf(vecDf)
+    assert(p.contains("pearson_arrays"), p.take(4000))
+    assert(!"BroadcastHashJoin \\[j#\\d+L?, pos#".r.findFirstIn(p).isDefined,
+      p.take(4000))
+    val vec = vecDf.collect().map(_.toString).sorted.toSeq
+    val (_, bcDf) = run(Some(Long.MaxValue)) // broadcast verify, same grid
+    val bc = bcDf.collect().map(_.toString).sorted.toSeq
+    assert(vec.nonEmpty, "no edges — vacuous")
+    assert(vec == bc)
   }
 
   test("above the ceiling without a threshold refuses loudly") {

@@ -93,4 +93,21 @@ class CorrPruneSpec extends SparkTestBase {
       }
     }
   }
+
+  test("candidateRhoVectors refuses a non-grid-complete panel loudly") {
+    // absent ROWS (not null values) would shift every later slot of the
+    // index-aligned vectors and silently verify the wrong pairs — the
+    // grid-complete precondition is enforced with raise_error instead
+    val withAbsent = panel
+      .where(!(col("key") === 0L && col("pos").between(10, 14)))
+    val e = intercept[Exception] {
+      CorrPrune.candidateRhoVectors(withAbsent, "key", "pos", "value",
+        dims = 48, bands = 6, bits = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("grid-complete")),
+      messages(e).mkString(" | "))
+  }
 }
