@@ -1,0 +1,124 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+
+/** Direct pins for the [[PearsonArrays]] kernel — the scaladoc's
+  * bit-identity claim against the [[Stats.pearson]] aggregate, checked
+  * with `==` on the raw doubles (no tolerance: the kernel's 128-bit
+  * integer co-moments and BigInteger→double finish must reproduce the
+  * decimal aggregate's exact value, not approximate it).
+  */
+class PearsonArraysSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def lcg(seed: Long): Iterator[Double] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => ((s >>> 33).toDouble / (1L << 31).toDouble) - 0.5)
+
+  /** rho for one pair, both ways: kernel on two array columns vs the
+    * aggregate on the exploded position rows.
+    */
+  private def bothWays(xs: Seq[Option[Double]], ys: Seq[Option[Double]])
+      : (Option[Double], Option[Double]) = {
+    val kernel = Seq((xs, ys)).toDF("va", "vb")
+      .select(Stats.pearsonArrays(col("va"), col("vb")).as("rho"))
+      .head()
+    val k = if (kernel.isNullAt(0)) None else Some(kernel.getDouble(0))
+    val rows = xs.zipAll(ys, None, None).map { case (x, y) => (x, y) }
+    val agg = rows.toDF("x", "y")
+      .agg(Stats.pearson(col("x"), col("y")).as("rho"))
+      .head()
+    val a = if (agg.isNullAt(0)) None else Some(agg.getDouble(0))
+    (k, a)
+  }
+
+  test("bit-identical to the Stats.pearson aggregate on random panels " +
+    "with null slots") {
+    val rnd = lcg(7L).map(v => v * 200) // |x| ~ 1e2, xq ~ 1e8
+    for (n <- Seq(2, 3, 17, 256)) {
+      val xs = (0 until n).map(_ => Some(rnd.next()))
+      val ys = (0 until n).map(_ => Some(rnd.next()))
+      // plant null slots on either side and both sides
+      val xs2 = xs.zipWithIndex.map { case (v, i) =>
+        if (i % 7 == 1) None else v }
+      val ys2 = ys.zipWithIndex.map { case (v, i) =>
+        if (i % 5 == 2) None else v }
+      val (k, a) = bothWays(xs2, ys2)
+      assert(k.isDefined == a.isDefined, s"n=$n: $k vs $a")
+      for (kv <- k; av <- a)
+        assert(kv == av, s"n=$n: kernel $kv != aggregate $av (bitwise)")
+    }
+  }
+
+  test("128-bit accumulation: magnitudes whose squares overflow a " +
+    "long still match the decimal aggregate exactly") {
+    // |x| ~ 1e6 -> xq ~ 1e12 -> xq^2 ~ 1e24, far past Long.MaxValue:
+    // only the multiplyHigh/carry path can sum these; the decimal
+    // aggregate's 38-digit sums are the exact reference
+    val rnd = lcg(99L).map(v => v * 2e6)
+    val xs = (0 until 64).map(_ => Some(rnd.next()))
+    val ys = (0 until 64).map(_ => Some(rnd.next()))
+    val (k, a) = bothWays(xs, ys)
+    assert(k.isDefined && a.isDefined)
+    assert(k.get == a.get, s"kernel ${k.get} != aggregate ${a.get}")
+  }
+
+  test("guards: fewer than two complete slots, or a constant side, " +
+    "yield null — exactly as the aggregate") {
+    val checks = Seq(
+      // one complete slot only
+      (Seq(Some(1.0), None, Some(2.0)), Seq(Some(3.0), Some(4.0), None)),
+      // zero complete slots
+      (Seq(Some(1.0), None), Seq(None, Some(2.0))),
+      // constant x side (exact zero variance on quantized values)
+      (Seq(Some(5.0), Some(5.0), Some(5.0)),
+        Seq(Some(1.0), Some(2.0), Some(3.0))))
+    checks.foreach { case (xs, ys) =>
+      val (k, a) = bothWays(xs, ys)
+      assert(k.isEmpty, s"kernel must be null for $xs / $ys")
+      assert(a.isEmpty, s"aggregate must be null for $xs / $ys")
+    }
+  }
+
+  test("unequal lengths: slots past the shorter array are skipped, " +
+    "matching zip-null padding") {
+    val xs = Seq(Some(1.0), Some(2.5), Some(4.0), Some(100.0))
+    val ys = Seq(Some(2.0), Some(1.5), Some(3.5))
+    val (k, a) = bothWays(xs, ys) // zipAll pads ys with None
+    assert(k.isDefined && a.isDefined && k.get == a.get)
+  }
+
+  test("registered SQL surface: pearson_arrays resolves in the engine " +
+    "session and matches the Column form") {
+    val df = Seq((Seq(1.0, 2.0, 3.0, 5.0), Seq(2.0, 4.0, 5.5, 9.0)))
+      .toDF("va", "vb")
+    df.createOrReplaceTempView("pa_t")
+    val viaSql = spark.sql(
+      "SELECT pearson_arrays(va, vb) AS rho FROM pa_t").head().getDouble(0)
+    val viaCol = df.select(Stats.pearsonArrays(col("va"), col("vb")))
+      .head().getDouble(0)
+    assert(viaSql == viaCol)
+    assert(viaSql > 0.99, s"fixture pair should be near-collinear: $viaSql")
+  }
+
+  test("interpreted eval path (codegen off) equals the codegen path") {
+    val df = Seq((Seq(Some(1.0), None, Some(3.0), Some(4.5)),
+      Seq(Some(2.0), Some(9.9), None, Some(8.5)))).toDF("va", "vb")
+    val on = df.select(Stats.pearsonArrays(col("va"), col("vb")))
+      .head().getDouble(0)
+    val prevWs = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val off = df.select(Stats.pearsonArrays(col("va"), col("vb")))
+        .head().getDouble(0)
+      assert(on == off)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
+}
