@@ -16,6 +16,9 @@ import java.nio.file.{Files, Paths}
   * canary lands in `canary_q`, and `suspect` lists every query whose
   * micro canary ran ≥2× the sweep's own floor (`canary_floor`) — the
   * per-line contamination signal endpoint canaries cannot provide.
+  * Flagged lines get ONE end-of-sweep re-measure, adopted only when
+  * its own bracketing canary reads clean (`retimed` lists adoptions);
+  * lines still flagged after that are genuinely untrustworthy.
   */
 object Bench {
 
@@ -118,13 +121,6 @@ object Bench {
         name -> (times.sorted.apply(Runs / 2), times.min, micro)
       else name -> (-1.0, -1.0, micro)
     }
-    val good = results.filter(_._2._1 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
-      .mkString("{", ",", "}")
-    val qsCanary = results.map { case (k, v) => "\"" + k + "\":" + v._3 }
-      .mkString("{", ",", "}")
     // self-calibrating suspect flag: the sweep's fastest micro canary is
     // the host's clean floor for THIS run; any query whose micro canary
     // ran ≥2× that floor executed under materially different host
@@ -133,17 +129,53 @@ object Bench {
     // contaminated sweep self-reports through the ENDPOINT canaries
     // instead — the two signals are complementary.
     val microFloor = results.map(_._2._3).min
-    val suspects = results.collect {
+    // self-healing pass: a transient spike usually ends before the
+    // sweep does, so each flagged query gets ONE re-measure at the end,
+    // bracketed by its own micro canary — adopted only if that canary
+    // reads clean, so a retime can never launder a still-loaded line.
+    // Capped so a persistently busy host costs bounded extra time and
+    // still reports its suspects honestly.
+    val firstPass = scala.collection.mutable.LinkedHashMap(results: _*)
+    val retimed = scala.collection.mutable.ArrayBuffer[String]()
+    firstPass.iterator.toSeq.collect {
+      case (k, (med, _, m)) if med >= 0 && m >= 2.0 * microFloor => k
+    }.take(20).foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to Runs).flatMap { _ =>
+        graft.ops.Time.unpersistPanels()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      val micro = microCanarySec(spark)
+      if (times.size == Runs && micro < 2.0 * microFloor) {
+        firstPass(name) = (times.sorted.apply(Runs / 2), times.min, micro)
+        retimed += name
+      }
+    }
+    val results2 = firstPass.toSeq
+    val good = results2.filter(_._2._1 >= 0)
+    val qs = results2.map { case (k, v) => "\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val qsMin = results2.map { case (k, v) => "\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val qsCanary = results2.map { case (k, v) => "\"" + k + "\":" + v._3 }
+      .mkString("{", ",", "}")
+    val suspects = results2.collect {
       case (k, (_, _, m)) if m >= 2.0 * microFloor => k
     }
     val suspectJson =
       suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retimedJson =
+      retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2._1).sum
     val totalMin = good.map(_._2._2).sum
     val canaryEnd = canarySec(spark)
     val loadEnd = loadAvg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary_q":$qsCanary,"suspect":$suspectJson,"canary_floor":$microFloor,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary_q":$qsCanary,"suspect":$suspectJson,"retimed":$retimedJson,"canary_floor":$microFloor,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
     println(line)
     // the driver's stdout capture truncates long lines from the front,
     // losing the alphabetically-early per-query times — always persist
