@@ -645,6 +645,71 @@ object SparkEntry {
       WHERE p.window_start <= 1705536000
       ORDER BY p.window_start, p.i, p.j"""))
 
+  // W18 (round 14): the FILLED continuous-corr DEPLOYMENT on the oracle
+  // gate — the two chained streaming queries windowedCorr's scaladoc
+  // describes, graded end to end: resampleFfillStream lands the
+  // forward-filled cell panel (w16's operator, its own oracle row), and
+  // windowedCorrFromCells streams per-span corr matrices OFF THE LANDED
+  // PANEL — so this row grades the composition the reference's batch
+  // flagship corresponds to (ffill, then per-window corr), continuously.
+  // The oracle is the batch ffill CTE (w1/w16's, verbatim) feeding a
+  // per-span DuckDB corr, with a universe cross join reinstating
+  // undefined pairs; 4-dp rounding absorbs the UDAF's ~1e-12 Chan-merge
+  // order sensitivity. Cells end AT the grid end, so the corr stream's
+  // watermark (maxCellTs − 5 min) finalizes every 4-hour span except
+  // the last; grading stops at the 16:00 span on both sides.
+  private val qW18 = Q("w18_streaming_corr_filled",
+    (s, d) => {
+      import s.implicits._
+      val srcName = "w18_stream_src"
+      graft.sources.Materialize.processTable(s, d, srcName) {
+        T(s, d, "events").where(col("user_id") < 8 &&
+          col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan8))
+      }
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val cells = graft.sources.Materialize.processPath(d, "w18_stream_cells")
+      val ck1 = graft.sources.Materialize.processPath(d, "w18_stream_ck")
+      graft.streaming.Streams.resampleFfillStream(s, src, cells, ck1,
+        jan2, jan3, 300, watermark = "30 minutes")
+      // the corr universe is the GRID's series set: users with ticks
+      // inside [jan2, jan3) — the same distinct the oracle's b CTE
+      // carries (a user whose first tick is past the grid end has no
+      // cells and no filled rows on either side)
+      val users = T(s, d, "events")
+        .where(col("user_id") < 8 &&
+          col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan3))
+        .select("user_id").distinct().as[Long].collect().sorted.toSeq
+      val out = graft.sources.Materialize.processPath(d, "w18_corr_out")
+      val ck2 = graft.sources.Materialize.processPath(d, "w18_corr_ck")
+      graft.streaming.Streams.windowedCorrFromCells(s, cells, out, ck2,
+        users, bucket = "5 minutes", span = "4 hours",
+        watermark = "5 minutes")
+      s.read.parquet(out)
+        .where(col("window_start") <= jan2 + 57600L)
+        .select(col("window_start"), col("i"), col("j"),
+          round(col("rho"), 4).as("rho"))
+        .transform(Q.sortedOnce(_, "window_start", "i", "j"))
+    },
+    Some(ffillSqlCte(8, jan2, jan3, 300) +
+      s""", u AS (SELECT DISTINCT user_id FROM b),
+      spans AS (
+        SELECT DISTINCT bucket - bucket % 14400 AS window_start FROM g),
+      pairs AS (
+        SELECT s.window_start, a.user_id AS i, c.user_id AS j
+        FROM spans s CROSS JOIN u a CROSS JOIN u c
+        WHERE a.user_id < c.user_id),
+      rhos AS (
+        SELECT a.bucket - a.bucket % 14400 AS window_start,
+          a.user_id AS i, c.user_id AS j,
+          round(corr(a.price, c.price), 4) AS rho
+        FROM filled a JOIN filled c
+          ON a.bucket = c.bucket AND a.user_id < c.user_id
+        GROUP BY 1, 2, 3)
+      SELECT p.window_start, p.i, p.j, r.rho
+      FROM pairs p LEFT JOIN rhos r USING (window_start, i, j)
+      WHERE p.window_start <= ${jan2 + 57600L}
+      ORDER BY p.window_start, p.i, p.j"""))
+
   // W9: the reference's FINEST demonstrated frequency — 250 ms resample
   // +ffill (notebook cell 15, README.md:12) over a 4-hour session. The
   // point of the row is scale posture, not new semantics: the 250 ms
@@ -1416,7 +1481,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
-    qW17,
+    qW17, qW18,
     qA3, qA3b, qA3c, qA3d, qA3e, qA3f) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all
