@@ -76,6 +76,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      new FunctionIdentifier("dense_from_sorted_entries"),
+      new ExpressionInfo(
+        classOf[graft.functions.DenseFromSortedEntries].getName,
+        "dense_from_sorted_entries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dense_from_sorted_entries(entries, " +
+          "universe) takes 2 arguments")
+        require(args(1).foldable,
+          "dense_from_sorted_entries: universe must be a literal array")
+        val u = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray()
+        require((1 until u.length).forall(i => u(i - 1) < u(i)),
+          "dense_from_sorted_entries: universe must be strictly " +
+            "ascending")
+        graft.functions.DenseFromSortedEntries(args(0), u)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pearson_arrays"),
       new ExpressionInfo(classOf[graft.functions.PearsonArrays].getName,
         "pearson_arrays"),

@@ -1137,12 +1137,11 @@ object SparkEntry {
     * Dense fast path: the resample grid emits EVERY (user, bucket)
     * row (missing values as null), so each bucket's user_id-sorted
     * entry list is already in `users` order — O(k log k) per bucket.
-    * The map-probe fallback (one element_at per id) runs a LINEAR scan
-    * of Spark's array-backed MapData per lookup — O(k²) per bucket row
-    * (at k=500 the two forms measure the same, ~1.6 s/stage; the dense
-    * path is kept for its asymptotics at the k≈1-2k tier ceiling) —
-    * retained only as the correctness guard should a producer ever
-    * hand a sparse per-bucket key set.
+    * Gapped buckets (a producer handing a sparse per-bucket key set —
+    * every bucket of the streaming deployment) ride the
+    * [[graft.functions.DenseFromSortedEntries]] two-pointer merge,
+    * O(k + entries) per row; it replaced an element_at map probe whose
+    * linear MapData scans were O(k²) per bucket row.
     */
   private[graft] def panelOf(filled: DataFrame,
       users: Seq[Long]): DataFrame = {
@@ -1161,9 +1160,17 @@ object SparkEntry {
     * "stream ≡ batch on the same engine-side plan" contract cannot
     * drift between two copies. Returns (the per-bucket entries
     * aggregate, es-column => k-wide vals column). Null values become
-    * NaN in BOTH paths (the sparse probe's coalesce only covers
-    * ABSENT entries, not null-valued ones); the dense path's
-    * positional alignment requires the ascending universe.
+    * NaN in BOTH paths; the positional alignment and the merge both
+    * require the ascending universe.
+    *
+    * A COMPLETE bucket (every series observed) rides the O(k log k)
+    * sorted-entries identity; gapped buckets — every bucket of the
+    * continuous streaming deployment, since nothing ffills there — go
+    * through the [[graft.functions.DenseFromSortedEntries]] two-pointer
+    * merge, O(k + entries) per row. (The merge replaced a per-series
+    * `element_at` map probe whose per-lookup LINEAR MapData scan made
+    * gapped assembly O(k²) per bucket row — the round-14 kernel family
+    * closed that class of per-slot expression cost.)
     */
   private[graft] def panelValsExpr(users: Seq[Long], key: Column,
       value: Column): (Column, Column => Column) = {
@@ -1174,10 +1181,8 @@ object SparkEntry {
       coalesce(value, lit(Double.NaN)).as("v"))))
     def vals(es: Column): Column = {
       val dense = transform(es, e => e.getField("v"))
-      val probe = map_from_entries(transform(es,
-        e => struct(e.getField("k"), e.getField("v"))))
-      val sparse = array(users.map(u =>
-        coalesce(element_at(probe, lit(u)), lit(Double.NaN))): _*)
+      val sparse = call_function("dense_from_sorted_entries", es,
+        typedLit(users))
       when(size(es) === users.size, dense).otherwise(sparse)
     }
     (entries, vals)

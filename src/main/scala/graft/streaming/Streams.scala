@@ -144,11 +144,12 @@ object Streams {
     * Scale note: the panel-row assembly uses widePanel's dense
     * sorted-entries fast path — when a bucket observed every series,
     * its user_id-sorted entry list is already in `users` order and the
-    * row is O(k log k); only buckets with MISSING series (the normal
-    * streaming case, since nothing ffills here) fall back to the
-    * per-series map probe (`element_at`, a linear scan of Spark's
-    * array-backed MapData — O(k²) per bucket row, fine for the
-    * broadcast-sized universes a continuous deployment keys on).
+    * row is O(k log k); buckets with MISSING series (the normal
+    * streaming case, since nothing ffills here) go through the
+    * [[graft.functions.DenseFromSortedEntries]] two-pointer merge,
+    * O(k + entries) per bucket row (round 14 — it replaced a per-series
+    * `element_at` map probe whose linear MapData scans made gapped
+    * assembly O(k²) per row).
     * Restart semantics: the checkpoint + the idempotent per-batch sink
     * make a restarted drain emit each newly finalized span exactly
     * once (spec-pinned).
@@ -235,8 +236,8 @@ object Streams {
     // alignment needs), so the stream ≡ batch contract cannot drift
     // between two hand-maintained copies: a complete bucket rides the
     // O(k log k) sorted-entries path, gaps (the normal case here — no
-    // single-query ffill) fall back to the O(k²) map probe, and null
-    // cell values become NaN in both.
+    // single-query ffill) ride the O(k + entries) sorted-entries merge
+    // kernel, and null cell values become NaN in both.
     val (entries, vals) = graft.SparkEntry.panelValsExpr(users,
       col("user_id"), col("v"))
     val panel = cells
