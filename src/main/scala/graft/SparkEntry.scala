@@ -710,6 +710,62 @@ object SparkEntry {
       WHERE p.window_start <= ${jan2 + 57600L}
       ORDER BY p.window_start, p.i, p.j"""))
 
+  // W19 (round 14): STREAMING SESSIONIZATION on the oracle gate — the
+  // third streaming operator class graded by DuckDB (after the ffill
+  // grid w16 and the corr matrices w17/w18), same staged-slice +
+  // AvailableNow recipe. session_window's native merging state closes
+  // a session after 30 idle minutes: start = first event, end = last
+  // event + gap, a NEW session when the next event lands exactly at
+  // the previous end (strict overlap merge) — the oracle mirrors that
+  // boundary with a `>= gap` break in a gaps-and-islands rebuild.
+  // Grading is deterministic: only sessions STARTING inside
+  // [jan2, jan3) are returned, and at the fixture's tick density a
+  // 30-minute-gap chain cannot reach the slice end minus the
+  // watermark, so every graded session has provably closed.
+  private val qW19 = Q("w19_streaming_sessions",
+    (s, d) => {
+      val srcName = "w19_stream_src"
+      // user_id < 50 (not w16's 8): the wider slice carries multi-event
+      // sessions inside the graded day, so the gap-merge logic is
+      // graded on real merges, not only singleton windows
+      graft.sources.Materialize.processTable(s, d, srcName) {
+        T(s, d, "events").where(col("user_id") < 50 &&
+          col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan8))
+      }
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val out = graft.sources.Materialize.processPath(d, "w19_sessions")
+      val ck = graft.sources.Materialize.processPath(d, "w19_sessions_ck")
+      graft.streaming.Streams.sessionStream(s, src, out, ck,
+        gap = "30 minutes", watermark = "1 hour")
+      s.read.parquet(out)
+        .where(col("session_start") >= jan2 && col("session_start") < jan3)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .transform(Q.sortedOnce(_, "user_id", "session_start"))
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, ts FROM events
+        WHERE user_id < 50 AND ts >= ${tsSql(jan2)} AND ts < ${tsSql(jan8)}),
+      m AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      si AS (
+        SELECT user_id, ts,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM m),
+      sess AS (
+        SELECT user_id,
+          epoch_ms(min(ts))//1000 AS session_start,
+          epoch_ms(max(ts))//1000 + 1800 AS session_end,
+          count(*) AS n_events
+        FROM si GROUP BY user_id, sid)
+      SELECT user_id, session_start, session_end, n_events
+      FROM sess
+      WHERE session_start >= $jan2 AND session_start < $jan3
+      ORDER BY user_id, session_start"""))
+
   // W9: the reference's FINEST demonstrated frequency — 250 ms resample
   // +ffill (notebook cell 15, README.md:12) over a 4-hour session. The
   // point of the row is scale posture, not new semantics: the 250 ms
@@ -1486,7 +1542,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
-    qW17, qW18,
+    qW17, qW18, qW19,
     qA3, qA3b, qA3c, qA3d, qA3e, qA3f) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all
