@@ -766,6 +766,80 @@ object SparkEntry {
       WHERE session_start >= $jan2 AND session_start < $jan3
       ORDER BY user_id, session_start"""))
 
+  // W20 (round 15): the STREAM-STREAM INTERVAL JOIN on the oracle gate —
+  // the fifth streaming operator class graded by DuckDB (after the
+  // ffill grid w16, the corr matrices w17/w18, and sessionization w19),
+  // same staged-slice + AvailableNow recipe. Streams.clickViewJoin
+  // matches each click to the same user's views within ±30 minutes;
+  // both sides carry watermarks and the join condition carries the time
+  // bound, so buffered state is evicted once the watermark clears the
+  // interval — the only unbounded-safe two-stream join shape.
+  // Determinism argument: the staged slice is coalesced to ONE parquet
+  // file, so the AvailableNow drain is a single micro-batch whose
+  // starting watermark is 0 — no row can be classified late, and a
+  // stream-stream INNER join then emits exactly the batch join's match
+  // set (matches emit when both rows have arrived; state-eviction
+  // timing affects only memory, never the inner-join result). The
+  // oracle is the plain batch interval join over the same fixture rows.
+  private val qW20 = Q("w20_streaming_interval_join",
+    (s, d) => {
+      val srcName = "w20_stream_src"
+      graft.sources.Materialize.processTable(s, d, srcName) {
+        T(s, d, "events").coalesce(1)
+      }
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val out = graft.sources.Materialize.processPath(d, "w20_joined")
+      val ck = graft.sources.Materialize.processPath(d, "w20_ck")
+      graft.streaming.Streams.clickViewJoin(s, src, out, ck,
+        window = "30 minutes", watermark = "1 hour")
+      s.read.parquet(out)
+        .select("event_id_c", "event_id_v", "user_id_c", "click_sec",
+          "view_sec")
+        .transform(Q.sortedOnce(_, "event_id_c", "event_id_v"))
+    },
+    Some("""SELECT c.event_id AS event_id_c, v.event_id AS event_id_v,
+        c.user_id AS user_id_c,
+        (epoch_ms(c.ts)//1000) AS click_sec,
+        (epoch_ms(v.ts)//1000) AS view_sec
+      FROM events c JOIN events v ON c.user_id = v.user_id
+        AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE
+                     AND c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND v.event_type = 'view'
+      ORDER BY event_id_c, event_id_v"""))
+
+  // W21 (round 15): STATEFUL STREAMING DEDUP on the oracle gate — the
+  // sixth streaming operator class graded by DuckDB, completing the
+  // set (every streaming operator Streams.scala exposes now has either
+  // an oracle row or is a composition of ones that do). The staged
+  // source replays the whole events slice TWICE — the second copy
+  // ts-shifted +1 h but carrying the IDENTICAL (event_id, user_id,
+  // value) payload, exactly the projection dedupStream emits — so the
+  // drain genuinely contracts 2× input to one row per event_id through
+  // flatMapGroupsWithState's first-seen state, across however many
+  // micro-batches the file source schedules. Payload-identical
+  // duplicates make the kept row's bytes independent of arrival order,
+  // which is what puts a first-seen-wins operator on a deterministic
+  // oracle; event_ids are unique in the fixture, so keep-first over the
+  // doubled stream IS the original row set and the oracle is a plain
+  // projection of the events table.
+  private val qW21 = Q("w21_streaming_dedup",
+    (s, d) => {
+      val srcName = "w21_stream_src"
+      graft.sources.Materialize.processTable(s, d, srcName) {
+        val e = T(s, d, "events")
+        e.unionByName(
+          e.withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR")))
+      }
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val out = graft.sources.Materialize.processPath(d, "w21_dedup")
+      val ck = graft.sources.Materialize.processPath(d, "w21_ck")
+      graft.streaming.Streams.dedupStream(s, src, out, ck)
+      s.read.parquet(out)
+        .select("event_id", "user_id", "value")
+        .transform(Q.sortedOnce(_, "event_id"))
+    },
+    Some("SELECT event_id, user_id, value FROM events ORDER BY event_id"))
+
   // W9: the reference's FINEST demonstrated frequency — 250 ms resample
   // +ffill (notebook cell 15, README.md:12) over a 4-hour session. The
   // point of the row is scale posture, not new semantics: the 250 ms
@@ -1542,7 +1616,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
-    qW17, qW18, qW19,
+    qW17, qW18, qW19, qW20, qW21,
     qA3, qA3b, qA3c, qA3d, qA3e, qA3f) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all

@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * by `BigDecimal.doubleValue` — the conversion `cast(decimal as
   * double)` performs. Within [[graft.ops.Stats.pearson]]'s documented
   * 38-digit envelope the two forms are bit-identical (pinned by
-  * CorrPruneSpec and the a3f oracle); past it the aggregate fails
-  * loudly under ANSI while this kernel, with 128-bit sums and a
-  * BigInteger finish, simply cannot overflow.
+  * CorrPruneSpec and the a3f oracle); past it BOTH forms fail loudly —
+  * the aggregate under ANSI at its cast/sum overflow, this kernel at
+  * its own input check (non-finite values, or a quantized magnitude
+  * past 2^47, throw ArithmeticException before any accumulation) — so
+  * neither can silently diverge. Within the admitted range the 128-bit
+  * sums and BigInteger finish are exact by construction.
   *
   * Why a custom expression: built-ins can only correlate two array
   * columns by exploding candidate·dims slots into rows, and EVERY
@@ -101,16 +104,42 @@ object PearsonArrays {
     }
   }
 
+  /** Quantized-magnitude ceiling: 2^47. With every |quantized| ≤ 2^47
+    * each product is ≤ 2^94, and an Int-length array contributes fewer
+    * than 2^31 of them, so Acc128 (signed, capacity 2^127) cannot wrap
+    * for ANY input the check admits — no dependence on the caller
+    * staying polite. 2^47 ≈ 1.4e14 sits an order above pearson's
+    * documented ~1e13 envelope, so no in-envelope value is rejected,
+    * and well under 2^53, so the double round-trip below is lossless
+    * for every admitted value.
+    */
+  private val MaxQuantized = 1L << 47
+
   /** Spark `round(x·1e6, 0)` for doubles, then the integral result as a
     * long — the aggregate form's exact quantization (`Round` for
     * DoubleType is `BigDecimal.valueOf(d).setScale(0, HALF_UP)`; the
     * follow-on cast to DECIMAL(38,0) is exact on an integral double).
-    * Magnitudes stay ≤ ~1e13 inside pearson's documented envelope, four
-    * orders under 2^53, so the double round-trip is lossless.
+    * Non-finite input and out-of-envelope magnitudes fail loudly here
+    * (the aggregate form fails the same way at its ANSI cast — Spark's
+    * `Round` passes NaN/Infinity through for doubles, and the decimal
+    * cast then throws): silent saturation via `toLong`, or an Acc128
+    * wrap from admitted-but-huge values, can never happen.
     */
-  private def quantize(x: Double): Long =
-    JBigDecimal.valueOf(x * 1e6).setScale(0, RoundingMode.HALF_UP)
+  private def quantize(x: Double): Long = {
+    val scaled = x * 1e6
+    if (!java.lang.Double.isFinite(scaled))
+      throw new ArithmeticException(
+        s"pearson_arrays: non-finite input $x — outside the exact " +
+          "envelope (the aggregate form fails at its ANSI decimal cast)")
+    val q = JBigDecimal.valueOf(scaled).setScale(0, RoundingMode.HALF_UP)
       .doubleValue().toLong
+    if (q > MaxQuantized || q < -MaxQuantized)
+      throw new ArithmeticException(
+        s"pearson_arrays: input $x quantizes past 2^47 — outside the " +
+          "exact envelope (the aggregate form overflows loudly under " +
+          "ANSI past its 38-digit envelope)")
+    q
+  }
 
   /** One primitive pass over the aligned pair; null when fewer than two
     * complete slots or either variance is exactly zero — the aggregate

@@ -87,10 +87,9 @@ object CorrPrune {
     * the threshold/rounding (and their oracle mirrors it). Output rows
     * are a subset of the exact all-pairs answer; recall is governed by
     * bands/bits. A candidate pair with zero pairwise-complete slots
-    * emits no row (see the null-slot filter below); such pairs carry a
-    * null rho in [[candidateRhoVectors]] instead — the two agree
-    * exactly on every pair with at least one complete slot, and after
-    * any rho threshold on all pairs.
+    * emits no row (see the null-slot filter below) — undefined rho is
+    * not a result; [[candidateRhoVectors]] drops the same pairs, so the
+    * two verify paths agree ROW-FOR-ROW on any panel, threshold or not.
     */
   def candidateRho(panel: DataFrame, keyCol: String, posCol: String,
                    valueCol: String, dims: Int, bands: Int,
@@ -119,6 +118,12 @@ object CorrPrune {
     cand.join(broadcast(a), Seq("i")).join(broadcast(b), Seq("j", "pos"))
       .groupBy("i", "j")
       .agg(Stats.pearson(col("va"), col("vb")).as("rho"))
+      // a pair with fewer than two complete slots never forms a group
+      // here (the inner join produced no rows), but a CONSTANT-side
+      // pair with overlap does — as a null-rho row. Undefined rho is
+      // not a result either way: dropping it keeps this path and
+      // [[candidateRhoVectors]] row-for-row identical, threshold or not
+      .where(col("rho").isNotNull)
   }
 
   /** Panel-cell ceiling for [[candidateRho]]'s broadcast verify: k·dims
@@ -146,10 +151,10 @@ object CorrPrune {
     * JIT-compiled primitive loop). Same output as [[candidateRho]] on any
     * GRID-COMPLETE panel — every series carries a row for every pos
     * 1..dims, values possibly null (the shape [[graft.ops.Time]]'s
-    * resample core emits by construction) — up to one degenerate
-    * corner: a candidate pair with ZERO pairwise-complete slots keeps a
-    * null-rho row here and emits nothing there (identical after any
-    * rho threshold). That precondition is what
+    * resample core emits by construction) — ROW-FOR-ROW: a candidate
+    * pair with ZERO pairwise-complete slots (the kernel returns null
+    * rho) is dropped here exactly as the broadcast path's per-pos
+    * inner join drops it there. That precondition is what
     * lets the zip align by array index; it is ENFORCED loudly (a series
     * whose row count differs from dims raises, instead of silently
     * shifting every later slot and verifying the wrong pairs —
@@ -189,10 +194,14 @@ object CorrPrune {
       // one scalar fold per pair, no explode: candidate·dims slots as
       // ROWS pay per-row operator machinery (~3 µs/slot measured, in
       // every explode shape tried), where the fold is one lambda step
-      // per slot — and every candidate pair keeps exactly one output
-      // row (zero-overlap pairs get null rho, matching the broadcast
-      // path's n=0 aggregate on a grid-complete panel)
+      // per slot
       .select(col("i"), col("j"),
         Stats.pearsonArrays(col("va"), col("vb")).as("rho"))
+      // undefined rho (zero pairwise-complete slots, or a constant
+      // side) is not a result: dropping it here makes this path agree
+      // row-for-row with candidateRho, whose per-pos inner join never
+      // forms a group for such pairs — no threshold needed for the two
+      // physical strategies to be interchangeable
+      .where(col("rho").isNotNull)
   }
 }

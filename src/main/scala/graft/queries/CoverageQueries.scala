@@ -359,6 +359,68 @@ object CoverageQueries {
         FROM events)
       GROUP BY 1, 2 ORDER BY event_type, decile"""))
 
+  // A14b (round 15): the 100 TB path a14's scaladoc documents, made
+  // real — equi-depth binning with SKETCH edges instead of the exact
+  // ntile's one-reducer-per-group sort. Edges are percentile_approx's
+  // GK summaries (accuracy 10⁴ → rank error ≤ 10⁻⁴) at the nine
+  // interior deciles — a constant-size mergeable aggregate with
+  // map-side partials — and assignment is MAP-ONLY against the
+  // broadcast per-group edge arrays (a 9-slot filter per row: no sort,
+  // no window, no per-group reducer — the shape that survives a group
+  // holding 10 TB, where a14's exact ntile funnels the group through
+  // one task — and unlike a12, NO exact percentile runs anywhere: this
+  // is the pure scale path). Graded the way a12 grades GK — exact,
+  // DuckDB-computable quantities plus pinned sketch-quality flags —
+  // but the tolerance is pinned in the sketch's OWN guarantee domain,
+  // rank error, which the bin counts expose exactly: rank(edge_k) =
+  // Σ_{b≤k} n_b, and GK at accuracy 10⁴ promises |rank(edge_k) −
+  // k·N/10| ≤ 10⁻⁴·N (a value-domain bound like a12's 2% is
+  // ill-posed here at small N, where adjacent order statistics sit
+  // further than 2% apart). The oracle replays the per-group totals
+  // and bin count (an empty/duplicated bin fails loudly as
+  // n_bins ≠ 10) and pins two flags at 1: every edge's rank within
+  // N/1000 + 1 of its target, and every bin's depth within N/500 + 2
+  // of N/10 (two rank errors plus integer divisibility). A sketch
+  // drifting past either bound, or a row lost/duplicated by the
+  // broadcast join, fails the hash compare.
+  private val qA14b = Q("a14b_sketch_histogram",
+    (s, d) => {
+      val ev = T(s, d, "events")
+      val qs = (1 to 9).map(q => s"0.$q").mkString(", ")
+      val edges = ev.groupBy("event_type")
+        .agg(expr(s"percentile_approx(value, array($qs), 10000)")
+          .as("edges"))
+      val binned = ev.join(broadcast(edges), Seq("event_type"))
+        .select(col("event_type"),
+          (size(filter(col("edges"), e => col("value") > e)) + 1)
+            .as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+      val rankAggs = (1 to 9).map(k =>
+        sum(when(col("bin") <= k, col("n")).otherwise(0L)).as(s"r$k"))
+      val aggs = Seq(count(lit(1)).as("n_bins"), max("n").as("mx"),
+        min("n").as("mn")) ++ rankAggs
+      binned.groupBy("event_type")
+        .agg(sum("n").as("n_total"), aggs: _*)
+        .select(col("event_type"), col("n_total"),
+          col("n_bins").cast("int").as("n_bins"),
+          // |rank(edge_k) − k·N/10| ≤ N/1000 + 1 for all k, integer
+          // arithmetic: |r_k·1000 − k·100·N| ≤ N + 1000
+          (1 to 9).map(k =>
+              abs(col(s"r$k") * 1000 - col("n_total") * (k * 100)) <=
+                col("n_total") + 1000)
+            .reduce(_ && _).cast("int").as("edge_ranks_within_tol"),
+          // |n_k − N/10| ≤ N/500 + 2 for every bin:
+          // mx·500 ≤ 51·N + 1000 ∧ mn·500 ≥ 49·N − 1000
+          (col("mx") * 500 <= col("n_total") * 51 + 1000 &&
+            col("mn") * 500 >= col("n_total") * 49 - 1000)
+            .cast("int").as("depth_within_tol"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_total, 10 AS n_bins,
+        1 AS edge_ranks_within_tol, 1 AS depth_within_tol
+      FROM events GROUP BY 1 ORDER BY event_type"""))
+
   // A15: quantile winsorization — the outlier clamp every quant/feature
   // pipeline runs before aggregating heavy-tailed values: clamp each
   // group's values to its [p01, p99] and report the before/after means.
@@ -569,5 +631,5 @@ object CoverageQueries {
       GROUP BY 1 ORDER BY day"""))
 
   val all: Seq[Q] = Seq(qS3, qA4, qF7, qA8, qA9, qA10, qA11, qA12, qA13,
-    qA14, qA15, qA16, qA17, qW10, qW11, qW15)
+    qA14, qA14b, qA15, qA16, qA17, qW10, qW11, qW15)
 }

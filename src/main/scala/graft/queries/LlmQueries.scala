@@ -121,9 +121,9 @@ object LlmQueries {
     */
   private def dedupTable(s: SparkSession, d: String,
                          which: String): DataFrame = {
-    // bucketedTable memoizes under "bucketed_<name>"
-    if (!Materialize.isBuilt(d, "bucketed_dedup_sets") ||
-        !Materialize.isBuilt(d, "bucketed_dedup_bands")) {
+    // bucketedTable memoizes bare names under the "bucketed" family
+    if (!Materialize.isBuilt(d, "dedup_sets", "bucketed") ||
+        !Materialize.isBuilt(d, "dedup_bands", "bucketed")) {
       val sh = shingleHashes(s, d).cache()
       try {
         val (sets, bands) = signatureTables(sh)

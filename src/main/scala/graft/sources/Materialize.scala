@@ -185,10 +185,15 @@ object Materialize {
 
   /** Whether the named table has already been built this JVM — lets a
     * caller group several table builds around one shared cached input
-    * and release it when all are written.
+    * and release it when all are written. `family` selects the
+    * memoization namespace ("table" / "process" / "bucketed") and must
+    * match the builder that registered the name: [[bucketedTable]]
+    * memoizes under "bucketed" with the BARE name, so its guard is
+    * `isBuilt(dir, "dedup_sets", "bucketed")` — not a
+    * "bucketed_"-prefixed name under the default family.
     */
-  def isBuilt(dir: String, name: String): Boolean =
-    synchronized(builtTables.contains(("table", dir, name)))
+  def isBuilt(dir: String, name: String, family: String = "table"): Boolean =
+    synchronized(builtTables.contains((family, dir, name)))
 
   /** Driver-side memoized value (codebooks and other dimension-sized
     * metadata) for fixture `dir`.

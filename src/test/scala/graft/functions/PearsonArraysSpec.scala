@@ -103,6 +103,36 @@ class PearsonArraysSpec extends SparkTestBase {
     assert(viaSql > 0.99, s"fixture pair should be near-collinear: $viaSql")
   }
 
+  test("out-of-envelope input fails loudly: NaN/Infinity and " +
+    "past-2^47 magnitudes throw, never silently diverge") {
+    def rhoOf(xs: Seq[Double], ys: Seq[Double]): Double =
+      Seq((xs, ys)).toDF("va", "vb")
+        .select(Stats.pearsonArrays(col("va"), col("vb")).as("rho"))
+        .head().getDouble(0)
+    val bad = Seq(
+      Seq(Double.NaN, 2.0, 3.0),
+      Seq(Double.PositiveInfinity, 2.0, 3.0),
+      Seq(Double.NegativeInfinity, 2.0, 3.0),
+      Seq(1e300, 2.0, 3.0),        // x*1e6 overflows to Infinity
+      Seq(3e8, 2.0, 3.0),          // quantizes to 3e14 > 2^47
+      Seq(-3e8, 2.0, 3.0))
+    bad.foreach { xs =>
+      val e = intercept[Exception] {
+        rhoOf(xs, Seq(1.0, 2.0, 4.0))
+      }
+      // the ArithmeticException surfaces (possibly wrapped by Spark's
+      // task failure machinery) — its message must reach the caller
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("pearson_arrays")),
+        s"expected a loud pearson_arrays envelope failure for $xs, got $e")
+    }
+    // boundary sanity: the largest in-envelope magnitude still computes
+    val inEnv = rhoOf(Seq(1.4e8, 2.0, 3.0), Seq(1.0, 2.0, 4.0))
+    assert(!inEnv.isNaN)
+  }
+
   test("interpreted eval path (codegen off) equals the codegen path") {
     val df = Seq((Seq(Some(1.0), None, Some(3.0), Some(4.5)),
       Seq(Some(2.0), Some(9.9), None, Some(8.5)))).toDF("va", "vb")

@@ -98,6 +98,48 @@ class StreamsSpec extends SparkTestBase {
       batch.orderBy("user_id", "session_start").collect().toSeq)
   }
 
+  test("session cutoff boundary: a 30-minute-gap chain reaching the " +
+    "watermark cutoff is excluded from the emitted (graded) set") {
+    // w19's determinism rests on "a 30-minute-gap chain cannot reach
+    // the slice end minus the watermark at fixture density". This pins
+    // what happens if one ever DOES: each new event extends the
+    // session's end past max(ts) − 1 h, so the end never falls behind
+    // the watermark, the session stays open state, and the emitted
+    // (graded) set simply excludes it — a fixture change creating such
+    // a chain surfaces here as a understood exclusion, not as an
+    // unexplained oracle mismatch.
+    val jan2 = graft.SparkEntry.jan2
+    val t0 = jan2 + 3600
+    // user 1: a plainly closed two-event session inside the graded day
+    val closedRows = Seq(evRow(1L, t0, 1L, 1.0),
+      evRow(2L, t0 + 600, 1L, 1.0))
+    // user 2: events every 29 min from t0 to past the next midnight —
+    // every inter-event gap is under the 30-min session gap, so the
+    // whole chain is ONE session whose start is inside the graded day
+    // and whose end outruns the final watermark (last ts − 1 h)
+    val chainRows = (0 to 50).map(i =>
+      evRow(100L + i, t0 + i * 1740L, 2L, 1.0))
+    val in = tmp("graft_sess_cut_in_")
+    stageFile(in, "events.parquet", 1000000L, closedRows ++ chainRows)
+    val out = tmp("graft_sess_cut_out_")
+    val ck = tmp("graft_sess_cut_ck_")
+    Streams.sessionStream(spark, in, out, ck)
+    val got = spark.read.parquet(out)
+    val graded = got.where(col("session_start") >= jan2 &&
+      col("session_start") < jan2 + 86400)
+    // the closed session is emitted and graded, exactly once
+    val s1 = graded.where(col("user_id") === 1L).collect()
+    assert(s1.length == 1, s1.mkString(","))
+    assert(s1.head.getAs[Long]("session_start") == t0)
+    assert(s1.head.getAs[Long]("session_end") == t0 + 600 + 1800)
+    assert(s1.head.getAs[Long]("n_events") == 2L)
+    // the cutoff-reaching chain is excluded WHOLESALE — no partial
+    // session, no row at all, even though its start lies in the graded
+    // window (the batch oracle would include it: that divergence is
+    // precisely why w19's fixture-density argument matters)
+    assert(got.where(col("user_id") === 2L).count() == 0)
+  }
+
   test("clickViewJoin matches the batch interval join on a bounded drain") {
     val in = stageEvents()
     val out = tmp("graft_ssj_out_")
