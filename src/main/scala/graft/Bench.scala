@@ -56,9 +56,20 @@ object Bench {
     * multi-× phantoms between clean endpoints); this closes that gap at
     * ~0.1 s per query. Single-shot on purpose — a min-of-N would hide
     * exactly the transient it exists to catch.
+    *
+    * Measured AFTER a forced full GC: the canary must read the HOST's
+    * state, not the preceding query's JVM residue. Round 14's readings
+    * correlated 0.55 with the preceding query's own seconds — heavy
+    * queries (g1, d6, t9, s6b…) left enough GC debt to inflate their
+    * canary ≥2× the sweep floor deterministically, which is exactly why
+    * the same lines came back suspect in every sweep and no retime
+    * could heal them: the detector was reading allocator state and
+    * calling it load. The GC costs ~0.1-0.5 s per query — the price of
+    * a contamination signal that means what it claims.
     */
   private def microCanarySec(spark: org.apache.spark.sql.SparkSession): Double = {
     import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    System.gc()
     val t0 = System.nanoTime()
     spark.range(0L, 100000000L, 1L)
       .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
