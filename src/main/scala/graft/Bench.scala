@@ -49,32 +49,42 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
-  /** Single-shot micro canary (~1/5 the endpoint canary's range, one
-    * run): interleaved after EVERY query so each per-query time carries
-    * its own host-state reading. Endpoint canaries proved blind to
-    * mid-sweep contention twice (r12's a3d and r13's e1b both recorded
-    * multi-× phantoms between clean endpoints); this closes that gap at
-    * ~0.1 s per query. Single-shot on purpose — a min-of-N would hide
-    * exactly the transient it exists to catch.
+  /** Micro canary (~1/5 the endpoint canary's range): interleaved after
+    * EVERY query so each per-query time carries its own host-state
+    * reading. Endpoint canaries proved blind to mid-sweep contention
+    * twice (r12's a3d and r13's e1b both recorded multi-× phantoms
+    * between clean endpoints); this closes that gap.
     *
-    * Measured AFTER a forced full GC: the canary must read the HOST's
-    * state, not the preceding query's JVM residue. Round 14's readings
-    * correlated 0.55 with the preceding query's own seconds — heavy
-    * queries (g1, d6, t9, s6b…) left enough GC debt to inflate their
-    * canary ≥2× the sweep floor deterministically, which is exactly why
-    * the same lines came back suspect in every sweep and no retime
-    * could heal them: the detector was reading allocator state and
-    * calling it load. The GC costs ~0.1-0.5 s per query — the price of
-    * a contamination signal that means what it claims.
+    * MIN of three readings, each after a forced full GC + settle: the
+    * canary must read the HOST's state, not the preceding query's JVM
+    * residue. Round 14's single-shot readings correlated 0.55 with the
+    * preceding query's own seconds — heavy queries left enough GC debt,
+    * live cache blocks, and ContextCleaner broadcast-cleanup work to
+    * inflate the one reading ≥2× the sweep floor deterministically,
+    * which is exactly why the same lines came back suspect in every
+    * sweep and no retime could heal them: the detector was reading
+    * allocator state and calling it load. CanaryProbe measured the
+    * residue's shape — first reading after t10/g1 0.43-0.46 s, third
+    * ~0.14 s, while ambient load elevates ALL readings — so the min of
+    * three is immune to the residue yet still catches every sustained
+    * spike that could actually have contaminated a multi-second 3-run
+    * median (a sub-second transient the min misses could not have).
+    * Costs ~0.5-1 s per query — the price of a contamination signal
+    * that means what it claims.
     */
   private def microCanarySec(spark: org.apache.spark.sql.SparkSession): Double = {
     import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
-    System.gc()
-    val t0 = System.nanoTime()
-    spark.range(0L, 100000000L, 1L)
-      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
-      .agg(sum(col("h"))).write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    (1 to 3).map { _ =>
+      System.gc()
+      // let async cache-block drops and the GC's concurrent phases
+      // settle so neither bleeds into the reading
+      Thread.sleep(50)
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L)
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
+        .agg(sum(col("h"))).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,7 +139,15 @@ object Bench {
       if (times.size < Runs) failures += 1
       // the micro canary reads the host state THIS query just ran
       // under — recorded per query so a mid-sweep load spike is visible
-      // on the line it contaminated, not just at the endpoints
+      // on the line it contaminated, not just at the endpoints.
+      // Release the query's registered caches FIRST: live cache blocks
+      // survive the canary's System.gc() (referenced storage memory),
+      // and a near-full heap makes the canary pay the query's GC
+      // pressure — the r15 first-cut sweep flagged exactly the
+      // cache-registering queries (g1/g3/g4/a3*/s6b…) as suspect on an
+      // otherwise idle host through that mechanism
+      graft.ops.Time.unpersistPanels()
+      spark.catalog.clearCache()
       val micro = microCanarySec(spark)
       if (times.size == Runs)
         name -> (times.sorted.apply(Runs / 2), times.min, micro)
@@ -169,6 +187,9 @@ object Bench {
       prevSuspects = sus.toSet
       sus.take(20).foreach { name =>
         val fn = SparkEntry.queries(name)
+        // both brackets read on a cache-free heap, like the main pass
+        graft.ops.Time.unpersistPanels()
+        spark.catalog.clearCache()
         val lead = microCanarySec(spark)
         val times = (1 to Runs).flatMap { _ =>
           graft.ops.Time.unpersistPanels()
@@ -178,6 +199,8 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
         }
+        graft.ops.Time.unpersistPanels()
+        spark.catalog.clearCache()
         val trail = microCanarySec(spark)
         microFloor = math.min(microFloor, math.min(lead, trail))
         if (times.size == Runs && math.max(lead, trail) < 2.0 * microFloor) {

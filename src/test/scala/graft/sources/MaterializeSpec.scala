@@ -40,6 +40,26 @@ class MaterializeSpec extends SparkTestBase {
     assert(builds == 2)
   }
 
+  test("isBuilt is namespace-aware: a bucketed build registers under " +
+    "the bucketed family with its bare name, and nowhere else") {
+    // regression for the round-14 key-namespace change: LlmQueries'
+    // build guard asked isBuilt(dir, "bucketed_<name>") against the
+    // default "table" family, which can never match a bucketedTable
+    // registration — the guard was dead and every dedup query re-entered
+    // the build branch (cache/unpersist churn on the shingle relation)
+    val name = s"spec_bkt_${System.nanoTime()}"
+    val dir = "/spec/fixture"
+    assert(!Materialize.isBuilt(dir, name, "bucketed"))
+    Materialize.bucketedTable(spark, dir, name, 2, Seq("id")) {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    assert(Materialize.isBuilt(dir, name, "bucketed"))
+    // the shapes the dead guard used — and sibling families — stay false
+    assert(!Materialize.isBuilt(dir, s"bucketed_$name"))
+    assert(!Materialize.isBuilt(dir, name))
+    assert(!Materialize.isBuilt(dir, name, "process"))
+  }
+
   test("boundedPartitions: 1 at fixture scale, grows with input, capped") {
     import graft.ops.Relational.boundedPartitions
     assert(boundedPartitions(0L, 256) == 1)
