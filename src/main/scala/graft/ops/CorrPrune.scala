@@ -188,7 +188,7 @@ object CorrPrune {
             "a grid-complete panel: series "), col(keyCol).cast("string"),
             lit(s" has "), size(col("s")).cast("string"),
             lit(s" rows, expected $dims")))).as("vs"))
-    cand
+    val rho = cand
       .join(vecs.select(col(keyCol).as("i"), col("vs").as("va")), Seq("i"))
       .join(vecs.select(col(keyCol).as("j"), col("vs").as("vb")), Seq("j"))
       // one scalar fold per pair, no explode: candidate·dims slots as
@@ -197,6 +197,18 @@ object CorrPrune {
       // per slot
       .select(col("i"), col("j"),
         Stats.pearsonArrays(col("va"), col("vb")).as("rho"))
+    // the pair-sized cache is an OPTIMIZER BARRIER, not a convenience:
+    // without it Catalyst inlines the rho alias into every downstream
+    // predicate — the null filter below plus a caller's
+    // round-then-threshold — and pushes them into the vector JOIN
+    // CONDITION, re-running the O(dims) kernel up to three times per
+    // pair (observed in the r15 plan audit: isnotnull(pearson_arrays),
+    // round(pearson_arrays) ≥ t in the join, pearson_arrays again in
+    // the project). Aggregates give candidateRho this barrier for
+    // free; the scalar-kernel path buys it with a candidate-sized
+    // cache (k·bands bucket collisions, tiny next to the panel) and
+    // the kernel runs exactly once per pair.
+    graft.ops.Time.registerCached(rho.cache())
       // undefined rho (zero pairwise-complete slots, or a constant
       // side) is not a result: dropping it here makes this path agree
       // row-for-row with candidateRho, whose per-pos inner join never

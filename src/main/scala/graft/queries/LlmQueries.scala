@@ -552,15 +552,12 @@ object LlmQueries {
             .otherwise("dup_of_delta").as("verdict"))
   }
 
-  private val qD8 = Q("d8_incremental_dedup",
-    (s, d) => {
-      val docs = T(s, d, "documents")
-      val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
-      val bands = dedupBands(s, d)
-      deltaVerdicts(bands, bands.where(col("doc_id") >= th),
-          dedupSets(s, d), docs.where(col("doc_id") >= th), th)
-        .orderBy("doc_id")
-    },
+  /** d8's DuckDB mirror — shared with [[qW22]]: the streaming
+    * incremental dedup drains the SAME delta (top doc_id decile) in one
+    * micro-batch against state seeded from the same lake tables, so its
+    * landed verdicts are d8's rows exactly and one oracle grades both.
+    */
+  private lazy val d8OracleSql: Option[String] =
     Some(s"""WITH $d2SqlCtes,
       th AS (SELECT 9 * max(doc_id) // 10 AS th FROM documents),
       m AS (
@@ -573,7 +570,49 @@ object LlmQueries {
           WHEN m.match_id < (SELECT th FROM th) THEN 'dup_of_corpus'
           ELSE 'dup_of_delta' END AS verdict
       FROM delta d LEFT JOIN m ON d.doc_id = m.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")
+
+  private val qD8 = Q("d8_incremental_dedup",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
+      val bands = dedupBands(s, d)
+      deltaVerdicts(bands, bands.where(col("doc_id") >= th),
+          dedupSets(s, d), docs.where(col("doc_id") >= th), th)
+        .orderBy("doc_id")
+    },
+    d8OracleSql)
+
+  // W22 (round 15): STREAMING INCREMENTAL NEAR-DEDUP on the oracle
+  // gate — the last spec-only streaming operator, completing the
+  // streaming surface on the hard gate (w16 ffill, w17/w18 corr, w19
+  // sessions, w20 interval join, w21 stateful dedup, and now the
+  // ingest-gate dedup). The staged delta is d8's exact slice (top
+  // doc_id decile), coalesced to ONE file so the AvailableNow drain is
+  // a single micro-batch: the stream's state (corpus signatures minus
+  // the batch's ids, plus the batch's freshly computed signatures)
+  // then equals d8's corpus relation exactly, and the landed verdicts
+  // are d8's rows — the oracle is d8's verbatim. Cross-batch
+  // incremental semantics (later batches seeing earlier deltas as
+  // corpus, restart resume, per-table idempotent state appends) stay
+  // covered by StreamsSpec's multi-batch and restart cases.
+  private val qW22 = Q("w22_streaming_incremental_dedup",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
+      val srcName = "w22_stream_src"
+      Materialize.processTable(s, d, srcName) {
+        docs.where(col("doc_id") >= th).coalesce(1)
+      }
+      val src = Materialize.processPath(d, srcName)
+      val out = Materialize.processPath(d, "w22_verdicts")
+      val ck = Materialize.processPath(d, "w22_ck")
+      graft.streaming.Streams.incrementalDedupStream(s, src, d, out, ck, th)
+      s.read.parquet(out)
+        .select("doc_id", "match_id", "n_matches", "verdict")
+        .transform(Q.sortedOnce(_, "doc_id"))
+    },
+    d8OracleSql)
 
   // d9: bloom-prefiltered decontamination — d7's problem at the 100 TB
   // posture: the benchmark side is compressed into a CONSTANT-SIZE bloom
@@ -2272,7 +2311,7 @@ object LlmQueries {
       GROUP BY 1 ORDER BY t1.qid"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9,
+    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9, qW22,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9, qT10,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
       qM1, qM2, qM3, qM4, qC1)
