@@ -246,6 +246,25 @@ class PlanGuardSpec extends SparkTestBase {
     }
   }
 
+  test("a14b's sketch binning is map-only against broadcast edges — " +
+    "no window, no ntile, mergeable GK partials") {
+    // the 100 TB histogram path must never regress to a14's exact
+    // shape: a per-group ntile Window funnels each group through one
+    // reducer, which is exactly what the sketch-edge design avoids
+    val p = plan("a14b_sketch_histogram")
+    // no Window node anywhere — which is also where an ntile would
+    // live (the substring "ntile" itself appears inside
+    // "percentile_approx", so the node check is the meaningful one)
+    assert(!p.contains("Window"), p)
+    // edge arrays ride a broadcast into the row stream (map-only
+    // assignment)...
+    assert(p.contains("BroadcastHashJoin"), p)
+    // ...and the GK summary aggregates with map-side partials — the
+    // constant-size mergeable-sketch property, visible as a
+    // partial_percentile_approx below the exchange
+    assert(p.contains("partial_percentile_approx"), p)
+  }
+
   test("a11 keeps the single-pass shape — no distinct-aggregate Expand") {
     // the round-10 rewrite replaced count(DISTINCT)-style Expand (which
     // multiplies every input row per aggregate) with one pass; a
