@@ -300,9 +300,10 @@ object Streams {
     */
   def clickViewJoin(spark: SparkSession, srcDir: String, outDir: String,
                     checkpointDir: String, window: String = "5 minutes",
-                    watermark: String = "1 hour"): Unit = {
+                    watermark: String = "1 hour",
+                    maxFilesPerTrigger: Option[Int] = None): Unit = {
     def side(tpe: String, suffix: String): DataFrame =
-      eventsStream(spark, srcDir)
+      eventsStream(spark, srcDir, maxFilesPerTrigger)
         .where(col("event_type") === tpe)
         .select(col("event_id").as(s"event_id_$suffix"),
           col("user_id").as(s"user_id_$suffix"),

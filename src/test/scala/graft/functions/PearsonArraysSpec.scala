@@ -90,6 +90,81 @@ class PearsonArraysSpec extends SparkTestBase {
     assert(k.isDefined && a.isDefined && k.get == a.get)
   }
 
+  /** INDEPENDENT exact reference: plain BigInteger arithmetic over the
+    * documented semantics (quantize via BigDecimal HALF_UP at 1e6,
+    * exact integer co-moments, BigDecimal→double finish) — no 128-bit
+    * accumulator, no multiplyHigh, no toLong round-trip. The kernel
+    * must match it BIT-FOR-BIT on every in-envelope input; agreement of
+    * two structurally different implementations is the exactness
+    * evidence fixed fixtures cannot give.
+    */
+  private def refRho(xs: Seq[Option[Double]],
+                     ys: Seq[Option[Double]]): Option[Double] = {
+    import java.math.{BigDecimal => BD, BigInteger => BI, RoundingMode}
+    val n = math.min(xs.length, ys.length)
+    val pairs = (0 until n).flatMap { i =>
+      for (x <- xs(i); y <- ys(i)) yield (x, y)
+    }
+    if (pairs.size < 2) return None
+    def q(d: Double): BI = BD.valueOf(d * 1e6)
+      .setScale(0, RoundingMode.HALF_UP).toBigInteger
+    val qs = pairs.map { case (x, y) => (q(x), q(y)) }
+    val nB = BI.valueOf(pairs.size.toLong)
+    def tot(f: ((BI, BI)) => BI): BI = qs.map(f).reduce(_.add(_))
+    val sx = tot(_._1); val sy = tot(_._2)
+    val vx = nB.multiply(tot(p => p._1.multiply(p._1)))
+      .subtract(sx.multiply(sx))
+    val vy = nB.multiply(tot(p => p._2.multiply(p._2)))
+      .subtract(sy.multiply(sy))
+    if (vx.signum <= 0 || vy.signum <= 0) return None
+    val cov = new BD(nB.multiply(tot(p => p._1.multiply(p._2)))
+      .subtract(sx.multiply(sy))).doubleValue()
+    Some(cov / math.sqrt(new BD(vx).doubleValue() * new BD(vy).doubleValue()))
+  }
+
+  test("property sweep: kernel equals the independent exact reference " +
+    "bit-for-bit across 400 random shapes (nulls, magnitudes, " +
+    "constants, unequal lengths)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def ad(v: Seq[Option[Double]]) = new GenericArrayData(
+      v.map(_.map(java.lang.Double.valueOf).orNull).toArray[Any])
+    var state = 2024L
+    def nextLong(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L; state
+    }
+    def nextDouble(): Double = // uniform in [-0.5, 0.5)
+      ((nextLong() >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    val scales = Seq(1e-3, 1.0, 1e3, 1e6, 1e7)
+    var checked = 0
+    (1 to 400).foreach { caseNo =>
+      val len = ((nextLong() >>> 50) % 41L).toInt // 0..40
+      val lenB = if ((nextLong() & 7L) == 0L)     // 1-in-8: unequal
+        ((nextLong() >>> 50) % 41L).toInt else len
+      val nullPct = ((nextLong() >>> 48) % 50L).toInt // 0..49 %
+      val scale = scales(((nextLong() >>> 40) % scales.size).toInt)
+      val constantX = (nextLong() & 15L) == 0L    // 1-in-16: constant
+      val cVal = nextDouble() * scale
+      def series(n: Int, const: Boolean): Seq[Option[Double]] =
+        (0 until n).map { _ =>
+          if (((nextLong() >>> 32) % 100L).toInt < nullPct) None
+          else Some(if (const) cVal else nextDouble() * scale)
+        }
+      val xs = series(len, constantX)
+      val ys = series(lenB, const = false)
+      val got = Option(PearsonArrays.rho(ad(xs), ad(ys))).map(_.doubleValue)
+      val want = refRho(xs, ys)
+      assert(got.isDefined == want.isDefined,
+        s"case $caseNo: kernel $got vs reference $want\nxs=$xs\nys=$ys")
+      for (g <- got; w <- want) {
+        assert(g == w, // bitwise, no tolerance
+          s"case $caseNo: kernel $g != reference $w\nxs=$xs\nys=$ys")
+        checked += 1
+      }
+    }
+    // the sweep must have exercised real correlations, not only guards
+    assert(checked > 100, s"only $checked defined-rho cases — fixture bug")
+  }
+
   test("registered SQL surface: pearson_arrays resolves in the engine " +
     "session and matches the Column form") {
     val df = Seq((Seq(1.0, 2.0, 3.0, 5.0), Seq(2.0, 4.0, 5.5, 9.0)))

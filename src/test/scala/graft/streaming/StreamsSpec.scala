@@ -14,10 +14,11 @@ class StreamsSpec extends SparkTestBase {
     * .eventsStream]] reads: an ingest dir is landed by upstream engine
     * stages, not the fixture generator.
     */
-  private def evRow(id: Long, tsSec: Long, user: Long, value: Double) =
+  private def evRow(id: Long, tsSec: Long, user: Long, value: Double,
+                    tpe: String = "click") =
     org.apache.spark.sql.Row(id,
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(tsSec)),
-      user, "click", value, "{}")
+      user, tpe, value, "{}")
 
   /** Write rows as one parquet file named `name` under `dir` with a
     * controlled mtime — FileStreamSource orders files by modification
@@ -159,6 +160,54 @@ class StreamsSpec extends SparkTestBase {
     assert(streamed.count() == batch.count())
     assert(streamed.select("event_id_c", "event_id_v").distinct().count()
       == batch.count())
+  }
+
+  test("clickViewJoin multi-batch boundary: watermark-evicted click " +
+    "state cannot match a later view; pre-eviction late views still " +
+    "can (inner-join at-least semantics)") {
+    // w20's oracle determinism rests on a single-batch drain (starting
+    // watermark 0 ⇒ nothing late ⇒ inner join ≡ batch join). This pins
+    // the OTHER side of that argument, with the semantics Spark
+    // actually gives an inner stream-stream join: lateness handling is
+    // AT-LEAST, not exact — a late view arriving while the matching
+    // click is still buffered (state cleanup runs at end-of-batch, so
+    // eviction lags the watermark by one batch) still emits its match,
+    // erring toward the full batch join; but once the watermark-driven
+    // cleanup HAS evicted the click's interval, a later matching view
+    // finds nothing. The second half is the property that matters at
+    // 100 TB: join state is bounded by the watermark, never by the
+    // stream's length.
+    val t0 = graft.SparkEntry.jan2
+    val in = tmp("graft_ssj_late_in_")
+    // batch 1: an early click (user 2), plus a click+view pair two
+    // hours later (user 3) that matches in-batch and drives the
+    // watermark to t0+2h+60s − 1h
+    stageFile(in, "b1.parquet", 1000000L, Seq(
+      evRow(10L, t0 + 60, 2L, 1.0),
+      evRow(11L, t0 + 7200, 3L, 1.0),
+      evRow(12L, t0 + 7260, 3L, 1.0, tpe = "view")))
+    // batch 2: a late view for user 2 (t0+120, ~59 min below the
+    // watermark, 60 s from click 10) — matches, because click 10's
+    // state is evicted only at this batch's END; and an above-watermark
+    // view for user 3 — the ordinary cross-batch match with click 11
+    stageFile(in, "b2.parquet", 2000000L, Seq(
+      evRow(13L, t0 + 120, 2L, 1.0, tpe = "view"),
+      evRow(14L, t0 + 7320, 3L, 1.0, tpe = "view")))
+    // batch 3: another view matching click 10 (120 s apart) — by now
+    // the watermark-driven cleanup has removed the click's interval
+    // from state, so NO match may emit
+    stageFile(in, "b3.parquet", 3000000L, Seq(
+      evRow(15L, t0 + 180, 2L, 1.0, tpe = "view")))
+    val out = tmp("graft_ssj_late_out_")
+    val ck = tmp("graft_ssj_late_ck_")
+    Streams.clickViewJoin(spark, in, out, ck,
+      maxFilesPerTrigger = Some(1))
+    val got = spark.read.parquet(out)
+      .select("event_id_c", "event_id_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((11L, 12L), (11L, 14L), (10L, 13L)),
+      s"expected user-3 matches + the pre-eviction late match, and " +
+        s"NEVER the post-eviction view 15, got $got")
   }
 
   test("dedupStream keeps exactly one row per event_id") {
