@@ -25,7 +25,7 @@ object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def build(appName: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -41,7 +41,21 @@ object Sessions {
       // a reliable FS turning them off is the documented escape hatch.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // evidence/dev hook: GRAFT_CONF="k=v;k2=v2" layers extra session
+    // confs over the defaults — e.g. the CLUSTER-SHAPE correctness
+    // sweep runs the whole Verify gate under
+    // GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1" to prove
+    // every graded query computes (not just plans) without size-based
+    // broadcasts, the way PlanGuardSpec pins individual plans
+    val withExtra = sys.env.get("GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(builder) { (b, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b.config(k, v)
+          case _ => sys.error(s"GRAFT_CONF entry '$kv' is not k=v")
+        }
+      }
+    val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
