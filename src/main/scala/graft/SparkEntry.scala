@@ -840,6 +840,42 @@ object SparkEntry {
     },
     Some("SELECT event_id, user_id, value FROM events ORDER BY event_id"))
 
+  // W23 (round 15): the windowed-means ingest — Streams' FIRST operator
+  // (file-source micro-batch ingest → event-time tumbling windows →
+  // date-partitioned sink) — on the oracle gate directly, closing the
+  // last spec-only gap in the streaming surface (w16-w22 cover every
+  // other operator). Determinism: the staged slice runs through Jan 8
+  // with a 1-hour watermark, so every window starting before Jan 5 has
+  // provably finalized (window end ≤ Jan 5 00:01 ≪ final watermark ≈
+  // Jan 8 − 1 h) and the graded filter keeps exactly those; 4-dp
+  // rounding on the mean absorbs double-sum order sensitivity (buckets
+  // hold 1-3 ticks at fixture density — a 3-addend order difference is
+  // ~1e-13, eight orders inside the rounding slack).
+  private val qW23 = Q("w23_streaming_windowed_means",
+    (s, d) => {
+      val srcName = "w23_stream_src"
+      graft.sources.Materialize.processTable(s, d, srcName) {
+        T(s, d, "events").where(col("user_id") < 40 &&
+          col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan8))
+      }
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val out = graft.sources.Materialize.processPath(d, "w23_means")
+      val ck = graft.sources.Materialize.processPath(d, "w23_ck")
+      graft.streaming.Streams.windowedMeans(s, src, out, ck)
+      s.read.parquet(out)
+        .where(col("bucket_start") < tsLit(jan5))
+        .select(unix_timestamp(col("bucket_start")).as("bucket"),
+          col("user_id"), round(col("avg_value"), 4).as("avg_value"),
+          col("n"))
+        .transform(Q.sortedOnce(_, "bucket", "user_id"))
+    },
+    Some(s"""SELECT $EP - $EP % 60 AS bucket, user_id,
+        round(avg(value), 4) AS avg_value, count(*) AS n
+      FROM events
+      WHERE user_id < 40 AND ts >= ${tsSql(jan2)} AND ts < ${tsSql(jan8)}
+        AND $EP - $EP % 60 < $jan5
+      GROUP BY 1, 2 ORDER BY bucket, user_id"""))
+
   // W9: the reference's FINEST demonstrated frequency — 250 ms resample
   // +ffill (notebook cell 15, README.md:12) over a 4-hour session. The
   // point of the row is scale posture, not new semantics: the 250 ms
@@ -1616,7 +1652,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
-    qW17, qW18, qW19, qW20, qW21,
+    qW17, qW18, qW19, qW20, qW21, qW23,
     qA3, qA3b, qA3c, qA3d, qA3e, qA3f) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all
