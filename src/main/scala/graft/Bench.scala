@@ -72,20 +72,26 @@ object Bench {
     * Costs ~0.5-1 s per query — the price of a contamination signal
     * that means what it claims.
     */
-  private def microCanarySec(spark: org.apache.spark.sql.SparkSession): Double = {
+  /** One GC'd micro-canary reading — shared with
+    * [[graft.tools.CanaryProbe]], which calibrates this exact workload
+    * (a probe measuring a different job would calibrate nothing).
+    */
+  private[graft] def microCanaryReading(
+      spark: org.apache.spark.sql.SparkSession): Double = {
     import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
-    (1 to 3).map { _ =>
-      System.gc()
-      // let async cache-block drops and the GC's concurrent phases
-      // settle so neither bleeds into the reading
-      Thread.sleep(50)
-      val t0 = System.nanoTime()
-      spark.range(0L, 100000000L, 1L)
-        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
-        .agg(sum(col("h"))).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    System.gc()
+    // let async cache-block drops and the GC's concurrent phases
+    // settle so neither bleeds into the reading
+    Thread.sleep(50)
+    val t0 = System.nanoTime()
+    spark.range(0L, 100000000L, 1L)
+      .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
+      .agg(sum(col("h"))).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
+
+  private def microCanarySec(spark: org.apache.spark.sql.SparkSession): Double =
+    (1 to 3).map(_ => microCanaryReading(spark)).min
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -850,13 +850,17 @@ object SparkEntry {
   // Jan 8 − 1 h) and the graded filter keeps exactly those; 4-dp
   // rounding on the mean absorbs double-sum order sensitivity (buckets
   // hold 1-3 ticks at fixture density — a 3-addend order difference is
-  // ~1e-13, eight orders inside the rounding slack).
+  // ~1e-13, eight orders inside the rounding slack). The slice is
+  // coalesced to ONE file like w20/w22: a multi-file drain that ever
+  // split into batches could order files arbitrarily (identical
+  // mtimes) and late-drop an out-of-order file's rows at the watermark
+  // — the single file removes the dependence on any such scheduling.
   private val qW23 = Q("w23_streaming_windowed_means",
     (s, d) => {
       val srcName = "w23_stream_src"
       graft.sources.Materialize.processTable(s, d, srcName) {
         T(s, d, "events").where(col("user_id") < 40 &&
-          col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan8))
+          col("ts") >= tsLit(jan2) && col("ts") < tsLit(jan8)).coalesce(1)
       }
       val src = graft.sources.Materialize.processPath(d, srcName)
       val out = graft.sources.Materialize.processPath(d, "w23_means")

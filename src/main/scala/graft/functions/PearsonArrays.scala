@@ -28,12 +28,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * by `BigDecimal.doubleValue` — the conversion `cast(decimal as
   * double)` performs. Within [[graft.ops.Stats.pearson]]'s documented
   * 38-digit envelope the two forms are bit-identical (pinned by
-  * CorrPruneSpec and the a3f oracle); past it BOTH forms fail loudly —
-  * the aggregate under ANSI at its cast/sum overflow, this kernel at
-  * its own input check (non-finite values, or a quantized magnitude
-  * past 2^47, throw ArithmeticException before any accumulation) — so
-  * neither can silently diverge. Within the admitted range the 128-bit
-  * sums and BigInteger finish are exact by construction.
+  * CorrPruneSpec and the a3f oracle), and NEITHER can silently
+  * diverge outside it: the aggregate fails loudly under ANSI at its
+  * cast/sum overflow, while this kernel throws at its own boundaries —
+  * non-finite input, a quantized magnitude past 2^53 (where the
+  * double round-trip stops being lossless, so exactness would be a
+  * lie), or a 128-bit co-moment overflow (Acc128 traps signed wrap;
+  * reachable only at ~10⁶⁺ maximal-magnitude slots, far past where
+  * the aggregate already failed). Everything the aggregate's envelope
+  * admits at realistic slot counts, this kernel admits and computes
+  * with the same exact 128-bit sums and BigInteger finish.
   *
   * Why a custom expression: built-ins can only correlate two array
   * columns by exploding candidate·dims slots into rows, and EVERY
@@ -80,7 +84,13 @@ case class PearsonArrays(left: Expression, right: Expression)
 
 object PearsonArrays {
 
-  /** Exact signed-128-bit accumulator: (hi, lo) two's complement. */
+  /** Exact signed-128-bit accumulator: (hi, lo) two's complement.
+    * Signed overflow TRAPS (same-sign addends, opposite-sign result —
+    * the exact multi-word rule), so the kernel can never wrap
+    * silently: with per-slot magnitudes ≤ 2^53 each product is ≤
+    * 2^106, and only ≳2×10⁶ maximal-magnitude slots could reach the
+    * 2^127 capacity — where this throws instead.
+    */
   private final class Acc128 {
     var hi: Long = 0L
     var lo: Long = 0L
@@ -89,7 +99,13 @@ object PearsonArrays {
       val newLo = lo + addLo
       // unsigned carry out of the low word
       val carry = ((lo & addLo) | ((lo | addLo) & ~newLo)) >>> 63
-      hi = hi + addHi + carry
+      val newHi = hi + addHi + carry
+      if ((hi < 0) == (addHi < 0) && (newHi < 0) != (hi < 0))
+        throw new ArithmeticException(
+          "pearson_arrays: 128-bit co-moment overflow — array too long " +
+            "at this magnitude (the aggregate form overflows loudly " +
+            "under ANSI far earlier)")
+      hi = newHi
       lo = newLo
     }
     def toBigInteger: BigInteger = {
@@ -104,16 +120,18 @@ object PearsonArrays {
     }
   }
 
-  /** Quantized-magnitude ceiling: 2^47. With every |quantized| ≤ 2^47
-    * each product is ≤ 2^94, and an Int-length array contributes fewer
-    * than 2^31 of them, so Acc128 (signed, capacity 2^127) cannot wrap
-    * for ANY input the check admits — no dependence on the caller
-    * staying polite. 2^47 ≈ 1.4e14 sits an order above pearson's
-    * documented ~1e13 envelope, so no in-envelope value is rejected,
-    * and well under 2^53, so the double round-trip below is lossless
-    * for every admitted value.
+  /** Quantized-magnitude ceiling: 2^53 — the EXACTNESS boundary, not a
+    * wrap-safety margin (Acc128 traps its own overflow). Past 2^53 the
+    * `doubleValue().toLong` round-trip below is lossy (a double cannot
+    * hold every integer), so the kernel could no longer claim the
+    * aggregate's exact arithmetic — it rejects loudly instead. This
+    * admits everything [[graft.ops.Stats.pearson]]'s envelope admits at
+    * any realistic slot count (the aggregate's 38-digit sums overflow
+    * under ANSI far below n·(2^53)² anyway); only |x| > ~9×10⁹
+    * pre-quantize is refused, where the aggregate still computes for
+    * tiny n but this kernel could only do so inexactly.
     */
-  private val MaxQuantized = 1L << 47
+  private val MaxQuantized = 1L << 53
 
   /** Spark `round(x·1e6, 0)` for doubles, then the integral result as a
     * long — the aggregate form's exact quantization (`Round` for
@@ -135,9 +153,9 @@ object PearsonArrays {
       .doubleValue().toLong
     if (q > MaxQuantized || q < -MaxQuantized)
       throw new ArithmeticException(
-        s"pearson_arrays: input $x quantizes past 2^47 — outside the " +
-          "exact envelope (the aggregate form overflows loudly under " +
-          "ANSI past its 38-digit envelope)")
+        s"pearson_arrays: input $x quantizes past 2^53, where the " +
+          "double round-trip stops being lossless — refusing rather " +
+          "than computing inexactly")
     q
   }
 

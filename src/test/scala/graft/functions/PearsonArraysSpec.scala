@@ -179,7 +179,7 @@ class PearsonArraysSpec extends SparkTestBase {
   }
 
   test("out-of-envelope input fails loudly: NaN/Infinity and " +
-    "past-2^47 magnitudes throw, never silently diverge") {
+    "past-2^53 magnitudes throw, never silently diverge") {
     def rhoOf(xs: Seq[Double], ys: Seq[Double]): Double =
       Seq((xs, ys)).toDF("va", "vb")
         .select(Stats.pearsonArrays(col("va"), col("vb")).as("rho"))
@@ -189,8 +189,8 @@ class PearsonArraysSpec extends SparkTestBase {
       Seq(Double.PositiveInfinity, 2.0, 3.0),
       Seq(Double.NegativeInfinity, 2.0, 3.0),
       Seq(1e300, 2.0, 3.0),        // x*1e6 overflows to Infinity
-      Seq(3e8, 2.0, 3.0),          // quantizes to 3e14 > 2^47
-      Seq(-3e8, 2.0, 3.0))
+      Seq(1e10, 2.0, 3.0),         // quantizes to 1e16 > 2^53
+      Seq(-1e10, 2.0, 3.0))
     bad.foreach { xs =>
       val e = intercept[Exception] {
         rhoOf(xs, Seq(1.0, 2.0, 4.0))
@@ -203,9 +203,30 @@ class PearsonArraysSpec extends SparkTestBase {
       assert(messages(e).exists(_.contains("pearson_arrays")),
         s"expected a loud pearson_arrays envelope failure for $xs, got $e")
     }
-    // boundary sanity: the largest in-envelope magnitude still computes
-    val inEnv = rhoOf(Seq(1.4e8, 2.0, 3.0), Seq(1.0, 2.0, 4.0))
+    // boundary sanity: magnitudes inside the lossless-quantize bound
+    // compute — INCLUDING the band (2^47 < quantized ≤ 2^53) the
+    // aggregate's envelope admits that an earlier guard wrongly refused
+    val inEnv = rhoOf(Seq(8.9e9, 2.0, 3.0), Seq(1.0, 2.0, 4.0))
     assert(!inEnv.isNaN)
+  }
+
+  test("Acc128 traps a 128-bit co-moment wrap instead of silently " +
+    "diverging: ~2.3M maximal-magnitude slots throw") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // each slot quantizes to ~8.9e15 (inside 2^53); its square is
+    // ~2^106, so ~2^21 slots exceed Acc128's 2^127 capacity — the sxx
+    // accumulator must THROW there, never wrap
+    val n = 2300000
+    val big = java.lang.Double.valueOf(8.9e9)
+    val arr = new GenericArrayData(Array.fill[Any](n)(big))
+    val e = intercept[ArithmeticException] {
+      PearsonArrays.rho(arr, arr)
+    }
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // well under the capacity the same magnitude computes (constant
+    // series → null rho, but through the full accumulation)
+    val small = new GenericArrayData(Array.fill[Any](1000)(big))
+    assert(PearsonArrays.rho(small, small) == null)
   }
 
   test("interpreted eval path (codegen off) equals the codegen path") {
