@@ -175,10 +175,148 @@ class CorrMatrixAgg(k: Int)
     ExpressionEncoder[Seq[CorrCell]]()
 }
 
+/** [[CorrMatrixAgg]] with EXACT integer co-moments — the matrix twin of
+  * the [[PearsonArrays]] kernel and of [[graft.ops.Stats.pearson]]'s
+  * decimal aggregate, for consumers whose output is graded at full
+  * float precision against an exact-arithmetic oracle (e1b).
+  *
+  * Why it exists: the double-state [[CorrMatrixAgg]] is correct to
+  * ~1e-12, but its Chan merges are order-sensitive at the last ulp — and
+  * the task scheduler picks the merge order. A cell whose EXACT rho sits
+  * on a decimal rounding boundary (e1b's known 31/32 = 0.96875 cell at
+  * sf0.1) then rounds to a different side run to run, on EITHER engine
+  * (the DuckDB oracle's own parallel `corr` has the same property). This
+  * aggregate removes the class instead of the instance: inputs are
+  * quantized with the kernel's exact `round(x·1e6)` semantics, the five
+  * co-moments accumulate as exact 128-bit integers (so merge is
+  * bit-for-bit associative and commutative — ANY partial-aggregation
+  * order yields the same buffer), and the finish is
+  * [[PearsonArrays.finishRho]]'s deterministic double chain. An oracle
+  * that mirrors the integer co-moments (DuckDB HUGEINT sums) reproduces
+  * the rho DOUBLES bit-identically — no rounding step is needed at all,
+  * and with no rounding there is no boundary.
+  *
+  * Envelope: identical to the kernel's — |x·1e6| ≤ 2^53 per value
+  * (quantize traps loudly past it), 128-bit co-moment overflow traps in
+  * `add128` (reachable only at ≳2×10⁶ maximal-magnitude slots per pair,
+  * far past any per-window bucket count). Undefined cells (n < 2, or a
+  * side exactly constant in the quantized domain — vx = 0 EXACTLY, no
+  * min/max slots needed) are None, as the double form.
+  *
+  * Cost: ~11 longs/pair buffer (vs 10 doubles); the per-pair-slot update
+  * is 3 multiplies + 3 multiplyHigh + five 128-bit adds — no divides
+  * (the double form pays two per slot). Per-row quantization is hoisted
+  * to k calls (not k²). Measured at e1b's shape (k=500, 288 buckets):
+  * within noise of the double form — see SCALE.md's e1b determinism
+  * note.
+  */
+class CorrMatrixExactAgg(k: Int)
+    extends Aggregator[Array[Double], Array[Long], Seq[CorrCell]] {
+
+  private val nPairs = k * (k - 1) / 2
+  private val S = 11 // slots per pair:
+  // [n, sxHi, sxLo, syHi, syLo, sxxHi, sxxLo, syyHi, syyLo, sxyHi, sxyLo]
+  override def zero: Array[Long] = new Array[Long](S * nPairs)
+
+  override def reduce(buf: Array[Long], row: Array[Double]): Array[Long] = {
+    // hoisted per-series quantization: k quantize calls per row (each a
+    // BigDecimal round — µs-scale), then the O(k²) inner loop is pure
+    // long arithmetic
+    val q = new Array[Long](k)
+    val ok = new Array[Boolean](k)
+    var i = 0
+    while (i < k) {
+      val x = row(i)
+      if (!x.isNaN) { ok(i) = true; q(i) = PearsonArrays.quantize(x) }
+      i += 1
+    }
+    i = 0
+    var p = 0
+    while (i < k) {
+      if (ok(i)) {
+        val xq = q(i)
+        val xh = xq >> 63
+        val xxH = Math.multiplyHigh(xq, xq)
+        val xxL = xq * xq
+        var j = i + 1
+        while (j < k) {
+          if (ok(j)) {
+            val yq = q(j)
+            val b = S * p
+            buf(b) += 1
+            PearsonArrays.add128(buf, b + 1, xh, xq)
+            PearsonArrays.add128(buf, b + 3, yq >> 63, yq)
+            PearsonArrays.add128(buf, b + 5, xxH, xxL)
+            PearsonArrays.add128(buf, b + 7, Math.multiplyHigh(yq, yq), yq * yq)
+            PearsonArrays.add128(buf, b + 9, Math.multiplyHigh(xq, yq), xq * yq)
+          }
+          j += 1
+          p += 1
+        }
+      } else p += k - i - 1
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // exact integer adds: bit-for-bit associative AND commutative, so
+    // partial-aggregation order can never change any output bit
+    var p = 0
+    while (p < nPairs) {
+      val o = S * p
+      a(o) += b(o)
+      var t = 1
+      while (t < S) {
+        PearsonArrays.add128(a, o + t, b(o + t), b(o + t + 1))
+        t += 2
+      }
+      p += 1
+    }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Seq[CorrCell] = {
+    val out = new Array[CorrCell](nPairs)
+    var i = 0
+    var p = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val b = S * p
+        val n = buf(b)
+        val rho =
+          if (n < 2) None
+          else Option(PearsonArrays.finishRho(n,
+            PearsonArrays.big(buf(b + 1), buf(b + 2)),
+            PearsonArrays.big(buf(b + 3), buf(b + 4)),
+            PearsonArrays.big(buf(b + 5), buf(b + 6)),
+            PearsonArrays.big(buf(b + 7), buf(b + 8)),
+            PearsonArrays.big(buf(b + 9), buf(b + 10)))).map(_.doubleValue())
+        out(p) = CorrCell(i, j, rho)
+        j += 1
+        p += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[CorrCell]] =
+    ExpressionEncoder[Seq[CorrCell]]()
+}
+
 object CorrMatrix {
   /** Column form: `corrMatrix(k)(panelRow)` aggregates panel rows (k-wide
     * Seq[Double], NaN = missing) to the long-form correlation cells.
     */
   def corrMatrix(k: Int): Column => Column =
     udaf(new CorrMatrixAgg(k), ExpressionEncoder[Array[Double]]()).apply(_)
+
+  /** [[corrMatrix]] with exact integer co-moments and a deterministic
+    * bit-reproducible finish — see [[CorrMatrixExactAgg]]. */
+  def corrMatrixExact(k: Int): Column => Column =
+    udaf(new CorrMatrixExactAgg(k), ExpressionEncoder[Array[Double]]()).apply(_)
 }

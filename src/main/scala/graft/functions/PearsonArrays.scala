@@ -133,6 +133,39 @@ object PearsonArrays {
     */
   private val MaxQuantized = 1L << 53
 
+  /** [[Acc128.add]] on an array slot pair — buf(o) = hi, buf(o+1) = lo —
+    * for callers whose 128-bit state lives in a flat buffer rather than
+    * per-accumulator objects (the exact matrix aggregate's per-pair
+    * slots, [[CorrMatrixExactAgg]]). Same two's-complement carry and
+    * the same loud signed-overflow trap.
+    */
+  private[functions] def add128(buf: Array[Long], o: Int,
+                                addHi: Long, addLo: Long): Unit = {
+    val hi = buf(o)
+    val lo = buf(o + 1)
+    val newLo = lo + addLo
+    val carry = ((lo & addLo) | ((lo | addLo) & ~newLo)) >>> 63
+    val newHi = hi + addHi + carry
+    if ((hi < 0) == (addHi < 0) && (newHi < 0) != (hi < 0))
+      throw new ArithmeticException(
+        "128-bit co-moment overflow — series too long at this magnitude")
+    buf(o) = newHi
+    buf(o + 1) = newLo
+  }
+
+  /** (hi, lo) two's-complement pair as a BigInteger — [[Acc128
+    * .toBigInteger]] for flat-buffer state. */
+  private[functions] def big(hi: Long, lo: Long): BigInteger = {
+    val bytes = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      bytes(i) = (hi >>> (56 - 8 * i)).toByte
+      bytes(i + 8) = (lo >>> (56 - 8 * i)).toByte
+      i += 1
+    }
+    new BigInteger(bytes)
+  }
+
   /** Spark `round(x·1e6, 0)` for doubles, then the integral result as a
     * long — the aggregate form's exact quantization (`Round` for
     * DoubleType is `BigDecimal.valueOf(d).setScale(0, HALF_UP)`; the
@@ -143,7 +176,7 @@ object PearsonArrays {
     * cast then throws): silent saturation via `toLong`, or an Acc128
     * wrap from admitted-but-huge values, can never happen.
     */
-  private def quantize(x: Double): Long = {
+  private[functions] def quantize(x: Double): Long = {
     val scaled = x * 1e6
     if (!java.lang.Double.isFinite(scaled))
       throw new ArithmeticException(
@@ -183,17 +216,36 @@ object PearsonArrays {
       i += 1
     }
     if (cnt < 2) return null
+    finishRho(cnt, sx.toBigInteger, sy.toBigInteger,
+      sxx.toBigInteger, syy.toBigInteger, sxy.toBigInteger)
+  }
+
+  /** The shared finish: rho as ONE deterministic double chain from the
+    * exact integer co-moments — vx/vy/cov formed in BigInteger, each
+    * converted by the correctly-rounded `BigDecimal.doubleValue` (the
+    * conversion `cast(decimal as double)` performs), then
+    * `cov / sqrt(vx·vy)` in IEEE doubles. Every consumer of the exact
+    * kernel family ([[PearsonArrays.rho]] and
+    * [[CorrMatrixExactAgg]]'s per-pair finish) runs THIS op sequence,
+    * so two engines holding the same integer co-moments produce
+    * bit-identical rho — the property the e1b oracle's HUGEINT mirror
+    * relies on (its `CAST(CAST(v AS VARCHAR) AS DOUBLE)` is the same
+    * correctly-rounded integer→double conversion). Null when either
+    * variance is exactly zero (constant side) — undefined, as the
+    * aggregate's guard. Callers ensure cnt ≥ 2.
+    */
+  private[functions] def finishRho(cnt: Long, sxB: BigInteger,
+      syB: BigInteger, sxxB: BigInteger, syyB: BigInteger,
+      sxyB: BigInteger): java.lang.Double = {
     val nB = BigInteger.valueOf(cnt)
-    val sxB = sx.toBigInteger; val syB = sy.toBigInteger
-    val vxB = nB.multiply(sxx.toBigInteger).subtract(sxB.multiply(sxB))
-    val vyB = nB.multiply(syy.toBigInteger).subtract(syB.multiply(syB))
+    val vxB = nB.multiply(sxxB).subtract(sxB.multiply(sxB))
+    val vyB = nB.multiply(syyB).subtract(syB.multiply(syB))
     if (vxB.signum <= 0 || vyB.signum <= 0) return null
     // BigDecimal.doubleValue is the correctly-rounded conversion that
     // cast(decimal as double) performs — keep it for bit parity with
     // the aggregate form
     val cov = new JBigDecimal(
-      nB.multiply(sxy.toBigInteger).subtract(sxB.multiply(syB)))
-      .doubleValue()
+      nB.multiply(sxyB).subtract(sxB.multiply(syB))).doubleValue()
     val vx = new JBigDecimal(vxB).doubleValue()
     val vy = new JBigDecimal(vyB).doubleValue()
     java.lang.Double.valueOf(cov / math.sqrt(vx * vy))

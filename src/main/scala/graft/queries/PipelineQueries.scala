@@ -60,10 +60,22 @@ object PipelineQueries {
   // measure, correlation_matrix_exporter.py:142,188). The
   // one-pass co-moment UDAF keyed BY WINDOW computes every window's
   // full matrix from a single resample shuffle: per window the state is
-  // one k(k-1)/2×10-double buffer (co-moments, not data, cross the
-  // merge — ~10 MB at k=500), where e1's pair-join form would shuffle
+  // one k(k-1)/2×11-long buffer (co-moments, not data, cross the
+  // merge — ~11 MB at k=500), where e1's pair-join form would shuffle
   // windows·buckets·k²/2 rows. Daily windows over two days; every
   // undefined (NaN) pair is graded too.
+  //
+  // EXACT tier, graded at FULL double precision: the co-moments are
+  // exact 128-bit integers (CorrMatrixExactAgg), so the merge is
+  // bit-for-bit order-independent and the rho doubles come from one
+  // deterministic finish chain the HUGEINT oracle below reproduces
+  // bit-identically — which is why there is NO round() on either side.
+  // The double-state form of this query flaked permanently at sf0.1:
+  // one cell's exact rho is 31/32 = 0.96875, a precise HALF_UP boundary
+  // at 4 dp, and BOTH engines' order-sensitive double accumulations
+  // landed ±1 ulp around it run to run (SCALE.md's r12/r15 analysis).
+  // Exact integer co-moments on both sides remove the rounding step —
+  // and with it the entire boundary class, not just the known cell.
   private val qE1b = Q("e1b_flagship_wide",
     (s, d) => {
       import s.implicits._
@@ -73,32 +85,56 @@ object PipelineQueries {
       val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
       val k = users.size
       // Same partial-buffer bound as a3c: the panel is buckets-many rows
-      // but each window's partial buffer is O(k²) doubles — uncoalesced,
-      // every one of 32 partitions serializes up to windows×~10 MB of
+      // but each window's partial buffer is O(k²) longs — uncoalesced,
+      // every one of 32 partitions serializes up to windows×~11 MB of
       // state into the merge. Bounded, it is partitions≈buckets/256.
       val nBuckets = (jan3 - jan1) / 600
       panel
         .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
         .withColumn("win", ((col("bucket") - jan1) / winSec).cast("long"))
         .groupBy("win")
-        .agg(graft.functions.CorrMatrix.corrMatrix(k)(col("vals"))
+        .agg(graft.functions.CorrMatrix.corrMatrixExact(k)(col("vals"))
           .as("cells"))
         .select(col("win"), explode(col("cells")).as("c"))
         .select(col("win"),
           element_at(typedLit(users), col("c.i") + 1).as("i"),
           element_at(typedLit(users), col("c.j") + 1).as("j"),
-          round(col("c.rho"), 4).as("rho"))
+          col("c.rho").as("rho"))
         // sortedOnce: linear panel→UDAF→explode child, no reuse (Q.scala)
         .transform(Q.sortedOnce(_, "win", "i", "j"))
     },
+    // the oracle mirrors the exact integer co-moments: per-value
+    // quantization round(price·1e6) as BIGINT (the kernel family's
+    // idiom, same as a3d's oracle), HUGEINT (int128) sums — exact at
+    // any accumulation order — and the identical IEEE finish
+    // cov/sqrt(vx·vy). CAST(v AS VARCHAR) AS DOUBLE is the correctly
+    // rounded integer→double conversion (DuckDB's direct HUGEINT cast
+    // composes two roundings), matching BigDecimal.doubleValue on the
+    // Spark side bit for bit.
     Some(SparkEntry.ffillSqlCte(500, SparkEntry.jan1, SparkEntry.jan3,
-      600) + s"""
-      SELECT (a.bucket - ${SparkEntry.jan1})//86400 AS win,
-        a.user_id AS i, b.user_id AS j,
-        round(corr(a.price, b.price), 4) AS rho
-      FROM filled a JOIN filled b
-        ON a.bucket = b.bucket AND a.user_id < b.user_id
-      GROUP BY 1, 2, 3 ORDER BY win, i, j"""))
+      600) + s""",
+      epairs AS (
+        SELECT (a.bucket - ${SparkEntry.jan1})//86400 AS win,
+          a.user_id AS i, b.user_id AS j,
+          CASE WHEN a.price IS NOT NULL AND b.price IS NOT NULL
+            THEN CAST(CAST(round(a.price * 1000000) AS BIGINT) AS HUGEINT)
+          END AS x,
+          CASE WHEN a.price IS NOT NULL AND b.price IS NOT NULL
+            THEN CAST(CAST(round(b.price * 1000000) AS BIGINT) AS HUGEINT)
+          END AS y
+        FROM filled a JOIN filled b
+          ON a.bucket = b.bucket AND a.user_id < b.user_id),
+      em AS (
+        SELECT win, i, j, count(x) AS n, sum(x) AS sx, sum(y) AS sy,
+          sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        FROM epairs GROUP BY 1, 2, 3)
+      SELECT win, i, j,
+        CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+          THEN CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+               / sqrt(CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE))
+        END AS rho
+      FROM em ORDER BY win, i, j"""))
 
   // W3 with the reference's true session semantics: 09:30-anchored
   // tumbling 4h windows, per calendar day, clamped to 16:00 — unlike the
