@@ -228,9 +228,11 @@ object Bench {
       .mkString("{", ",", "}")
     val qsCanary = results2.map { case (k, v) => "\"" + k + "\":" + v._3 }
       .mkString("{", ",", "}")
-    val suspects = results2.collect {
-      case (k, (_, _, m)) if m >= 2.0 * microFloor => k
-    }
+    // the REPORTED suspect set is suspectsOf — the same definition the
+    // retime loop used (med >= 0 included): a FAILED query is reported
+    // through `failures`/its -1 entry, not as a suspect it was never
+    // eligible to retime out of
+    val suspects = suspectsOf
     val suspectJson =
       suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson =
@@ -242,23 +244,42 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary_q":$qsCanary,"suspect":$suspectJson,"retimed":$retimedJson,"retime_passes":$passes,"canary_floor":$microFloor,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
     println(line)
+    // REPO-ANCHORED artifact dir: walk up from the process cwd to the
+    // nearest directory holding build.sbt (run from a subdir or a
+    // driver-chosen cwd, the artifacts still land in the repo instead
+    // of silently writing a mis-stamped file wherever the JVM started)
+    val baseDir = Iterator.iterate(
+        Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(6)
+      .find(p => Files.exists(p.resolve("build.sbt")))
+      .getOrElse {
+        System.err.println("[bench] no build.sbt above cwd — writing " +
+          "artifacts to the cwd itself")
+        Paths.get("").toAbsolutePath
+      }
     // the driver's stdout capture truncates long lines from the front,
     // losing the alphabetically-early per-query times — always persist
     // the complete artifact next to the run as well
-    Files.writeString(Paths.get("bench_full.json"), line + "\n")
+    Files.writeString(baseDir.resolve("bench_full.json"), line + "\n")
     // ...and to a round-stamped committed path, so every round's driver
     // sweep parses standalone: SPARK_GRAFT_BENCH_OUT when set, else
     // bench_r{N}_driver.json with N = 1 + the highest BENCH_r{NN}.json
     // already committed (the round currently in progress — the driver
-    // writes its own BENCH_r{N}.json only after this run)
+    // writes its own BENCH_r{N}.json only after this run). No committed
+    // BENCH_r artifact at the anchor is loudly suspicious (mis-located
+    // repo), not a silent r1 restamp.
     val roundStamped = {
       val rx = "BENCH_r(\\d+)\\.json".r
-      val prior = Option(new java.io.File(".").list()).toSeq.flatten
+      val prior = Option(baseDir.toFile.list()).toSeq.flatten
         .collect { case rx(n) => n.toInt }
+      if (prior.isEmpty)
+        System.err.println(s"[bench] no BENCH_r*.json under $baseDir — " +
+          "stamping r1; set SPARK_GRAFT_BENCH_OUT if this is not round 1")
       s"bench_r${if (prior.isEmpty) 1 else prior.max + 1}_driver.json"
     }
     Files.writeString(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", roundStamped)),
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
+        .getOrElse(baseDir.resolve(roundStamped)),
       line + "\n")
     spark.stop()
   }

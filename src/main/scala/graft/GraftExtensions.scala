@@ -103,6 +103,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PearsonArrays(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("optimizer_fence"),
+      new ExpressionInfo(classOf[graft.functions.OptimizerFence].getName,
+        "optimizer_fence"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "optimizer_fence(expr) takes exactly 1 argument")
+        graft.functions.OptimizerFence(args(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_build"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName,
         "bloom_build"),

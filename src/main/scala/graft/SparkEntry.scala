@@ -1419,12 +1419,23 @@ object SparkEntry {
     * expressions over the dimension-sized sorted id seq), so the g4
     * plan gate — no Inner join anywhere — holds through the selector.
     */
+  /** LSH geometry note for the pruned tier: `bits` must SCALE WITH k.
+    * Random (uncorrelated) pairs collide in a band with probability
+    * 2^-bits, so expected noise candidates ≈ bands·k²/2^(bits+1) — at
+    * the default 8×5 (32 buckets) that is ~k²/8, which is fine at the
+    * fixture k=300 (the a3d/a3e/a3f-pinned geometry) but would feed the
+    * verify ~500k junk pairs at k=2000. Callers at width pass
+    * bits ≈ log₂(k·bands) so noise stays O(k) and the verify cost stays
+    * proportional to TRUE near-duplicate structure
+    * (tools/Stress drives this at k=2000, bits=11 — SCALE.md).
+    */
   private[graft] def panelRho(s: SparkSession, d: String, nUsers: Int,
       a: Long, b: Long, step: Long,
       roundThenFilter: Option[(Int, Double)] = None,
       onePassMaxK: Int = OnePassMaxK,
       broadcastVerifyMaxCells: Long =
-        graft.ops.CorrPrune.BroadcastVerifyMaxCells): (Seq[Long], DataFrame) = {
+        graft.ops.CorrPrune.BroadcastVerifyMaxCells,
+      bands: Int = 8, bits: Int = 5): (Seq[Long], DataFrame) = {
     val nBuckets = (b - a) / step
     val (users, panel) = widePanel(s, d, nUsers, a, b, step)
     val k = users.size
@@ -1459,10 +1470,10 @@ object SparkEntry {
         val rho =
           if (k.toLong * nBuckets <= broadcastVerifyMaxCells)
             graft.ops.CorrPrune.candidateRho(p, "user_id", "pos", "value",
-              dims = nBuckets.toInt, bands = 8, bits = 5)
+              dims = nBuckets.toInt, bands = bands, bits = bits)
           else
             graft.ops.CorrPrune.candidateRhoVectors(p, "user_id", "pos",
-              "value", dims = nBuckets.toInt, bands = 8, bits = 5)
+              "value", dims = nBuckets.toInt, bands = bands, bits = bits)
         // round-then-filter BELOW the vid map, then a registered cache
         // on the handful of survivors: the candidate plan's band-bucket
         // self-join re-reads shared subtrees, which the cache pays for

@@ -167,7 +167,8 @@ object CorrPrune {
     */
   def candidateRhoVectors(panel: DataFrame, keyCol: String, posCol: String,
                           valueCol: String, dims: Int, bands: Int,
-                          bits: Int): DataFrame = {
+                          bits: Int,
+                          barrier: String = DefaultBarrier): DataFrame = {
     val cand = corrCandidates(panel, keyCol, posCol, valueCol, dims,
       bands, bits)
     // array_sort orders the structs by pos (first struct field), so on
@@ -188,6 +189,20 @@ object CorrPrune {
             "a grid-complete panel: series "), col(keyCol).cast("string"),
             lit(s" has "), size(col("s")).cast("string"),
             lit(s" rows, expected $dims")))).as("vs"))
+    // the kernel needs an OPTIMIZER BARRIER, not just an alias: without
+    // one Catalyst inlines the rho alias into every downstream
+    // predicate — the null filter below plus a caller's
+    // round-then-threshold — and pushes them into the vector JOIN
+    // CONDITION, re-running the O(dims) kernel up to three times per
+    // pair (observed in the r15 plan audit: isnotnull(pearson_arrays),
+    // round(pearson_arrays) ≥ t in the join, pearson_arrays again in
+    // the project). Aggregates give candidateRho this barrier for
+    // free. The default here is the [[graft.functions.OptimizerFence]]
+    // wrapper — exactly-once at ZERO materialization cost (the r15
+    // cache barrier achieved the same plan but paid block
+    // materialization: +0.3–0.6 s on the a3 family; SCALE.md's barrier
+    // A/B prices all three). The alternatives stay exposed for that A/B.
+    val kernel = Stats.pearsonArrays(col("va"), col("vb"))
     val rho = cand
       .join(vecs.select(col(keyCol).as("i"), col("vs").as("va")), Seq("i"))
       .join(vecs.select(col(keyCol).as("j"), col("vs").as("vb")), Seq("j"))
@@ -196,24 +211,23 @@ object CorrPrune {
       // every explode shape tried), where the fold is one lambda step
       // per slot
       .select(col("i"), col("j"),
-        Stats.pearsonArrays(col("va"), col("vb")).as("rho"))
-    // the pair-sized cache is an OPTIMIZER BARRIER, not a convenience:
-    // without it Catalyst inlines the rho alias into every downstream
-    // predicate — the null filter below plus a caller's
-    // round-then-threshold — and pushes them into the vector JOIN
-    // CONDITION, re-running the O(dims) kernel up to three times per
-    // pair (observed in the r15 plan audit: isnotnull(pearson_arrays),
-    // round(pearson_arrays) ≥ t in the join, pearson_arrays again in
-    // the project). Aggregates give candidateRho this barrier for
-    // free; the scalar-kernel path buys it with a candidate-sized
-    // cache (k·bands bucket collisions, tiny next to the panel) and
-    // the kernel runs exactly once per pair.
-    graft.ops.Time.registerCached(rho.cache())
-      // undefined rho (zero pairwise-complete slots, or a constant
-      // side) is not a result: dropping it here makes this path agree
-      // row-for-row with candidateRho, whose per-pos inner join never
-      // forms a group for such pairs — no threshold needed for the two
-      // physical strategies to be interchangeable
-      .where(col("rho").isNotNull)
+        (if (barrier == "fence") Stats.fenced(kernel) else kernel)
+          .as("rho"))
+    val fencedRho = barrier match {
+      case "fence" => rho
+      case "cache" => graft.ops.Time.registerCached(rho.cache())
+      case "checkpoint" => rho.localCheckpoint(eager = false)
+      case other => sys.error(s"unknown corr barrier '$other'")
+    }
+    // undefined rho (zero pairwise-complete slots, or a constant
+    // side) is not a result: dropping it here makes this path agree
+    // row-for-row with candidateRho, whose per-pos inner join never
+    // forms a group for such pairs — no threshold needed for the two
+    // physical strategies to be interchangeable
+    fencedRho.where(col("rho").isNotNull)
   }
+
+  /** The shipped barrier for [[candidateRhoVectors]]'s kernel Project —
+    * see the A/B note above and SCALE.md's pricing. */
+  val DefaultBarrier: String = "fence"
 }

@@ -61,4 +61,10 @@ object Stats {
     */
   def pearsonArrays(va: Column, vb: Column): Column =
     call_function("pearson_arrays", va, vb)
+
+  /** [[graft.functions.OptimizerFence]] as a column: pins an expensive
+    * aliased expression to its Project so alias inlining cannot
+    * re-evaluate it downstream — the zero-cost form of a cache barrier.
+    */
+  def fenced(c: Column): Column = call_function("optimizer_fence", c)
 }

@@ -261,14 +261,24 @@ object CoverageQueries {
         .agg(first("p50_exact").as("p50_exact"),
           first("p95_exact").as("p95_exact"),
           count(lit(1)).as("n"),
-          sum((col("value") <= col("a50")).cast("long")).as("r50"),
-          sum((col("value") <= col("a95")).cast("long")).as("r95"))
+          sum((col("value") < col("a50")).cast("long")).as("r50lt"),
+          sum((col("value") <= col("a50")).cast("long")).as("r50le"),
+          sum((col("value") < col("a95")).cast("long")).as("r95lt"),
+          sum((col("value") <= col("a95")).cast("long")).as("r95le"))
         .select(col("event_type"), col("p50_exact"), col("p95_exact"),
-          // |rank − q·N| ≤ N/1000 + 1, integer arithmetic at 0.5/0.95:
-          (abs(col("r50") * 1000 - col("n") * 500) <= col("n") + 1000)
+          // GK promises SOME order statistic whose rank is within
+          // N/1000 + 1 of q·N equals the returned value. Under ties
+          // count(≤) is the tie run's MAX rank and count(<) its MIN —
+          // bound from BOTH sides (min-rank ≤ target + tol ∧ max-rank ≥
+          // target − tol) so a tie run straddling the target cannot
+          // fail a correct sketch. All-integer arithmetic (scale by
+          // 1000 — no truncating division shrinking the tolerance).
+          (col("r50lt") * 1000 <= col("n") * 500 + col("n") + 1000 &&
+            col("r50le") * 1000 >= col("n") * 500 - col("n") - 1000)
             .cast("int").as("p50_rank_ok"),
-          (abs(col("r95") * 100 - col("n") * 95) <=
-            (col("n") + 1000) / 10).cast("int").as("p95_rank_ok"))
+          (col("r95lt") * 1000 <= col("n") * 950 + col("n") + 1000 &&
+            col("r95le") * 1000 >= col("n") * 950 - col("n") - 1000)
+            .cast("int").as("p95_rank_ok"))
         .orderBy("event_type")
     },
     Some("""SELECT event_type,
@@ -389,17 +399,22 @@ object CoverageQueries {
   // is the pure scale path). Graded the way a12 grades GK — exact,
   // DuckDB-computable quantities plus pinned sketch-quality flags —
   // but the tolerance is pinned in the sketch's OWN guarantee domain,
-  // rank error, which the bin counts expose exactly: rank(edge_k) =
-  // Σ_{b≤k} n_b, and GK at accuracy 10⁴ promises |rank(edge_k) −
-  // k·N/10| ≤ 10⁻⁴·N (a value-domain bound like a12's 2% is
-  // ill-posed here at small N, where adjacent order statistics sit
-  // further than 2% apart). The oracle replays the per-group totals
-  // and bin count (an empty/duplicated bin fails loudly as
-  // n_bins ≠ 10) and pins two flags at 1: every edge's rank within
-  // N/1000 + 1 of its target, and every bin's depth within N/500 + 2
-  // of N/10 (two rank errors plus integer divisibility). A sketch
-  // drifting past either bound, or a row lost/duplicated by the
-  // broadcast join, fails the hash compare.
+  // rank error, which the bin counts expose exactly: GK at accuracy 10⁴
+  // promises |rank(edge_k) − k·N/10| ≤ 10⁻⁴·N (a value-domain bound
+  // like a12's 2% is ill-posed here at small N, where adjacent order
+  // statistics sit further than 2% apart). Under TIES an edge's "rank"
+  // is a run [count(< e), count(≤ e)], so both rank and depth flags are
+  // bounded TWO-SIDEDLY (min-rank against the upper tolerance, max-rank
+  // against the lower; per-bin depth via the rank runs of its two
+  // edges) — a tie run straddling a target cannot fail a correct
+  // sketch. The oracle replays the per-group totals and bin count
+  // (n_bins = 10 assumes a continuous value domain — on tie-heavy data
+  // a correct sketch may legitimately return duplicate edges and empty
+  // bins; the fixtures' values are continuous doubles) and pins two
+  // flags at 1: every edge's rank within N/1000 + 1 of its target, and
+  // every bin's depth within N/500 + 2 of N/10 (two rank errors plus
+  // integer divisibility). A sketch drifting past either bound, or a
+  // row lost/duplicated by the broadcast join, fails the hash compare.
   private val qA14b = Q("a14b_sketch_histogram",
     (s, d) => {
       val ev = T(s, d, "events")
@@ -407,31 +422,51 @@ object CoverageQueries {
       val edges = ev.groupBy("event_type")
         .agg(expr(s"percentile_approx(value, array($qs), 10000)")
           .as("edges"))
+      // bin = 1 + count(edges < value): rows ≤ edge_k land in bins ≤ k
+      // (max-rank form); bin_lt = 1 + count(edges ≤ value): rows < edge_k
+      // land in bin_lt ≤ k (min-rank form). They differ only on rows
+      // exactly equal to an edge — the tie runs the two-sided bounds
+      // need.
       val binned = ev.join(broadcast(edges), Seq("event_type"))
         .select(col("event_type"),
           (size(filter(col("edges"), e => col("value") > e)) + 1)
-            .as("bin"))
-        .groupBy("event_type", "bin")
+            .as("bin"),
+          (size(filter(col("edges"), e => col("value") >= e)) + 1)
+            .as("bin_lt"))
+        .groupBy("event_type", "bin", "bin_lt")
         .agg(count(lit(1)).as("n"))
-      val rankAggs = (1 to 9).map(k =>
-        sum(when(col("bin") <= k, col("n")).otherwise(0L)).as(s"r$k"))
-      val aggs = Seq(count(lit(1)).as("n_bins"), max("n").as("mx"),
-        min("n").as("mn")) ++ rankAggs
-      binned.groupBy("event_type")
+      val rankAggs = (1 to 9).flatMap(k => Seq(
+        sum(when(col("bin") <= k, col("n")).otherwise(0L)).as(s"rle$k"),
+        sum(when(col("bin_lt") <= k, col("n")).otherwise(0L)).as(s"rlt$k")))
+      val aggs = Seq(countDistinct(col("bin")).as("n_bins")) ++ rankAggs
+      val out = binned.groupBy("event_type")
         .agg(sum("n").as("n_total"), aggs: _*)
-        .select(col("event_type"), col("n_total"),
+      // rank runs with the k=0 and k=10 boundary pins
+      def rle(k: Int) =
+        if (k == 0) lit(0L)
+        else if (k == 10) col("n_total") else col(s"rle$k")
+      def rlt(k: Int) =
+        if (k == 0) lit(0L)
+        else if (k == 10) col("n_total") else col(s"rlt$k")
+      out.select(col("event_type"), col("n_total"),
           col("n_bins").cast("int").as("n_bins"),
-          // |rank(edge_k) − k·N/10| ≤ N/1000 + 1 for all k, integer
-          // arithmetic: |r_k·1000 − k·100·N| ≤ N + 1000
+          // |rank(edge_k) − k·N/10| ≤ N/1000 + 1 for all k, two-sided
+          // over the tie run, integer arithmetic scaled by 1000
           (1 to 9).map(k =>
-              abs(col(s"r$k") * 1000 - col("n_total") * (k * 100)) <=
-                col("n_total") + 1000)
+              rlt(k) * 1000 <= col("n_total") * (k * 100) +
+                col("n_total") + 1000 &&
+              rle(k) * 1000 >= col("n_total") * (k * 100) -
+                col("n_total") - 1000)
             .reduce(_ && _).cast("int").as("edge_ranks_within_tol"),
-          // |n_k − N/10| ≤ N/500 + 2 for every bin:
-          // mx·500 ≤ 51·N + 1000 ∧ mn·500 ≥ 49·N − 1000
-          (col("mx") * 500 <= col("n_total") * 51 + 1000 &&
-            col("mn") * 500 >= col("n_total") * 49 - 1000)
-            .cast("int").as("depth_within_tol"))
+          // |n_k − N/10| ≤ N/500 + 2 for every bin k = 1..10, depth
+          // taken over the rank runs of the bin's two edges (upper:
+          // max-rank(k) − min-rank(k−1); lower: min-rank(k) −
+          // max-rank(k−1)) — equal to the plain bin count when no row
+          // ties an edge: ·500 ≤ 51·N + 1000 ∧ ·500 ≥ 49·N − 1000
+          (1 to 10).map(k =>
+              (rle(k) - rlt(k - 1)) * 500 <= col("n_total") * 51 + 1000 &&
+              (rlt(k) - rle(k - 1)) * 500 >= col("n_total") * 49 - 1000)
+            .reduce(_ && _).cast("int").as("depth_within_tol"))
         .orderBy("event_type")
     },
     Some("""SELECT event_type, count(*) AS n_total, 10 AS n_bins,

@@ -204,10 +204,37 @@ object Profile {
     phase(s, "d6 full")(SparkEntry.queries("d6_dup_clusters")(s, d))
   }
 
+  /** The kernel-barrier A/B (VERDICT r15 task 1): a3f's exact query
+    * shape under each [[graft.ops.CorrPrune.candidateRhoVectors]]
+    * barrier — cache (the r15 fix), fence (zero-cost optimizer fence),
+    * localCheckpoint — with the kernel's occurrence count in the
+    * physical plan printed per variant (must be 1: the exactly-once
+    * property is the point of the barrier, whatever its cost).
+    */
+  private def phasesBarrier(s: SparkSession, d: String): Unit = {
+    val jan1 = SparkEntry.jan1
+    val jan2 = SparkEntry.jan2
+    def panel = SparkEntry.resampled(s, d, 300, jan1, jan2, 600)
+      .withColumn("pos", ((col("bucket") - jan1) / 600 + 1).cast("int"))
+    def a3fWith(b: String): DataFrame =
+      graft.ops.CorrPrune.candidateRhoVectors(panel, "user_id", "pos",
+          "value", dims = 144, bands = 8, bits = 5, barrier = b)
+        .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
+        .where(col("rho") >= 0.5)
+        .transform(graft.queries.Q.sortedSmall(_, "i", "j"))
+    Seq("cache", "fence", "checkpoint").foreach { b =>
+      clear(s)
+      val n = "pearson_arrays".r
+        .findAllIn(a3fWith(b).queryExecution.executedPlan.toString).size
+      println(s"[p] a3f barrier=$b kernel occurrences in plan: $n")
+      phase(s, s"a3f barrier=$b")(a3fWith(b))
+    }
+  }
+
   private val phaseSets: Map[String, (SparkSession, String) => Unit] =
     Map("panel" -> phasesPanel, "a3d" -> phasesA3d, "a3e" -> phasesA3e,
       "d4" -> phasesD4, "s6b" -> phasesS6b, "s15" -> phasesS15,
-      "cc" -> phasesCC)
+      "cc" -> phasesCC, "barrier" -> phasesBarrier)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

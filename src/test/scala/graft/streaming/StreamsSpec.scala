@@ -795,4 +795,107 @@ class StreamsSpec extends SparkTestBase {
     assert(rows.toSet.size > first.size,
       s"restart emitted nothing new (${rows.size} vs ${first.size})")
   }
+
+  test("sessionStream restart mid-input: an OPEN session's merging state " +
+    "survives the checkpoint and a later drain extends it — two drains " +
+    "equal one") {
+    // The recovery case that matters in a continuous AvailableNow
+    // deployment: kill the query while a session is OPEN in state, land
+    // more events INSIDE that session's gap, re-drain from the
+    // checkpoint. Lost state would re-open the session at the new
+    // event (wrong start, wrong n_events); the assert compares the
+    // two-drain output row-for-row against one uninterrupted drain of
+    // the identical input.
+    val t0 = graft.SparkEntry.jan2
+    def d1Rows = Seq(
+      // user 1: a session fully closed by drain 1's watermark
+      evRow(1L, t0, 1L, 1.0), evRow(2L, t0 + 600, 1L, 1.0),
+      // user 2: last event at t0+16000 — session end t0+17800 stays
+      // AHEAD of drain 1's watermark (t0+16400), so it is held open
+      evRow(3L, t0 + 15500, 2L, 1.0), evRow(4L, t0 + 16000, 2L, 1.0),
+      // user 9: the watermark clock — max ts t0+20000 ⇒ wm t0+16400
+      evRow(5L, t0 + 20000, 9L, 1.0))
+    def d2Rows = Seq(
+      // user 2 again, 500 s after its last d1 event — INSIDE the 30-min
+      // gap: must merge into the open session (start t0+15500, n=3)
+      evRow(6L, t0 + 16500, 2L, 1.0),
+      // user 3: a fresh post-restart session
+      evRow(7L, t0 + 21000, 3L, 1.0), evRow(8L, t0 + 21300, 3L, 1.0),
+      // clock: wm t0+26400 closes user 2 (end t0+18300), user 3
+      // (end t0+23100), and user 9's first session (end t0+21800)
+      evRow(9L, t0 + 30000, 9L, 1.0))
+    // run A: drain, land the second file, re-drain from the checkpoint
+    val inA = tmp("graft_sess_rs_inA_")
+    val outA = tmp("graft_sess_rs_outA_")
+    val ckA = tmp("graft_sess_rs_ckA_")
+    stageFile(inA, "d1.parquet", 1000000L, d1Rows)
+    Streams.sessionStream(spark, inA, outA, ckA)
+    stageFile(inA, "d2.parquet", 2000000L, d2Rows)
+    Streams.sessionStream(spark, inA, outA, ckA)
+    // run B: the same input drained once, uninterrupted
+    val inB = tmp("graft_sess_rs_inB_")
+    val outB = tmp("graft_sess_rs_outB_")
+    val ckB = tmp("graft_sess_rs_ckB_")
+    stageFile(inB, "d1.parquet", 1000000L, d1Rows)
+    stageFile(inB, "d2.parquet", 2000000L, d2Rows)
+    Streams.sessionStream(spark, inB, outB, ckB)
+    def rows(out: String) = spark.read.parquet(out)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val a = rows(outA)
+    val b = rows(outB)
+    assert(a == b, s"restart diverged from single drain:\n A=$a\n B=$b")
+    // and the cross-restart merge really happened: user 2 is ONE
+    // session starting at its d1 first event with all three events
+    assert(a.contains((2L, t0 + 15500, t0 + 16500 + 1800, 3L)),
+      s"user 2's open session did not merge across the restart: $a")
+  }
+
+  test("windowedMeans restart mid-input: an OPEN window's aggregation " +
+    "state survives the checkpoint — two drains equal one") {
+    // Same recovery contract for the windowed-means ingest (w23's
+    // operator): a 1-minute window left open at the kill receives more
+    // rows after the restart; its single emitted row must carry the
+    // merged (n, avg) — lost state would emit n=1 or a duplicate row.
+    val base = graft.SparkEntry.sec("2024-01-02T10:00:00")
+    def d1Rows = Seq(
+      // window [base, base+60): closed by drain 1's watermark
+      evRow(1L, base + 10, 1L, 1.0), evRow(2L, base + 20, 1L, 3.0),
+      // window [base+4980, base+5040): end AHEAD of drain 1's watermark
+      // (base+3600) — held open with one row of state
+      evRow(3L, base + 5000, 2L, 10.0),
+      // clock: wm base+3600
+      evRow(4L, base + 7200, 9L, 1.0))
+    def d2Rows = Seq(
+      // same open window, second row — must merge to n=2, avg=20
+      evRow(5L, base + 5010, 2L, 30.0),
+      // clock: wm base+8400 closes user 2's window and the first
+      // clock window [base+7200, base+7260)
+      evRow(6L, base + 12000, 9L, 1.0))
+    val inA = tmp("graft_wm_rs_inA_")
+    val outA = tmp("graft_wm_rs_outA_")
+    val ckA = tmp("graft_wm_rs_ckA_")
+    stageFile(inA, "d1.parquet", 1000000L, d1Rows)
+    Streams.windowedMeans(spark, inA, outA, ckA)
+    stageFile(inA, "d2.parquet", 2000000L, d2Rows)
+    Streams.windowedMeans(spark, inA, outA, ckA)
+    val inB = tmp("graft_wm_rs_inB_")
+    val outB = tmp("graft_wm_rs_outB_")
+    val ckB = tmp("graft_wm_rs_ckB_")
+    stageFile(inB, "d1.parquet", 1000000L, d1Rows)
+    stageFile(inB, "d2.parquet", 2000000L, d2Rows)
+    Streams.windowedMeans(spark, inB, outB, ckB)
+    def rows(out: String) = spark.read.parquet(out)
+      .select(unix_timestamp(col("bucket_start")).as("b"), col("user_id"),
+        col("avg_value"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq.sorted
+    val a = rows(outA)
+    val b = rows(outB)
+    assert(a == b, s"restart diverged from single drain:\n A=$a\n B=$b")
+    // the open window's state merged: user 2's minute has BOTH rows
+    assert(a.contains((base + 4980, 2L, 20.0, 2L)),
+      s"user 2's open window did not merge across the restart: $a")
+  }
 }

@@ -1,14 +1,18 @@
 #!/usr/bin/env python3
 """Local dev mirror of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name ...]
 
 Registers each fixture parquet as a DuckDB view, runs every SQL in
-oracle_sql.json, loads the corresponding Spark parquet result, sorts
-columns by name, and compares shape + values (exact for non-floats,
-reporting max abs diff for floats). This is dev tooling only — the
-shipped Scala library has no Python dependency.
+oracle_sql.json (or only the trailing query names, when given — the
+slow d6/d8/t9 sf0.1 replays run as their own capped-thread pass),
+loads the corresponding Spark parquet result, sorts columns by name,
+and compares shape + values (exact for non-floats, reporting max abs
+diff for floats). GRAFT_DUCKDB_THREADS caps DuckDB's thread pool so a
+long replay can share an otherwise-idle host with timed work. This is
+dev tooling only — the shipped Scala library has no Python dependency.
 """
+import os
 import json
 import math
 import sys
@@ -27,17 +31,27 @@ def norm(df):
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, names=()):
     con = duckdb.connect()
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if names:
+        missing = [n for n in names if n not in oracle]
+        assert not missing, f"not in oracle_sql.json: {missing}"
+        oracle = {n: oracle[n] for n in names}
     n_ok = n_fail = 0
+    import time
     for name in sorted(oracle):
         try:
+            t0 = time.time()
             want = con.execute(oracle[name]).df()
+            oracle_sec = time.time() - t0
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         except Exception as e:
@@ -98,11 +112,12 @@ def main(sf_dir, out_dir):
                   f"want={bad[2]!r} got={bad[3]!r}")
             n_fail += 1
         else:
-            print(f"OK   {name} ({want.shape[0]} rows)")
+            print(f"OK   {name} ({want.shape[0]} rows, "
+                  f"oracle {oracle_sec:.1f} s)")
             n_ok += 1
     print(f"== {n_ok} ok, {n_fail} fail ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
