@@ -287,12 +287,10 @@ class CorrMatrixExactAgg(k: Int)
         val n = buf(b)
         val rho =
           if (n < 2) None
-          else Option(PearsonArrays.finishRho(n,
-            PearsonArrays.big(buf(b + 1), buf(b + 2)),
-            PearsonArrays.big(buf(b + 3), buf(b + 4)),
-            PearsonArrays.big(buf(b + 5), buf(b + 6)),
-            PearsonArrays.big(buf(b + 7), buf(b + 8)),
-            PearsonArrays.big(buf(b + 9), buf(b + 10)))).map(_.doubleValue())
+          else Option(PearsonArrays.finishRhoSlots(n,
+            buf(b + 1), buf(b + 2), buf(b + 3), buf(b + 4),
+            buf(b + 5), buf(b + 6), buf(b + 7), buf(b + 8),
+            buf(b + 9), buf(b + 10))).map(_.doubleValue())
         out(p) = CorrCell(i, j, rho)
         j += 1
         p += 1

@@ -216,8 +216,132 @@ object PearsonArrays {
       i += 1
     }
     if (cnt < 2) return null
-    finishRho(cnt, sx.toBigInteger, sy.toBigInteger,
-      sxx.toBigInteger, syy.toBigInteger, sxy.toBigInteger)
+    finishRhoSlots(cnt, sx.hi, sx.lo, sy.hi, sy.lo,
+      sxx.hi, sxx.lo, syy.hi, syy.lo, sxy.hi, sxy.lo)
+  }
+
+  // ---------------------------------------------------------------------
+  // Fast exact finish: the same deterministic double chain as
+  // [[finishRho]] computed in raw 128-bit long arithmetic — no
+  // BigInteger/BigDecimal allocation per cell. Bit-identical BY
+  // CONSTRUCTION: the integer arithmetic is exact under the checked
+  // preconditions and [[toDouble128]] is the correctly-rounded
+  // (nearest-even) conversion, which is UNIQUE — so fast path and
+  // BigInteger path cannot differ by even one ulp
+  // (PearsonArraysSpec property-pins this on adversarial magnitudes).
+  // Motivation: [[CorrMatrixExactAgg]]'s finish runs once per matrix
+  // CELL with parallelism capped at the window count — at e1b's shape
+  // (250k cells, 2 windows) the BigInteger finish cost a measured
+  // ~0.4 s of the query's 2.6 s; this path is ~50 ns/cell.
+  // ---------------------------------------------------------------------
+
+  /** Correctly-rounded (round-to-nearest-even) double of a SIGNED
+    * 128-bit two's-complement (hi, lo) — exactly
+    * `new BigDecimal(BigInteger).doubleValue()`, allocation-free.
+    */
+  private[functions] def toDouble128(hi: Long, lo: Long): Double = {
+    if (hi == (lo >> 63)) return lo.toDouble // fits signed 64: exact JVM op
+    val neg = hi < 0
+    var mLo = lo
+    var mHi = hi
+    if (neg) { mLo = ~lo + 1; mHi = ~hi + (if (mLo == 0) 1 else 0) }
+    val nlz = if (mHi != 0) java.lang.Long.numberOfLeadingZeros(mHi)
+              else 64 + java.lang.Long.numberOfLeadingZeros(mLo)
+    val bits = 128 - nlz // > 53 here (≤ 53 would have fit signed 64)
+    val shift = bits - 54
+    // top = magnitude >>> shift (54 significant bits);
+    // sticky = any shifted-out bit set. JVM shifts are mod-64: branch.
+    var top = 0L
+    var sticky = false
+    if (shift == 0) top = mLo // bits = 54 ⇒ mHi = 0
+    else if (shift < 64) {
+      top = (mHi << (64 - shift)) | (mLo >>> shift)
+      sticky = (mLo & ((1L << shift) - 1)) != 0
+    } else if (shift == 64) { top = mHi; sticky = mLo != 0 }
+    else {
+      top = mHi >>> (shift - 64)
+      sticky = (mHi & ((1L << (shift - 64)) - 1)) != 0 || mLo != 0
+    }
+    var mant = top >>> 1
+    if ((top & 1) != 0 && (sticky || (mant & 1) != 0)) mant += 1
+    var e = shift + 1
+    if (mant == (1L << 53)) { mant >>>= 1; e += 1 }
+    val d = Math.scalb(mant.toDouble, e)
+    if (neg) -d else d
+  }
+
+  /** Magnitude bit length of a signed 128-bit value (0 for 0). */
+  @inline private def bits128(hi: Long, lo: Long): Int = {
+    var mLo = lo
+    var mHi = hi
+    if (hi < 0) { mLo = ~lo + 1; mHi = ~hi + (if (mLo == 0) 1 else 0) }
+    if (mHi != 0) 128 - java.lang.Long.numberOfLeadingZeros(mHi)
+    else 64 - java.lang.Long.numberOfLeadingZeros(mLo)
+  }
+
+  /** The co-moment finish over raw 128-bit buffer slots, with the fast
+    * long-arithmetic path when the checked envelope holds (every input
+    * the quantizer admits at ≤ ~10⁵ slots per pair does) and the
+    * BigInteger [[finishRho]] as the bit-identical fallback. Layout
+    * matches [[CorrMatrixExactAgg]]'s slots: five (hi, lo) pairs.
+    */
+  private[functions] def finishRhoSlots(cnt: Long,
+      sxHi: Long, sxLo: Long, syHi: Long, syLo: Long,
+      sxxHi: Long, sxxLo: Long, syyHi: Long, syyLo: Long,
+      sxyHi: Long, sxyLo: Long): java.lang.Double = {
+    val nBits = 64 - java.lang.Long.numberOfLeadingZeros(cnt)
+    // preconditions for exact 128-bit products: n·sxx, n·syy, n·sxy
+    // below 2^126, sx/sy in signed 64 (⇒ sx·sy < 2^124); differences
+    // then stay below 2^127 — no overflow anywhere in the fast path
+    val fast = sxHi == (sxLo >> 63) && syHi == (syLo >> 63) &&
+      bits128(sxxHi, sxxLo) + nBits <= 126 &&
+      bits128(syyHi, syyLo) + nBits <= 126 &&
+      bits128(sxyHi, sxyLo) + nBits <= 126
+    if (!fast)
+      return finishRho(cnt, big(sxHi, sxLo), big(syHi, syLo),
+        big(sxxHi, sxxLo), big(syyHi, syyLo), big(sxyHi, sxyLo))
+    // n·acc for a NON-NEGATIVE 128-bit acc (sxx, syy): unsigned shape
+    // n·(hi,lo): sxy may be negative — sign-magnitude around the same core
+    @inline def mulPosHi(hi: Long, lo: Long): Long =
+      hi * cnt + Math.multiplyHigh(lo, cnt) + (if (lo < 0) cnt else 0L)
+    val nSxxLo = sxxLo * cnt
+    val nSxxHi = mulPosHi(sxxHi, sxxLo)
+    val nSyyLo = syyLo * cnt
+    val nSyyHi = mulPosHi(syyHi, syyLo)
+    var xyHi = sxyHi
+    var xyLo = sxyLo
+    val xyNeg = xyHi < 0
+    if (xyNeg) { xyLo = ~sxyLo + 1; xyHi = ~sxyHi + (if (xyLo == 0) 1 else 0) }
+    var nSxyLo = xyLo * cnt
+    var nSxyHi = xyHi * cnt + Math.multiplyHigh(xyLo, cnt) +
+      (if (xyLo < 0) cnt else 0L)
+    if (xyNeg) {
+      nSxyLo = ~nSxyLo + 1
+      nSxyHi = ~nSxyHi + (if (nSxyLo == 0) 1 else 0)
+    }
+    // sx², sy², sx·sy as signed 64×64→128
+    val sx = sxLo
+    val sy = syLo
+    val sxxSqHi = Math.multiplyHigh(sx, sx); val sxxSqLo = sx * sx
+    val syySqHi = Math.multiplyHigh(sy, sy); val syySqLo = sy * sy
+    val sxyPrHi = Math.multiplyHigh(sx, sy); val sxyPrLo = sx * sy
+    // differences (128-bit two's complement; bounded < 2^127 by the
+    // precondition, so no wrap is possible)
+    @inline def subLo(aLo: Long, bLo: Long): Long = aLo - bLo
+    @inline def subHi(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Long =
+      aHi - bHi - (if (java.lang.Long.compareUnsigned(aLo, bLo) < 0) 1 else 0)
+    val vxLo = subLo(nSxxLo, sxxSqLo)
+    val vxHi = subHi(nSxxHi, nSxxLo, sxxSqHi, sxxSqLo)
+    val vyLo = subLo(nSyyLo, syySqLo)
+    val vyHi = subHi(nSyyHi, nSyyLo, syySqHi, syySqLo)
+    if (vxHi < 0 || (vxHi == 0 && vxLo == 0)) return null
+    if (vyHi < 0 || (vyHi == 0 && vyLo == 0)) return null
+    val covLo = subLo(nSxyLo, sxyPrLo)
+    val covHi = subHi(nSxyHi, nSxyLo, sxyPrHi, sxyPrLo)
+    val cov = toDouble128(covHi, covLo)
+    val vx = toDouble128(vxHi, vxLo)
+    val vy = toDouble128(vyHi, vyLo)
+    java.lang.Double.valueOf(cov / math.sqrt(vx * vy))
   }
 
   /** The shared finish: rho as ONE deterministic double chain from the
@@ -232,7 +356,8 @@ object PearsonArrays {
     * relies on (its `CAST(CAST(v AS VARCHAR) AS DOUBLE)` is the same
     * correctly-rounded integer→double conversion). Null when either
     * variance is exactly zero (constant side) — undefined, as the
-    * aggregate's guard. Callers ensure cnt ≥ 2.
+    * aggregate's guard. Callers ensure cnt ≥ 2. [[finishRhoSlots]] is
+    * the allocation-free fast form of the same chain.
     */
   private[functions] def finishRho(cnt: Long, sxB: BigInteger,
       syB: BigInteger, sxxB: BigInteger, syyB: BigInteger,

@@ -84,13 +84,22 @@ object PipelineQueries {
       val winSec = 86400L
       val (users, panel) = SparkEntry.widePanel(s, d, 500, jan1, jan3, 600)
       val k = users.size
-      // Same partial-buffer bound as a3c: the panel is buckets-many rows
-      // but each window's partial buffer is O(k²) longs — uncoalesced,
-      // every one of 32 partitions serializes up to windows×~11 MB of
-      // state into the merge. Bounded, it is partitions≈buckets/256.
+      // Partial-buffer bound, RETUNED for the exact aggregate: each
+      // partition holds windows×~11 MB of integer co-moment state, so
+      // uncoalesced 32 partitions would serialize ~700 MB into the
+      // merge — but unlike the double form's Chan merge, the exact
+      // merge is pure 128-bit adds (no divides), so a handful of extra
+      // partials is near-free while the O(k²·buckets) REDUCE loop
+      // parallelizes with partitions. buckets/64 (4 partitions here,
+      // ~90 MB of transient buffers) instead of the double form's
+      // buckets/256 (which is 1 partition at this fixture — the whole
+      // 36M-pair-slot reduce on one thread); the per-CELL finish cost
+      // is addressed separately (PearsonArrays.finishRhoSlots — the
+      // BigInteger chain measured ~0.4 s of this query before the
+      // allocation-free 128-bit fast path replaced it, SCALE.md).
       val nBuckets = (jan3 - jan1) / 600
       panel
-        .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 256))
+        .coalesce(graft.ops.Relational.boundedPartitions(nBuckets, 64))
         .withColumn("win", ((col("bucket") - jan1) / winSec).cast("long"))
         .groupBy("win")
         .agg(graft.functions.CorrMatrix.corrMatrixExact(k)(col("vals"))
