@@ -1418,8 +1418,8 @@ object SparkEntry {
     * join-free on the output path (the id/index maps are `typedLit`
     * expressions over the dimension-sized sorted id seq), so the g4
     * plan gate — no Inner join anywhere — holds through the selector.
-    */
-  /** LSH geometry note for the pruned tier: `bits` must SCALE WITH k.
+    *
+    * LSH geometry note for the pruned tier: `bits` must SCALE WITH k.
     * Random (uncorrelated) pairs collide in a band with probability
     * 2^-bits, so expected noise candidates ≈ bands·k²/2^(bits+1) — at
     * the default 8×5 (32 buckets) that is ~k²/8, which is fine at the

@@ -219,15 +219,24 @@ class CorrMatrixExactAgg(k: Int)
   override def zero: Array[Long] = new Array[Long](S * nPairs)
 
   override def reduce(buf: Array[Long], row: Array[Double]): Array[Long] = {
-    // hoisted per-series quantization: k quantize calls per row (each a
-    // BigDecimal round — µs-scale), then the O(k²) inner loop is pure
-    // long arithmetic
+    // hoisted per-series work: k quantize calls (each a BigDecimal
+    // round — µs-scale) AND each series' square/sign, computed once per
+    // row — the O(k²) inner loop then pays only the cross product and
+    // five 128-bit adds per pair
     val q = new Array[Long](k)
     val ok = new Array[Boolean](k)
+    val sqHi = new Array[Long](k)
+    val sqLo = new Array[Long](k)
     var i = 0
     while (i < k) {
       val x = row(i)
-      if (!x.isNaN) { ok(i) = true; q(i) = PearsonArrays.quantize(x) }
+      if (!x.isNaN) {
+        val v = PearsonArrays.quantize(x)
+        ok(i) = true
+        q(i) = v
+        sqHi(i) = Math.multiplyHigh(v, v)
+        sqLo(i) = v * v
+      }
       i += 1
     }
     i = 0
@@ -236,8 +245,8 @@ class CorrMatrixExactAgg(k: Int)
       if (ok(i)) {
         val xq = q(i)
         val xh = xq >> 63
-        val xxH = Math.multiplyHigh(xq, xq)
-        val xxL = xq * xq
+        val xxH = sqHi(i)
+        val xxL = sqLo(i)
         var j = i + 1
         while (j < k) {
           if (ok(j)) {
@@ -247,7 +256,7 @@ class CorrMatrixExactAgg(k: Int)
             PearsonArrays.add128(buf, b + 1, xh, xq)
             PearsonArrays.add128(buf, b + 3, yq >> 63, yq)
             PearsonArrays.add128(buf, b + 5, xxH, xxL)
-            PearsonArrays.add128(buf, b + 7, Math.multiplyHigh(yq, yq), yq * yq)
+            PearsonArrays.add128(buf, b + 7, sqHi(j), sqLo(j))
             PearsonArrays.add128(buf, b + 9, Math.multiplyHigh(xq, yq), xq * yq)
           }
           j += 1

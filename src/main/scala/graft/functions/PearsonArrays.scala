@@ -108,16 +108,7 @@ object PearsonArrays {
       hi = newHi
       lo = newLo
     }
-    def toBigInteger: BigInteger = {
-      val bytes = new Array[Byte](16)
-      var i = 0
-      while (i < 8) {
-        bytes(i) = (hi >>> (56 - 8 * i)).toByte
-        bytes(i + 8) = (lo >>> (56 - 8 * i)).toByte
-        i += 1
-      }
-      new BigInteger(bytes)
-    }
+    def toBigInteger: BigInteger = big(hi, lo)
   }
 
   /** Quantized-magnitude ceiling: 2^53 — the EXACTNESS boundary, not a

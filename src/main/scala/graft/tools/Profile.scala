@@ -224,9 +224,13 @@ object Profile {
         .transform(graft.queries.Q.sortedSmall(_, "i", "j"))
     Seq("cache", "fence", "checkpoint").foreach { b =>
       clear(s)
-      val n = "pearson_arrays".r
-        .findAllIn(a3fWith(b).queryExecution.executedPlan.toString).size
-      println(s"[p] a3f barrier=$b kernel occurrences in plan: $n")
+      // DISTINCT normalized kernel sites, not raw substring hits: a
+      // cached plan prints the same Project twice (live node + the
+      // InMemoryRelation's stored copy) — same counting as tools/Stress
+      val sites = a3fWith(b).queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("pearson_arrays"))
+        .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+      println(s"[p] a3f barrier=$b kernel sites in plan: ${sites.size}")
       phase(s, s"a3f barrier=$b")(a3fWith(b))
     }
   }
