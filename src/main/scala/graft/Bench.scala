@@ -93,6 +93,23 @@ object Bench {
   private def microCanarySec(spark: org.apache.spark.sql.SparkSession): Double =
     (1 to 3).map(_ => microCanaryReading(spark)).min
 
+  /** REPO-ANCHORED artifact dir: the nearest ancestor of `start` (self
+    * included, ≤ 6 levels) holding build.sbt — run from a subdir or a
+    * driver-chosen cwd, the artifacts still land in the repo instead of
+    * a silently mis-stamped file wherever the JVM started. Falls back
+    * to `start` with a loud stderr note (unit-tested in BenchAnchorSpec;
+    * factored out exactly so the fallback is testable without a sweep).
+    */
+  private[graft] def artifactBase(start: java.nio.file.Path): java.nio.file.Path =
+    Iterator.iterate(start)(_.getParent)
+      .takeWhile(_ != null).take(6)
+      .find(p => Files.exists(p.resolve("build.sbt")))
+      .getOrElse {
+        System.err.println("[bench] no build.sbt above cwd — writing " +
+          "artifacts to the cwd itself")
+        start
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench")
@@ -244,19 +261,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary_q":$qsCanary,"suspect":$suspectJson,"retimed":$retimedJson,"retime_passes":$passes,"canary_floor":$microFloor,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
     println(line)
-    // REPO-ANCHORED artifact dir: walk up from the process cwd to the
-    // nearest directory holding build.sbt (run from a subdir or a
-    // driver-chosen cwd, the artifacts still land in the repo instead
-    // of silently writing a mis-stamped file wherever the JVM started)
-    val baseDir = Iterator.iterate(
-        Paths.get("").toAbsolutePath)(_.getParent)
-      .takeWhile(_ != null).take(6)
-      .find(p => Files.exists(p.resolve("build.sbt")))
-      .getOrElse {
-        System.err.println("[bench] no build.sbt above cwd — writing " +
-          "artifacts to the cwd itself")
-        Paths.get("").toAbsolutePath
-      }
+    val baseDir = artifactBase(Paths.get("").toAbsolutePath)
     // the driver's stdout capture truncates long lines from the front,
     // losing the alphabetically-early per-query times — always persist
     // the complete artifact next to the run as well
