@@ -125,5 +125,11 @@ object Stress {
       f"peak_stage_write=${peakStageWrite.get / 1e6}%.0f MB " +
       f"kernel_sites_in_plan=${kernelSites.size}")
     spark.stop()
+    // the synthesized fixture is ~60 MB of scratch parquet — clean it
+    // up so repeated stress runs don't accumulate in /tmp
+    import scala.util.Try
+    Files.walk(java.nio.file.Paths.get(dir)).sorted(
+        java.util.Comparator.reverseOrder())
+      .forEach(p => { Try(Files.delete(p)); () })
   }
 }
