@@ -94,15 +94,18 @@ object Bench {
     (1 to 3).map(_ => microCanaryReading(spark)).min
 
   /** REPO-ANCHORED artifact dir: the nearest ancestor of `start` (self
-    * included, ≤ 6 levels) holding build.sbt — run from a subdir or a
-    * driver-chosen cwd, the artifacts still land in the repo instead of
-    * a silently mis-stamped file wherever the JVM started. Falls back
-    * to `start` with a loud stderr note (unit-tested in BenchAnchorSpec;
-    * factored out exactly so the fallback is testable without a sweep).
+    * included, all the way to the filesystem root — the walk is a few
+    * stat calls, and a depth cap just re-creates the mis-stamping
+    * failure one level further out) holding build.sbt — run from a
+    * subdir or a driver-chosen cwd, the artifacts still land in the
+    * repo instead of a silently mis-stamped file wherever the JVM
+    * started. Falls back to `start` with a loud stderr note
+    * (unit-tested in BenchAnchorSpec; factored out exactly so the
+    * fallback is testable without a sweep).
     */
   private[graft] def artifactBase(start: java.nio.file.Path): java.nio.file.Path =
     Iterator.iterate(start)(_.getParent)
-      .takeWhile(_ != null).take(6)
+      .takeWhile(_ != null)
       .find(p => Files.exists(p.resolve("build.sbt")))
       .getOrElse {
         System.err.println("[bench] no build.sbt above cwd — writing " +
@@ -282,10 +285,19 @@ object Bench {
           "stamping r1; set SPARK_GRAFT_BENCH_OUT if this is not round 1")
       s"bench_r${if (prior.isEmpty) 1 else prior.max + 1}_driver.json"
     }
-    Files.writeString(
-      sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
-        .getOrElse(baseDir.resolve(roundStamped)),
-      line + "\n")
+    val stampedPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
+      .getOrElse(baseDir.resolve(roundStamped))
+    Files.writeString(stampedPath, line + "\n")
+    // LAST line of stdout: a compact summary that FITS the driver's
+    // ~2 KB tail capture (the full line is ~12 KB at 131 queries, so
+    // BENCH_r{N}.json has read `parsed: null` since the query count
+    // outgrew the buffer — the per-query data was only safe in the
+    // committed twin above). Headline numbers + a pointer; a consumer
+    // of the captured artifact parses THIS and follows `full_artifact`
+    // for per-query detail.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results2.size},"failures":$failures,"total_min":$totalMin,"canary_floor":$microFloor,"suspect":$suspectJson,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd},"full_artifact":"${stampedPath.getFileName}"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -30,9 +30,27 @@ import org.apache.spark.sql.types.DataType
   * radius: the child IS deterministic, so task retries and speculative
   * re-execution still produce identical results; the only semantic a
   * fence changes is which plan rewrites Catalyst may apply around it —
-  * exactly the point. Use it ONLY on expressions whose re-evaluation is
-  * the dominant cost; fencing cheap expressions just blocks useful
-  * pushdown.
+  * exactly the point. That bound is MEASURED, not argued: FenceSpec
+  * pins that a fenced plan's RDD reports the SAME
+  * outputDeterministicLevel as its unfenced twin (DETERMINATE on
+  * shuffle-free plans; the usual UNORDERED after a shuffle; never
+  * INDETERMINATE) — expression determinism does not feed the
+  * scheduler's retry model, so a fetch failure retries lost partitions
+  * only, no cascading consumer-stage recompute — and PlanGuardSpec
+  * red-greens the exactly-once property itself.
+  *
+  * Blast radius that IS real: Catalyst's pushdown-through-Project rules
+  * require EVERY project field to be deterministic, so a fence blocks
+  * pushdown of ALL predicates through its containing Project — a
+  * caller's filter on SIBLING columns (e.g. the i/j keys next to a
+  * fenced rho) also stops pushing below the select, not just filters
+  * on the fenced value. Callers needing key predicates pushed to the
+  * scan must pre-filter their inputs BEFORE the fenced projection
+  * (CorrPrune does: the panel's user/ts filters sit below the kernel
+  * select, and PlanGuardSpec pins both directions — pushed below,
+  * provably not pushed above). Use the fence ONLY on expressions whose
+  * re-evaluation is the dominant cost; fencing cheap expressions just
+  * blocks useful pushdown.
   */
 case class OptimizerFence(child: Expression) extends UnaryExpression {
 

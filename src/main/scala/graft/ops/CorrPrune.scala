@@ -202,6 +202,13 @@ object CorrPrune {
     // cache barrier achieved the same plan but paid block
     // materialization: +0.3–0.6 s on the a3 family; SCALE.md's barrier
     // A/B prices all three). The alternatives stay exposed for that A/B.
+    // Fence side effect callers must know: pushdown-through-Project
+    // requires every project field deterministic, so NO predicate — not
+    // even one on the sibling i/j keys — pushes below this select.
+    // That is fine HERE because every input filter (user/ts range)
+    // already sits below in the panel derivation; callers adding key
+    // predicates should apply them to the panel, not above the rho.
+    // PlanGuardSpec pins both directions.
     val kernel = Stats.pearsonArrays(col("va"), col("vb"))
     val rho = cand
       .join(vecs.select(col(keyCol).as("i"), col("vs").as("va")), Seq("i"))
@@ -215,6 +222,13 @@ object CorrPrune {
           .as("rho"))
     val fencedRho = barrier match {
       case "fence" => rho
+      // "none" = NO barrier at all — the red baseline for the fence's
+      // exactly-once guarantee (PlanGuardSpec diffs its plan against
+      // the fenced one: downstream predicates alias-inline the bare
+      // kernel into the join condition, multiplying its plan sites).
+      // Never the shipped default; exists so the regression gate and
+      // the barrier A/B have an honest control.
+      case "none" => rho
       case "cache" => graft.ops.Time.registerCached(rho.cache())
       case "checkpoint" => rho.localCheckpoint(eager = false)
       case other => sys.error(s"unknown corr barrier '$other'")

@@ -43,6 +43,10 @@ object Stress {
     val spark = Sessions.build("graft-stress")
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stress_").toString
+    // cleanup in finally: a failed gate (plan-site, universe or edge
+    // count) must not leak the ~60 MB scratch fixture per run — and
+    // the gates are `require`, not elidable `assert`
+    try {
 
     // --- synthesize the wide panel's source events -------------------
     val jan1 = SparkEntry.jan1
@@ -108,15 +112,15 @@ object Stress {
     val kernelSites = plan.linesIterator
       .filter(_.contains("pearson_arrays"))
       .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
-    assert(kernelSites.size == 1,
+    require(kernelSites.size == 1,
       s"vector verify must run the kernel EXACTLY once, plan has " +
         s"${kernelSites.size} distinct sites:\n${kernelSites.mkString("\n")}")
-    assert(users.size == k, s"universe ${users.size} != $k")
+    require(users.size == k, s"universe ${users.size} != $k")
     val nEdges = edges.count()
     // every within-group pair has rho ≈ 0.99 >> 0.9; LSH recall at this
     // angle is ≥ 0.99 — demand at least 90% of the 50·C(k/50, 2) truth
     val expected = 50L * (k / 50) * (k / 50 - 1) / 2
-    assert(nEdges >= expected * 9 / 10 && nEdges <= expected * 11 / 10,
+    require(nEdges >= expected * 9 / 10 && nEdges <= expected * 11 / 10,
       s"edge count $nEdges vs expected ~$expected within-group pairs")
     println(f"[stress] panelRho vector tier: k=$k dims=$dims " +
       f"edges=$nEdges (expected ~$expected) wall=$wall%.1f s " +
@@ -125,11 +129,11 @@ object Stress {
       f"peak_stage_write=${peakStageWrite.get / 1e6}%.0f MB " +
       f"kernel_sites_in_plan=${kernelSites.size}")
     spark.stop()
-    // the synthesized fixture is ~60 MB of scratch parquet — clean it
-    // up so repeated stress runs don't accumulate in /tmp
-    import scala.util.Try
-    Files.walk(java.nio.file.Paths.get(dir)).sorted(
-        java.util.Comparator.reverseOrder())
-      .forEach(p => { Try(Files.delete(p)); () })
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
   }
 }

@@ -318,6 +318,118 @@ class PlanGuardSpec extends SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("optimizer fence pins the pearson_arrays kernel to exactly ONE " +
+    "distinct plan site — and removing the barrier multiplies it (red " +
+    "baseline)") {
+    // The r15 scale bug, as a permanent gate: downstream predicates
+    // (the null filter + round-then-threshold) alias-inline a bare
+    // kernel into the vector JOIN CONDITION, re-running the O(dims)
+    // kernel up to 3× per pair. The fence (a non-deterministic identity
+    // wrapper) pins it to its Project. Counting is DISTINCT NORMALIZED
+    // plan lines, not raw substring hits — a cached plan prints the
+    // same Project twice (live node + the InMemoryRelation's stored
+    // copy); same method as tools/Profile:231 and tools/Stress. If a
+    // Spark upgrade or new Catalyst rule starts substituting
+    // non-deterministic aliases, the "fence" case here goes red
+    // LOUDLY instead of CORRECTNESS staying green at triple the cost.
+    import org.apache.spark.sql.functions._
+    def kernelSites(barrier: String): Set[String] = {
+      val jan1 = graft.SparkEntry.jan1
+      val panel = graft.SparkEntry
+        .resampled(spark, sf, 300, jan1, graft.SparkEntry.jan2, 600)
+        .withColumn("pos", ((col("bucket") - jan1) / 600 + 1).cast("int"))
+      val df = graft.ops.CorrPrune
+        .candidateRhoVectors(panel, "user_id", "pos", "value",
+          dims = 144, bands = 8, bits = 5, barrier = barrier)
+        .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
+        .where(col("rho") >= 0.5)
+      df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("pearson_arrays"))
+        .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+    }
+    val fenced = kernelSites("fence")
+    assert(fenced.size == 1,
+      s"fenced kernel at ${fenced.size} plan sites (want exactly 1):\n" +
+        fenced.mkString("\n"))
+    // the red baseline: the SAME plan without any barrier — Catalyst
+    // inlines the rho alias into the pushed predicates. If this ever
+    // reads 1, Catalyst stopped inlining and the fence is dead weight:
+    // re-evaluate it rather than carry it on faith.
+    val bare = kernelSites("none")
+    assert(bare.size >= 2,
+      s"unfenced kernel at ${bare.size} plan sites — alias inlining no " +
+        s"longer multiplies the kernel; the fence may be removable:\n" +
+        bare.mkString("\n"))
+    // and the shipped a3f query itself (fence default) stays at one site
+    val shipped = planOf(SparkEntry.queries("a3f_corr_pruned_unbroadcast")(
+        spark, sf))
+      .linesIterator.filter(_.contains("pearson_arrays"))
+      .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+    assert(shipped.size == 1,
+      s"shipped a3f kernel at ${shipped.size} sites:\n" +
+        shipped.mkString("\n"))
+  }
+
+  test("fencing is not a pushdown plug: predicates BELOW the fenced " +
+    "Project still reach the parquet scan (and a sibling filter ABOVE " +
+    "it provably does not — callers must pre-filter)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    // 1) the real fenced path: a3f's events scan keeps its pushed
+    // user_id/ts predicates — the fence sits far downstream and must
+    // not cost the scan its pushdown (filters are applied BELOW the
+    // kernel select by construction; caches are descended because the
+    // panel prefix lives in an InMemoryRelation)
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val into = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+        case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      (p +: into) ++ p.children.flatMap(walk)
+    }
+    spark.conf.set("spark.sql.maxMetadataStringLength", 4000)
+    val a3f = SparkEntry.queries("a3f_corr_pruned_unbroadcast")(spark, sf)
+    val scans = walk(a3f.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("events")) => f
+    }
+    assert(scans.nonEmpty, "no events scan found under a3f")
+    assert(scans.exists(_.metadata("PushedFilters")
+        .contains("LessThan(user_id")),
+      s"user_id filter lost below the fenced path: " +
+        scans.map(_.metadata("PushedFilters")).mkString(" | "))
+    // 2) the documented limitation (see OptimizerFence's scaladoc):
+    // PushPredicateThroughNonJoin requires EVERY project field to be
+    // deterministic, so a filter on a SIBLING column above a fenced
+    // Project also stops pushing — pre-filtering before the kernel
+    // select is the caller's job. Both directions pinned so the
+    // scaladoc claim stays evidenced.
+    val dir = scratchDir("graft_fence_push_")
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    def pushed(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f.metadata("PushedFilters")
+      }.getOrElse(fail("no scan"))
+    val pre = spark.read.parquet(dir)
+      .where(col("k") < 10)
+      .select(col("k"), graft.ops.Stats.fenced(col("v") * 2).as("f"))
+    assert(pushed(pre).contains("LessThan(k,10)"),
+      s"pre-filter below a fenced Project must push: ${pushed(pre)}")
+    val post = spark.read.parquet(dir)
+      .select(col("k"), graft.ops.Stats.fenced(col("v") * 2).as("f"))
+      .where(col("k") < 10)
+    assert(!pushed(post).contains("LessThan"),
+      "a sibling filter above a fenced Project unexpectedly pushed — " +
+        "Catalyst behavior changed; revisit the fence scaladoc's " +
+        s"pre-filter guidance: ${pushed(post)}")
+  }
+
   test("no CartesianProduct in any query plan") {
     // broadcast-tiny plane/profile generators surface as
     // BroadcastNestedLoopJoin, which is fine; an unhinted non-equi join

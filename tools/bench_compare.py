@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Cross-round bench comparison in the MIN domain, era-normalized.
+
+The methodology SCALE.md's host-era note prescribes (and every round
+had re-derived by hand until r17):
+
+  * This host's ambient load shifts WHOLE SWEEPS by a uniform factor
+    (measured ×1.1-1.14 between "eras") that the pure-CPU canary is
+    blind to — so raw cross-round per-query deltas are meaningless.
+  * Two same-era sweeps agree per-query to median ratio ~1.002, so the
+    MEDIAN PER-QUERY RATIO over shared lines IS the era factor; after
+    dividing it out, genuine per-query movement survives and uniform
+    host drift cancels.
+  * Sweep MEDIANS of an individual query are bimodal under ambient
+    (r16's a3d read median 2.6 s with min 1.77 = its idle anchor): the
+    comparison domain is the per-query MIN across each artifact's
+    passes (`queries_min`), falling back to `queries` for artifacts
+    that predate the min field.
+
+Usage:
+  python3 tools/bench_compare.py OLD.json NEW.json [--flag 1.35]
+
+Each side may be a comma-separated list of artifacts from the same
+code state (e.g. twin idle anchors, or idle + driver sweep): the tool
+takes the per-query MIN across the listed files, which is exactly how
+the r16 verdict collapsed its two sweeps before judging "fleet-wide
+flat" — one artifact's min can still carry a per-line ambient spike
+that a second sweep's min removes.
+
+Prints a human table to stderr and ONE JSON object to stdout:
+  {"era_factor": …, "shared": N, "flagged": [{name, old, new, ratio,
+    residual, median_residual}…], "median_only_suspects": [...]}
+
+`flagged` = era-normalized residual > --flag (default 1.35) in the min
+domain — real movement to adjudicate. `median_only_suspects` = lines
+whose MEDIAN residual exceeds the flag while their MIN residual does
+not — the bimodal-statistic signature, listed so nobody chases them as
+regressions.
+"""
+import json
+import statistics
+import sys
+
+
+def load(spec):
+    """Per-query (min, median) maps across a comma-separated artifact
+    list — min of mins, median map from the FIRST artifact (medians
+    across sweeps aren't poolable; the first file is the canonical
+    anchor)."""
+    mins, meds = {}, {}
+    for path in spec.split(","):
+        with open(path) as f:
+            d = json.load(f)
+        m = d.get("queries_min") or d.get("queries") or {}
+        for q, v in m.items():
+            mins[q] = min(mins.get(q, float("inf")), v)
+        if not meds:
+            meds = d.get("queries") or {}
+    return mins, meds
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag = 1.35
+    for i, a in enumerate(sys.argv):
+        if a == "--flag":
+            flag = float(sys.argv[i + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old_path, new_path = args
+    old_min, old_med = load(old_path)
+    new_min, new_med = load(new_path)
+
+    shared = sorted(set(old_min) & set(new_min))
+    if not shared:
+        sys.exit("no shared query lines between the two artifacts")
+    ratios = {q: new_min[q] / old_min[q] for q in shared if old_min[q] > 0}
+    era = statistics.median(ratios.values())
+
+    flagged, median_only = [], []
+    for q in shared:
+        if q not in ratios:
+            continue
+        resid = ratios[q] / era
+        med_resid = None
+        if q in old_med and q in new_med and old_med[q] > 0:
+            med_resid = (new_med[q] / old_med[q]) / era
+        row = {
+            "name": q,
+            "old_min": round(old_min[q], 3),
+            "new_min": round(new_min[q], 3),
+            "ratio": round(ratios[q], 3),
+            "residual": round(resid, 3),
+            "median_residual": round(med_resid, 3) if med_resid else None,
+        }
+        if resid > flag:
+            flagged.append(row)
+        elif med_resid is not None and med_resid > flag:
+            median_only.append(row)
+
+    flagged.sort(key=lambda r: -r["residual"])
+    median_only.sort(key=lambda r: -(r["median_residual"] or 0))
+
+    print(f"[bench_compare] {old_path} -> {new_path}", file=sys.stderr)
+    print(f"[bench_compare] shared lines: {len(shared)}  "
+          f"era factor (median min-ratio): {era:.3f}", file=sys.stderr)
+    if flagged:
+        print(f"[bench_compare] REAL movement (min-domain residual > "
+              f"{flag}):", file=sys.stderr)
+        for r in flagged:
+            print(f"  {r['name']:36s} {r['old_min']:7.3f} -> "
+                  f"{r['new_min']:7.3f}  residual {r['residual']:.2f}",
+                  file=sys.stderr)
+    else:
+        print(f"[bench_compare] no min-domain residual exceeds {flag} — "
+              f"fleet-wide flat after era normalization", file=sys.stderr)
+    for r in median_only:
+        print(f"  (median-only, likely bimodal ambient — NOT a "
+              f"regression) {r['name']}: median residual "
+              f"{r['median_residual']:.2f}, min residual "
+              f"{r['residual']:.2f}", file=sys.stderr)
+
+    json.dump({
+        "old": old_path, "new": new_path, "shared": len(shared),
+        "era_factor": round(era, 4), "flag_threshold": flag,
+        "flagged": flagged, "median_only_suspects": median_only,
+    }, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,6 @@ Usage: python3 tools/boundary_audit.py <sfDir> <verifyOutDir>
 """
 import json
 import math
-import re
 import sys
 
 import duckdb
@@ -56,6 +55,46 @@ CONTROL = {
     "e1b_flagship_wide": ("filled", "price",
                           ["(a.bucket - 1704067200)//86400"], 4),
 }
+
+
+def cte_prefix(sql):
+    """The WITH clause of `sql` up to (and including) the last CTE's
+    closing paren — i.e. everything before the final TOP-LEVEL SELECT.
+    Paren-depth tracked (single-quoted strings skipped), because the
+    old `last ')\\s*SELECT' regex` silently mis-split any query whose
+    final SELECT contains a parenthesized subquery followed by SELECT;
+    a malformed prefix then surfaced only as a confusing DuckDB parse
+    error. The extracted prefix is asserted to end with the CTE close.
+    """
+    depth = 0
+    in_str = False
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and sql[i:i + 6].upper() == "SELECT" and \
+                (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")) \
+                and (i + 6 == n or not (sql[i + 6].isalnum() or
+                                        sql[i + 6] == "_")):
+            # subquery SELECTs sit at depth > 0; the first depth-0
+            # SELECT is the statement's final top-level one (these
+            # oracles all start with WITH)
+            prefix = sql[:i].rstrip().rstrip(",").rstrip()
+            assert prefix.endswith(")"), (
+                "CTE prefix does not end with a close paren — "
+                f"unexpected oracle shape:\n{prefix[-120:]}")
+            return prefix
+        i += 1
+    raise AssertionError("no top-level SELECT found in oracle SQL")
 
 
 def moments_sql(prefix, rel, val, keys):
@@ -91,9 +130,7 @@ def main(sf_dir, out_dir):
     for name, (rel, val, keys, digits) in (AUDITS | CONTROL).items():
         is_control = name in CONTROL
         sql = oracle[name]
-        # the CTE prefix is everything before the final top-level SELECT
-        m0 = list(re.finditer(r"\)\s*SELECT", sql))[-1]
-        prefix = sql[:m0.start() + 1]
+        prefix = cte_prefix(sql)
         rows = con.execute(moments_sql(prefix, rel, val, keys)).fetchall()
         scale = 10 ** digits
         defined = 0
