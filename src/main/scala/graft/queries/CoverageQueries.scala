@@ -422,25 +422,27 @@ object CoverageQueries {
       val edges = ev.groupBy("event_type")
         .agg(expr(s"percentile_approx(value, array($qs), 10000)")
           .as("edges"))
-      // bin = 1 + count(edges < value): rows ≤ edge_k land in bins ≤ k
-      // (max-rank form); bin_lt = 1 + count(edges ≤ value): rows < edge_k
-      // land in bin_lt ≤ k (min-rank form). They differ only on rows
-      // exactly equal to an edge — the tie runs the two-sided bounds
-      // need.
-      val binned = ev.join(broadcast(edges), Seq("event_type"))
-        .select(col("event_type"),
-          (size(filter(col("edges"), e => col("value") > e)) + 1)
-            .as("bin"),
-          (size(filter(col("edges"), e => col("value") >= e)) + 1)
-            .as("bin_lt"))
-        .groupBy("event_type", "bin", "bin_lt")
-        .agg(count(lit(1)).as("n"))
+      // Both rank forms fold into ONE codegen'd aggregate pass (r17:
+      // the r16 tie-safety hardening had doubled the per-row filter()
+      // lambdas and pre-grouped on (bin, bin_lt), costing ~2× — but
+      // the bins were never needed as rows at all): with edges sorted
+      // ascending (duplicates included), bin ≤ k ⟺ at most k−1 edges
+      // < value ⟺ value ≤ edge_k, and bin_lt ≤ k ⟺ value < edge_k —
+      // so every max-rank run endpoint rle_k = count(value ≤ edge_k)
+      // and min-rank endpoint rlt_k = count(value < edge_k) is a
+      // direct sum(when(...)) against an element_at slot: 18 scalar
+      // comparisons per row inside whole-stage codegen, zero HOF
+      // lambdas (each filter() lambda paid µs-scale interpreted cost
+      // per slot), zero intermediate grouping. Map-side partials as
+      // before; the broadcast edge join is unchanged.
       val rankAggs = (1 to 9).flatMap(k => Seq(
-        sum(when(col("bin") <= k, col("n")).otherwise(0L)).as(s"rle$k"),
-        sum(when(col("bin_lt") <= k, col("n")).otherwise(0L)).as(s"rlt$k")))
-      val aggs = Seq(countDistinct(col("bin")).as("n_bins")) ++ rankAggs
-      val out = binned.groupBy("event_type")
-        .agg(sum("n").as("n_total"), aggs: _*)
+        sum(when(col("value") <= element_at(col("edges"), k), 1L)
+          .otherwise(0L)).as(s"rle$k"),
+        sum(when(col("value") < element_at(col("edges"), k), 1L)
+          .otherwise(0L)).as(s"rlt$k")))
+      val out = ev.join(broadcast(edges), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"), rankAggs: _*)
       // rank runs with the k=0 and k=10 boundary pins
       def rle(k: Int) =
         if (k == 0) lit(0L)
@@ -449,7 +451,11 @@ object CoverageQueries {
         if (k == 0) lit(0L)
         else if (k == 10) col("n_total") else col(s"rlt$k")
       out.select(col("event_type"), col("n_total"),
-          col("n_bins").cast("int").as("n_bins"),
+          // n_bins = occupied bins in the max-rank form, recovered from
+          // the rank runs (bin k holds rle(k) − rle(k−1) rows) — the
+          // countDistinct the pre-grouped shape needed is free here
+          (1 to 10).map(k => when(rle(k) - rle(k - 1) > 0, 1)
+              .otherwise(0)).reduce(_ + _).cast("int").as("n_bins"),
           // |rank(edge_k) − k·N/10| ≤ N/1000 + 1 for all k, two-sided
           // over the tie run, integer arithmetic scaled by 1000
           (1 to 9).map(k =>

@@ -796,6 +796,156 @@ class StreamsSpec extends SparkTestBase {
       s"restart emitted nothing new (${rows.size} vs ${first.size})")
   }
 
+  test("windowedCorr restart mid-span: a span's OPEN corr-UDAF state " +
+    "survives the checkpoint and merges the post-restart ticks — two " +
+    "drains equal one") {
+    // The deepest batch-boundary case the exactly-once test above does
+    // not cover: kill the query while a span's CO-MOMENT state is open
+    // (half its buckets aggregated), land the other half, re-drain from
+    // the checkpoint. Lost or recomputed-from-scratch state would emit
+    // the span's matrix from only the post-restart half; the asserts
+    // compare the two-drain output row-for-row (rho included) against
+    // one uninterrupted drain AND pin that the post-restart-only data
+    // gives a measurably different rho — so agreement proves a real
+    // cross-restart state merge, not a lucky recompute.
+    val base = 1700006400L // UTC day boundary
+    val users = Seq(0L, 1L)
+    def ticks(fromSec: Long, untilSec: Long): Seq[org.apache.spark.sql.Row] =
+      for {
+        t <- fromSec until untilSec by 600L
+        u <- users
+      } yield evRow(t * 10 + u, base + t, u,
+        u.toDouble + 0.001 * t + ((t / 600 + 7 * u) % 13).toDouble)
+    val cutSec = 86400L * 3 / 2 // kill point: day 1 half-aggregated
+    def run(in: String, out: String, ck: String): Unit =
+      Streams.windowedCorr(spark, in, out, ck, users,
+        bucket = "10 minutes", span = "1 day", watermark = "1 hour")
+    // run A: drain to the kill point, land the rest, re-drain
+    val inA = tmp("graft_corr_rs_inA_")
+    val outA = tmp("graft_corr_rs_outA_")
+    val ckA = tmp("graft_corr_rs_ckA_")
+    stageFile(inA, "d1.parquet", 1000000L, ticks(0L, cutSec))
+    run(inA, outA, ckA)
+    val firstSpans = spark.read.parquet(outA)
+      .select("window_start").collect().map(_.getLong(0)).toSet
+    // the kill really happened mid-span: day 1 is open, not emitted
+    assert(firstSpans == Set(base),
+      s"first drain should emit exactly day 0, got $firstSpans")
+    stageFile(inA, "d2.parquet", 2000000L, ticks(cutSec, 86400L * 3))
+    run(inA, outA, ckA)
+    // run B: identical input, one uninterrupted drain
+    val inB = tmp("graft_corr_rs_inB_")
+    val outB = tmp("graft_corr_rs_outB_")
+    val ckB = tmp("graft_corr_rs_ckB_")
+    stageFile(inB, "d1.parquet", 1000000L, ticks(0L, cutSec))
+    stageFile(inB, "d2.parquet", 2000000L, ticks(cutSec, 86400L * 3))
+    run(inB, outB, ckB)
+    val a = spark.read.parquet(outA).select("window_start", "i", "j", "rho")
+    val b = spark.read.parquet(outB)
+      .select(col("window_start"), col("i"), col("j"), col("rho").as("brho"))
+    assert(a.count() == b.count(),
+      s"restart drain ${a.count()} rows vs single drain ${b.count()}")
+    val j = a.join(b, Seq("window_start", "i", "j"), "full_outer")
+    assert(j.where(col("rho").isNull =!= col("brho").isNull).count() == 0,
+      "null-rho pattern diverged across the restart")
+    val defined = j.where(col("rho").isNotNull)
+    assert(defined.count() > 0, "rho compare is vacuous")
+    val maxDiff = defined.agg(max(abs(col("rho") - col("brho"))))
+      .head().getDouble(0)
+    // Chan-merge partials may accumulate in different batch orders
+    assert(maxDiff < 1e-9, s"max rho diff across restart $maxDiff")
+    // day 1 crossed the restart and was emitted by the second drain
+    val day1 = a.where(col("window_start") === base + 86400L)
+    assert(day1.count() == 1, "day-1 span missing after restart")
+    // non-vacuity of the merge: day 1 recomputed from ONLY the
+    // post-restart ticks reads a different rho — state had to carry
+    val ev2 = spark.read.schema(graft.Catalog.schemas("events"))
+      .parquet(inB)
+      .where(unix_timestamp(col("ts")) >= base + cutSec)
+    val d2Only = Streams.windowedCorrPlan(ev2, users,
+        "10 minutes", "1 day", watermark = None)
+      .where(col("window_start") === base + 86400L)
+      .head().getAs[Double]("rho")
+    val merged = day1.head().getAs[Double]("rho")
+    assert(math.abs(merged - d2Only) > 1e-6,
+      s"fixture cannot distinguish merge from recompute: " +
+        s"merged=$merged d2only=$d2Only")
+  }
+
+  test("filled-corr chain restart mid-input: BOTH queries (ffill cells, " +
+    "windowed corr) resume from their checkpoints — two drains equal one") {
+    // w18's operator is the deepest state in the repo: the ffill
+    // stream's flatMapGroupsWithState carry feeding a second query's
+    // windowed corr UDAF through the cells lake. Kill BOTH queries
+    // mid-input (day 1's cells half-landed, its matrix state open),
+    // land the rest, resume each from its own checkpoint, and compare
+    // the final matrices row-for-row against one uninterrupted run of
+    // the chain on identical input.
+    val base = 1700006400L
+    val step = 600L
+    val users = Seq(0L, 1L, 2L)
+    val end = base + 86400L * 3
+    // correlated series WITH GAPS (u2 skips every third bucket): the
+    // ffill carry is load-bearing, so losing q1's state would change
+    // the filled values and thus the rho
+    def ticks(fromSec: Long, untilSec: Long): Seq[org.apache.spark.sql.Row] =
+      for {
+        t <- fromSec until untilSec by step
+        u <- users
+        if u != 2L || (t / step) % 3 != 0
+      } yield evRow(t * 10 + u, base + t, u,
+        u.toDouble + 0.001 * t + ((t / step + 5 * u) % 11).toDouble)
+    val cutSec = 86400L * 3 / 2
+    def chain(in: String, cells: String, ck1: String, out: String,
+              ck2: String): Unit = {
+      Streams.resampleFfillStream(spark, in, cells, ck1,
+        base, end, step, watermark = "1 hour")
+      Streams.windowedCorrFromCells(spark, cells, out, ck2, users,
+        bucket = "10 minutes", span = "1 day", watermark = "1 hour")
+    }
+    // run A: chain to the kill point, then resume the whole chain
+    val inA = tmp("graft_fc_rs_inA_")
+    val cellsA = tmp("graft_fc_rs_cellsA_")
+    val outA = tmp("graft_fc_rs_outA_")
+    val ck1A = tmp("graft_fc_rs_ck1A_")
+    val ck2A = tmp("graft_fc_rs_ck2A_")
+    stageFile(inA, "d1.parquet", 1000000L, ticks(0L, cutSec))
+    chain(inA, cellsA, ck1A, outA, ck2A)
+    val firstSpans = spark.read.parquet(outA)
+      .select("window_start").collect().map(_.getLong(0)).toSet
+    // mid-input for the SPAN state too: day 1 must still be open (its
+    // end is past q2's watermark at the kill)
+    assert(!firstSpans.contains(base + 86400L),
+      s"day 1 already closed at the kill point: $firstSpans")
+    stageFile(inA, "d2.parquet", 2000000L, ticks(cutSec, 86400L * 3))
+    chain(inA, cellsA, ck1A, outA, ck2A)
+    // run B: identical input, each query drains once
+    val inB = tmp("graft_fc_rs_inB_")
+    val cellsB = tmp("graft_fc_rs_cellsB_")
+    val outB = tmp("graft_fc_rs_outB_")
+    stageFile(inB, "d1.parquet", 1000000L, ticks(0L, cutSec))
+    stageFile(inB, "d2.parquet", 2000000L, ticks(cutSec, 86400L * 3))
+    chain(inB, cellsB, tmp("graft_fc_rs_ck1B_"), outB,
+      tmp("graft_fc_rs_ck2B_"))
+    val a = spark.read.parquet(outA).select("window_start", "i", "j", "rho")
+    val b = spark.read.parquet(outB)
+      .select(col("window_start"), col("i"), col("j"), col("rho").as("brho"))
+    assert(a.count() == b.count(),
+      s"restart chain ${a.count()} rows vs single chain ${b.count()}")
+    val j = a.join(b, Seq("window_start", "i", "j"), "full_outer")
+    assert(j.where(col("rho").isNull =!= col("brho").isNull).count() == 0,
+      "null-rho pattern diverged across the chain restart")
+    val defined = j.where(col("rho").isNotNull)
+    assert(defined.count() > 0, "rho compare is vacuous")
+    val maxDiff = defined.agg(max(abs(col("rho") - col("brho"))))
+      .head().getDouble(0)
+    assert(maxDiff < 1e-9, s"max rho diff across chain restart $maxDiff")
+    // the restart emitted day 1 (crossed both checkpoints' state)
+    assert(spark.read.parquet(outA)
+        .where(col("window_start") === base + 86400L).count() > 0,
+      "day-1 span missing after the chain restart")
+  }
+
   test("sessionStream restart mid-input: an OPEN session's merging state " +
     "survives the checkpoint and a later drain extends it — two drains " +
     "equal one") {
