@@ -60,11 +60,15 @@ def load(spec):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flag = 1.35
-    for i, a in enumerate(sys.argv):
-        if a == "--flag":
+    args, flag, skip = [], 1.35, False
+    for i, a in enumerate(sys.argv[1:], 1):
+        if skip:
+            skip = False
+        elif a == "--flag":
             flag = float(sys.argv[i + 1])
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
     if len(args) != 2:
         sys.exit(__doc__)
     old_path, new_path = args
