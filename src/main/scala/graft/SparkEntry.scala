@@ -1435,7 +1435,9 @@ object SparkEntry {
       onePassMaxK: Int = OnePassMaxK,
       broadcastVerifyMaxCells: Long =
         graft.ops.CorrPrune.BroadcastVerifyMaxCells,
-      bands: Int = 8, bits: Int = 5): (Seq[Long], DataFrame) = {
+      bands: Int = 8, bits: Int = 5,
+      barrier: String = graft.ops.CorrPrune.DefaultBarrier)
+      : (Seq[Long], DataFrame) = {
     val nBuckets = (b - a) / step
     val (users, panel) = widePanel(s, d, nUsers, a, b, step)
     val k = users.size
@@ -1473,7 +1475,8 @@ object SparkEntry {
               dims = nBuckets.toInt, bands = bands, bits = bits)
           else
             graft.ops.CorrPrune.candidateRhoVectors(p, "user_id", "pos",
-              "value", dims = nBuckets.toInt, bands = bands, bits = bits)
+              "value", dims = nBuckets.toInt, bands = bands, bits = bits,
+              barrier = barrier)
         // round-then-filter BELOW the vid map, then a registered cache
         // on the handful of survivors: the candidate plan's band-bucket
         // self-join re-reads shared subtrees, which the cache pays for

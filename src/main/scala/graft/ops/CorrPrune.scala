@@ -227,7 +227,17 @@ object CorrPrune {
       // the fenced one: downstream predicates alias-inline the bare
       // kernel into the join condition, multiplying its plan sites).
       // Never the shipped default; exists so the regression gate and
-      // the barrier A/B have an honest control.
+      // the barrier A/B have an honest control. Priced both ways
+      // (SCALE.md): at FIXTURE dims the control is actually ~0.2 s
+      // faster (the inlined threshold filters pairs inside the join,
+      // and a 144-slot kernel re-evaluation is noise) — the fence's
+      // value is the width regime, where the control doesn't slow
+      // down, it DIES: at k=2000 × 10,080 dims the unfenced plan OOMs
+      // an 8 GiB heap (tools/Stress barrier=none, three runs) while
+      // the fenced run completes in ~98 s, because the fenced Project
+      // computes rho once and immediately drops the ~80 KB vector
+      // payloads, where the unfenced plan re-derives rho downstream
+      // and keeps both arrays alive across more of the pipeline.
       case "none" => rho
       case "cache" => graft.ops.Time.registerCached(rho.cache())
       case "checkpoint" => rho.localCheckpoint(eager = false)

@@ -207,9 +207,13 @@ object Profile {
   /** The kernel-barrier A/B (VERDICT r15 task 1): a3f's exact query
     * shape under each [[graft.ops.CorrPrune.candidateRhoVectors]]
     * barrier — cache (the r15 fix), fence (zero-cost optimizer fence),
-    * localCheckpoint — with the kernel's occurrence count in the
-    * physical plan printed per variant (must be 1: the exactly-once
-    * property is the point of the barrier, whatever its cost).
+    * localCheckpoint, plus the "none" control (NO barrier: the r15 bug
+    * shape, kernel alias-inlined into the pushed predicates — its
+    * sites count reads ≥ 2 and its wall time prices the multiplied
+    * re-evaluation the barrier exists to prevent) — with the kernel's
+    * occurrence count in the physical plan printed per variant (must
+    * be 1 for every real barrier: the exactly-once property is the
+    * point, whatever its cost).
     */
   private def phasesBarrier(s: SparkSession, d: String): Unit = {
     val jan1 = SparkEntry.jan1
@@ -222,7 +226,7 @@ object Profile {
         .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
         .where(col("rho") >= 0.5)
         .transform(graft.queries.Q.sortedSmall(_, "i", "j"))
-    Seq("cache", "fence", "checkpoint").foreach { b =>
+    Seq("cache", "fence", "checkpoint", "none").foreach { b =>
       clear(s)
       // DISTINCT normalized kernel sites, not raw substring hits: a
       // cached plan prints the same Project twice (live node + the

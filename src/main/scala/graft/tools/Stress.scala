@@ -40,6 +40,12 @@ object Stress {
     val k = args.lift(0).map(_.toInt).getOrElse(2000)
     val days = args.lift(1).map(_.toInt).getOrElse(7)
     val bits = args.lift(2).map(_.toInt).getOrElse(11)
+    // optional 4th arg: the candidateRhoVectors barrier ("fence"
+    // default; "none" = the unfenced control, whose multiplied kernel
+    // evaluation is priced AT WIDTH here — at fixture dims the
+    // re-evaluation is invisible, so this harness is where the fence's
+    // asymptotic claim is actually measured)
+    val barrier = args.lift(3).getOrElse(graft.ops.CorrPrune.DefaultBarrier)
     val spark = Sessions.build("graft-stress")
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stress_").toString
@@ -97,7 +103,8 @@ object Stress {
     // --- the real selector, end to end --------------------------------
     val t0 = System.nanoTime()
     val (users, edges) = SparkEntry.panelRho(spark, dir, k, jan1, end, 60,
-      roundThenFilter = Some((4, 0.9)), bands = 8, bits = bits)
+      roundThenFilter = Some((4, 0.9)), bands = 8, bits = bits,
+      barrier = barrier)
     edges.write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
 
@@ -112,9 +119,12 @@ object Stress {
     val kernelSites = plan.linesIterator
       .filter(_.contains("pearson_arrays"))
       .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
-    require(kernelSites.size == 1,
-      s"vector verify must run the kernel EXACTLY once, plan has " +
-        s"${kernelSites.size} distinct sites:\n${kernelSites.mkString("\n")}")
+    // every real barrier yields exactly one site; the "none" control is
+    // EXPECTED at >= 2 (that multiplied evaluation is what it prices)
+    require(if (barrier == "none") kernelSites.size >= 2
+            else kernelSites.size == 1,
+      s"barrier=$barrier: unexpected kernel site count " +
+        s"${kernelSites.size}:\n${kernelSites.mkString("\n")}")
     require(users.size == k, s"universe ${users.size} != $k")
     val nEdges = edges.count()
     // every within-group pair has rho ≈ 0.99 >> 0.9; LSH recall at this
@@ -122,7 +132,7 @@ object Stress {
     val expected = 50L * (k / 50) * (k / 50 - 1) / 2
     require(nEdges >= expected * 9 / 10 && nEdges <= expected * 11 / 10,
       s"edge count $nEdges vs expected ~$expected within-group pairs")
-    println(f"[stress] panelRho vector tier: k=$k dims=$dims " +
+    println(f"[stress] panelRho vector tier: barrier=$barrier k=$k dims=$dims " +
       f"edges=$nEdges (expected ~$expected) wall=$wall%.1f s " +
       f"shuffle_write=${shufWrite.get / 1e6}%.0f MB " +
       f"shuffle_read=${shufRead.get / 1e6}%.0f MB " +
