@@ -230,14 +230,16 @@ object CorrPrune {
       // the barrier A/B have an honest control. Priced both ways
       // (SCALE.md): at FIXTURE dims the control is actually ~0.2 s
       // faster (the inlined threshold filters pairs inside the join,
-      // and a 144-slot kernel re-evaluation is noise) — the fence's
-      // value is the width regime, where the control doesn't slow
-      // down, it DIES: at k=2000 × 10,080 dims the unfenced plan OOMs
-      // an 8 GiB heap (tools/Stress barrier=none, three runs) while
-      // the fenced run completes in ~98 s, because the fenced Project
-      // computes rho once and immediately drops the ~80 KB vector
-      // payloads, where the unfenced plan re-derives rho downstream
-      // and keeps both arrays alive across more of the pipeline.
+      // and a 144-slot kernel re-evaluation is noise), and even at
+      // width the re-evaluation CPU cost is ~5% (k=1700 × 10,080:
+      // none 75.9 s vs fence 72.0 s, identical shuffle and edges) —
+      // the fence's value is a MEMORY cliff: at k=2000 the unfenced
+      // plan OOMs an 8 GiB heap (tools/Stress barrier=none, three
+      // runs) while the fenced run completes in ~98 s, because the
+      // fenced Project computes rho once and immediately drops the
+      // ~80 KB vector payloads, where the unfenced plan re-derives
+      // rho downstream and keeps both arrays alive across more of
+      // the pipeline.
       case "none" => rho
       case "cache" => graft.ops.Time.registerCached(rho.cache())
       case "checkpoint" => rho.localCheckpoint(eager = false)
