@@ -1063,23 +1063,45 @@ object SparkEntry {
       WHERE ts >= ${tsSql(jan1)} AND ts < ${tsSql(jan31)}
       GROUP BY 1, 2 ORDER BY bucket, event_type"""))
 
-  // W5b: SLIDING windows — 4h width, 1h slide — through Spark's native
-  // `window()` (each row multi-assigns to width/slide = 4 overlapping
-  // windows; the expansion is a map-side Expand before the aggregate
-  // shuffle, so the cost is a 4× row fan-out, never a self-join). The
-  // oracle replays the same epoch-anchored assignment arithmetically:
-  // window starts are hour marks, an event joins the 4 marks at
-  // trunc(ts,1h) − k·1h. Tumbling (w3) is the degenerate slide=width
-  // case; this grades the overlapping case the reference's resample
-  // loop could only approximate by re-scanning per offset.
+  // W5b: SLIDING windows — 4h width, 1h slide. The oracle replays the
+  // epoch-anchored assignment arithmetically: window starts are hour
+  // marks, an event joins the 4 marks at trunc(ts,1h) − k·1h. Tumbling
+  // (w3) is the degenerate slide=width case; this grades the
+  // overlapping case the reference's resample loop could only
+  // approximate by re-scanning per offset.
   private val qW5 = Q("w5_sliding_windows",
-    (s, d) => T(s, d, "events")
-      .where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
-      .groupBy(window(col("ts"), "4 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
-      .select(unix_timestamp(col("window.start")).as("ws"),
-        col("event_type"), col("n"), col("avg_value"))
-      .orderBy("ws", "event_type"),
+    (s, d) => {
+      // Two-level sliding aggregate (r17): `window(ts, 4h, 1h)` Expands
+      // EVERY event row ×4 before the map-side partial agg — free-ish at
+      // fixture scale, but 4× the scan's row stream in map CPU at 100 TB.
+      // Instead: tumbling 1-hour partials straight off the scan (no
+      // expansion), then each HOUR-GRAIN row (24/day/type) folds into
+      // the 4 sliding windows containing it. Exactness is preserved
+      // because the decimal sums davg is built on are associative: the
+      // hourly DECIMAL(18,6) sums re-sum to the identical exact total,
+      // and round(try_divide(cast(double), count), 6) is applied once at
+      // the end exactly as Exact.davg does. Window-start set is
+      // identical too (hour h belongs to starts h-3h..h, the same
+      // 4-per-event set the Expand emits), so the oracle is unchanged.
+      val hourly = T(s, d, "events")
+        .where(col("ts") >= tsLit(jan1) && col("ts") < tsLit(jan8))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("hn"),
+          sum(col("value").cast(DecimalType(18, 6))).as("hsum"),
+          count(col("value")).as("hnv"))
+        .select(unix_timestamp(col("w.start")).as("hs"),
+          col("event_type"), col("hn"), col("hsum"), col("hnv"))
+      hourly
+        .select(col("hs"), col("event_type"), col("hn"), col("hsum"),
+          col("hnv"), explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("k"))
+        .select((col("hs") - col("k") * 3600L).as("ws"),
+          col("event_type"), col("hn"), col("hsum"), col("hnv"))
+        .groupBy("ws", "event_type")
+        .agg(sum("hn").as("n"),
+          round(try_divide(sum(col("hsum")).cast("double"),
+            sum(col("hnv"))), 6).as("avg_value"))
+        .orderBy("ws", "event_type")
+    },
     Some(s"""SELECT ($EP - $EP % 3600) - k * 3600 AS ws, event_type,
         count(*) AS n,
         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
