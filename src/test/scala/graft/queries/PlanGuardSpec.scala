@@ -267,6 +267,21 @@ class PlanGuardSpec extends SparkTestBase {
     assert(p.contains("partial_percentile_approx"), p)
   }
 
+  test("w5's sliding fold multiplies hour-grain partials, never the " +
+    "event scan") {
+    // the r17 two-level shape: window(4h,1h)'s Expand multiplied EVERY
+    // scanned row ×4 before the partial agg; now the only fan-out is a
+    // Generate explode over the hourly aggregate (24 rows/day/type).
+    // An Expand reappearing means the query regressed to per-event
+    // multi-assignment — 4× the scan's row stream at any scale.
+    val p = plan("w5_sliding_windows")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("Generate explode"), p)
+    // and the explode sits ABOVE an aggregate of the scan, not on it:
+    // the plan has two HashAggregate pairs (hourly, then per-window)
+    assert(p.toLowerCase.contains("hashaggregate"), p)
+  }
+
   test("a11 keeps the single-pass shape — no distinct-aggregate Expand") {
     // the round-10 rewrite replaced count(DISTINCT)-style Expand (which
     // multiplies every input row per aggregate) with one pass; a
