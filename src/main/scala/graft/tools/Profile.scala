@@ -228,12 +228,11 @@ object Profile {
         .transform(graft.queries.Q.sortedSmall(_, "i", "j"))
     Seq("cache", "fence", "checkpoint", "none").foreach { b =>
       clear(s)
-      // DISTINCT normalized kernel sites, not raw substring hits: a
-      // cached plan prints the same Project twice (live node + the
-      // InMemoryRelation's stored copy) — same counting as tools/Stress
-      val sites = a3fWith(b).queryExecution.executedPlan.toString
-        .linesIterator.filter(_.contains("pearson_arrays"))
-        .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+      // DISTINCT normalized kernel sites, not raw substring hits —
+      // graft.plans.PlanText.distinctSites, shared with PlanGuardSpec
+      // and Stress
+      val sites = graft.plans.PlanText.distinctSites(
+        a3fWith(b).queryExecution.executedPlan.toString, "pearson_arrays")
       println(s"[p] a3f barrier=$b kernel sites in plan: ${sites.size}")
       phase(s, s"a3f barrier=$b")(a3fWith(b))
     }

@@ -109,16 +109,11 @@ object Stress {
     val wall = (System.nanoTime() - t0) / 1e9
 
     // --- plan + result assertions --------------------------------------
-    val plan = edges.queryExecution.executedPlan.toString
-    // DISTINCT kernel call sites, not raw string hits: a cached
-    // survivors plan prints the SAME Project twice (the live node and
-    // the InMemoryRelation's stored copy — identical expression ids),
-    // while a real re-evaluation (the r15 alias-inlining bug) shows the
-    // kernel in DIFFERENT contexts (isnotnull(...), a join condition).
-    // Normalize away codegen stars/indentation and count distinct lines.
-    val kernelSites = plan.linesIterator
-      .filter(_.contains("pearson_arrays"))
-      .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+    // DISTINCT kernel call sites, not raw string hits — see
+    // graft.plans.PlanText.distinctSites (shared with PlanGuardSpec
+    // and the Profile barrier A/B)
+    val kernelSites = graft.plans.PlanText.distinctSites(
+      edges.queryExecution.executedPlan.toString, "pearson_arrays")
     // every real barrier yields exactly one site; the "none" control is
     // EXPECTED at >= 2 (that multiplied evaluation is what it prices)
     require(if (barrier == "none") kernelSites.size >= 2

@@ -343,7 +343,8 @@ class PlanGuardSpec extends SparkTestBase {
     // wrapper) pins it to its Project. Counting is DISTINCT NORMALIZED
     // plan lines, not raw substring hits — a cached plan prints the
     // same Project twice (live node + the InMemoryRelation's stored
-    // copy); same method as tools/Profile:231 and tools/Stress. If a
+    // copy); the shared graft.plans.PlanText.distinctSites (also used
+    // by tools/Profile and tools/Stress). If a
     // Spark upgrade or new Catalyst rule starts substituting
     // non-deterministic aliases, the "fence" case here goes red
     // LOUDLY instead of CORRECTNESS staying green at triple the cost.
@@ -358,9 +359,8 @@ class PlanGuardSpec extends SparkTestBase {
           dims = 144, bands = 8, bits = 5, barrier = barrier)
         .select(col("i"), col("j"), round(col("rho"), 4).as("rho"))
         .where(col("rho") >= 0.5)
-      df.queryExecution.executedPlan.toString
-        .linesIterator.filter(_.contains("pearson_arrays"))
-        .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+      graft.plans.PlanText.distinctSites(
+        df.queryExecution.executedPlan.toString, "pearson_arrays")
     }
     val fenced = kernelSites("fence")
     assert(fenced.size == 1,
@@ -376,10 +376,9 @@ class PlanGuardSpec extends SparkTestBase {
         s"longer multiplies the kernel; the fence may be removable:\n" +
         bare.mkString("\n"))
     // and the shipped a3f query itself (fence default) stays at one site
-    val shipped = planOf(SparkEntry.queries("a3f_corr_pruned_unbroadcast")(
-        spark, sf))
-      .linesIterator.filter(_.contains("pearson_arrays"))
-      .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+    val shipped = graft.plans.PlanText.distinctSites(
+      planOf(SparkEntry.queries("a3f_corr_pruned_unbroadcast")(spark, sf)),
+      "pearson_arrays")
     assert(shipped.size == 1,
       s"shipped a3f kernel at ${shipped.size} sites:\n" +
         shipped.mkString("\n"))
