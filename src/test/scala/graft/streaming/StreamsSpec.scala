@@ -210,6 +210,52 @@ class StreamsSpec extends SparkTestBase {
         s"NEVER the post-eviction view 15, got $got")
   }
 
+  test("clickViewJoin restart between every batch: the watermark " +
+    "CONTRACT survives the checkpoint — on-time cross-batch matches " +
+    "emit, the process-lifetime late-row grace does not") {
+    // The SAME three files as the multi-batch test, drained by three
+    // separate query starts on one checkpoint. What the checkpoint
+    // carries across a restart is exactly the watermark contract and
+    // the state it implies, measured here against the continuous run's
+    // {(11,12),(11,14),(10,13)}:
+    //   * (11,14) — an ON-TIME cross-restart match: view 14 arrives
+    //     above the restored watermark and finds click 11's buffered
+    //     interval in the restored state store. Lost state would drop
+    //     it.
+    //   * (10,13) — the continuous run's pre-eviction LATE match — is
+    //     correctly ABSENT: the "eviction lags the watermark by one
+    //     batch" grace is a batch-timing artifact of one process
+    //     lifetime, and the restarted query applies the restored
+    //     watermark to its input up front. Nothing promised is lost —
+    //     view 13 was below the watermark, so its emission was always
+    //     best-effort — but anyone equating restart with continuation
+    //     for LATE data is wrong, and this pins it.
+    //   * (10,15) absent exactly as in the continuous run: a RESET
+    //     watermark (the failure this test exists to catch) would
+    //     wrongly re-admit click 10's interval and emit it.
+    val t0 = graft.SparkEntry.jan2
+    val in = tmp("graft_ssj_rs_in_")
+    val out = tmp("graft_ssj_rs_out_")
+    val ck = tmp("graft_ssj_rs_ck_")
+    stageFile(in, "b1.parquet", 1000000L, Seq(
+      evRow(10L, t0 + 60, 2L, 1.0),
+      evRow(11L, t0 + 7200, 3L, 1.0),
+      evRow(12L, t0 + 7260, 3L, 1.0, tpe = "view")))
+    Streams.clickViewJoin(spark, in, out, ck)
+    stageFile(in, "b2.parquet", 2000000L, Seq(
+      evRow(13L, t0 + 120, 2L, 1.0, tpe = "view"),
+      evRow(14L, t0 + 7320, 3L, 1.0, tpe = "view")))
+    Streams.clickViewJoin(spark, in, out, ck)
+    stageFile(in, "b3.parquet", 3000000L, Seq(
+      evRow(15L, t0 + 180, 2L, 1.0, tpe = "view")))
+    Streams.clickViewJoin(spark, in, out, ck)
+    val got = spark.read.parquet(out)
+      .select("event_id_c", "event_id_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((11L, 12L), (11L, 14L)),
+      s"restarted drains diverged from the watermark contract: $got")
+  }
+
   test("dedupStream keeps exactly one row per event_id") {
     val in = stageEvents()
     // duplicate the file so every event_id arrives twice
