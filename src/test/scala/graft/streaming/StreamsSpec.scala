@@ -482,6 +482,95 @@ class StreamsSpec extends StreamRecipes {
     checkWindowedCorr()
   }
 
+  test("windowedCorr late data: an in-watermark late tick UPDATES the " +
+    "open span's matrix, a beyond-watermark tick is dropped — output " +
+    "equals the batch oracle restricted to admitted rows") {
+    // The corr chain's multi-batch lateness contract, which the
+    // single-batch oracle recipe (deterministic by design) never
+    // exercises: the watermark filter in front of the FIRST stateful
+    // operator (the bucket dedup-mean) admits a tick that is behind
+    // max-seen event time but whose bucket the watermark has not yet
+    // closed — the open day span's co-moment state must MERGE it — and
+    // drops a tick whose bucket end is at or below the watermark. Both
+    // directions are graded against the batch chain on exactly the
+    // admitted row set, and both are pinned non-vacuous: the oracle
+    // without the admitted tick, and the oracle with the dropped tick,
+    // each read a measurably different rho.
+    val base = 1700006400L // UTC day boundary
+    val users = Seq(0L, 1L)
+    // batch 1: dense correlated ticks for half of day 0, plus a clock
+    // tick at t0+50000 — the batch-end watermark lands at t0+46400
+    val d1 = (for {
+      t <- 0L until 43200L by 600L
+      u <- users
+    } yield evRow(t * 10 + u, base + t, u,
+      u.toDouble + 0.001 * t + ((t / 600 + 7 * u) % 13).toDouble)) :+
+      evRow(900001L, base + 50000, 0L, 50.0)
+    // batch 2: a pure clock-keeper — the late filter applies the
+    // watermark as of TWO batches back (filter_N = wm over data through
+    // batch N−2, eviction = through N−1; the windowedMeans late test
+    // pins the same one-batch lag), so the 46400 watermark b1 raised
+    // must sit a full batch before the late file for the filter to see
+    // it. Verified live: with the late file as batch 2, BOTH ticks were
+    // admitted (streamed rho matched the with-everything oracle).
+    val clock2 = Seq(evRow(900006L, base + 50300, 0L, 50.0))
+    // batch 3, filtered against the watermark as of batch 1 (46400):
+    //   * two outlier ticks in bucket [46800, 47400) — behind max-seen
+    //     (50300) but the bucket end 47400 clears the 46400 watermark:
+    //     ADMITTED, and strong enough to move the day-0 rho
+    //   * one outlier tick in bucket [30000, 30600), long closed by the
+    //     watermark: DROPPED
+    val lateIn = Seq(
+      evRow(900002L, base + 47000, 0L, 500.0),
+      evRow(900003L, base + 47100, 1L, -300.0))
+    val lateBeyond = Seq(evRow(900004L, base + 30000, 0L, 10000.0))
+    // batch 4: clock ticks pushing the final watermark to t0+106400 —
+    // well past day 0's end, so the span emits in the trailing
+    // eviction-only batch (whose op2/op3 late filters read the lagged
+    // 46700, which the admitted bucket's 47399.999 event time clears)
+    val d3 = Seq(evRow(900005L, base + 110000, 0L, 60.0))
+    val in = tmp("graft_corr_late_in_")
+    stageFile(in, "b1.parquet", 1000000L, d1)
+    stageFile(in, "b2.parquet", 2000000L, clock2)
+    stageFile(in, "b3.parquet", 3000000L, lateIn ++ lateBeyond)
+    stageFile(in, "b4.parquet", 4000000L, d3)
+    val out = tmp("graft_corr_late_out_")
+    val ck = tmp("graft_corr_late_ck_")
+    Streams.windowedCorr(spark, in, out, ck, users,
+      bucket = "10 minutes", span = "1 day", watermark = "1 hour",
+      maxFilesPerTrigger = Some(1))
+    val got = spark.read.parquet(out)
+      .select("window_start", "i", "j", "rho").collect()
+    // exactly day 0, exactly one off-diagonal cell for k=2
+    assert(got.map(_.getLong(0)).toSet == Set(base),
+      s"expected exactly the day-0 span, got ${got.toSeq}")
+    assert(got.length == 1, s"expected one (0,1) cell, got ${got.toSeq}")
+    val rho = got.head.getDouble(3)
+    def oracleRho(rows: Seq[org.apache.spark.sql.Row]): Double = {
+      val df = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        graft.Catalog.schemas("events"))
+      Streams.windowedCorrPlan(df, users, "10 minutes", "1 day",
+          watermark = None)
+        .where(col("window_start") === base)
+        .head().getAs[Double]("rho")
+    }
+    // the streamed rho equals the batch chain over ADMITTED rows only
+    val admitted = oracleRho(d1 ++ clock2 ++ lateIn ++ d3)
+    assert(math.abs(rho - admitted) < 1e-9,
+      s"streamed rho $rho != admitted-rows oracle $admitted")
+    // non-vacuity, update side: had the late-but-in-watermark ticks
+    // been dropped, the rho would differ — the merge is load-bearing
+    val withoutLate = oracleRho(d1 ++ clock2 ++ d3)
+    assert(math.abs(rho - withoutLate) > 1e-6,
+      s"fixture cannot detect the late update: rho=$rho == $withoutLate")
+    // non-vacuity, drop side: had the beyond-watermark tick been
+    // admitted, the rho would differ — the drop is observable
+    val withBeyond = oracleRho(d1 ++ clock2 ++ lateIn ++ lateBeyond ++ d3)
+    assert(math.abs(rho - withBeyond) > 1e-6,
+      s"fixture cannot detect the drop: rho=$rho == $withBeyond")
+  }
+
   test("windowedCorr restart: a later tick file advances the stream, " +
     "each span emitted exactly once") {
     val in = tmp("graft_corr2_in_")
