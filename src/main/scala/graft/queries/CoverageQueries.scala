@@ -435,6 +435,14 @@ object CoverageQueries {
       // lambdas (each filter() lambda paid µs-scale interpreted cost
       // per slot), zero intermediate grouping. Map-side partials as
       // before; the broadcast edge join is unchanged.
+      // NON-NULL precondition (alongside the continuous-domain note):
+      // this equivalence to the old explicit-bin form assumes `value`
+      // has no nulls. The old form binned a null value into bin 1
+      // (counted by every rle_k); here a null fails every
+      // when(value <= edge_k) yet still counts in n_total, so n_bins
+      // and depth_within_tol would diverge on null-bearing data. The
+      // fixture's events.value is non-null; revisit both forms
+      // together if that ever changes.
       val rankAggs = (1 to 9).flatMap(k => Seq(
         sum(when(col("value") <= element_at(col("edges"), k), 1L)
           .otherwise(0L)).as(s"rle$k"),

@@ -29,7 +29,13 @@ that a second sweep's min removes.
 
 Prints a human table to stderr and ONE JSON object to stdout:
   {"era_factor": …, "shared": N, "flagged": [{name, old, new, ratio,
-    residual, median_residual}…], "median_only_suspects": [...]}
+    residual, median_residual}…], "median_only_suspects": [...],
+    "failed_old": [...], "failed_new": [...], "one_sided": [...]}
+
+A query that FAILED in a sweep (Bench's -1.0 sentinel) is excluded
+from the ratio/era math and surfaced in failed_old/failed_new; a query
+measured on only one side appears in one_sided — a new hard failure is
+loud, never silently "flat".
 
 `flagged` = era-normalized residual > --flag (default 1.35) in the min
 domain — real movement to adjudicate. `median_only_suspects` = lines
@@ -37,49 +43,60 @@ whose MEDIAN residual exceeds the flag while their MIN residual does
 not — the bimodal-statistic signature, listed so nobody chases them as
 regressions.
 """
+import argparse
 import json
 import statistics
 import sys
 
 
 def load(spec):
-    """Per-query (min, median) maps across a comma-separated artifact
+    """Per-query (min, median, failed) across a comma-separated artifact
     list — min of mins, median map from the FIRST artifact (medians
     across sweeps aren't poolable; the first file is the canonical
-    anchor)."""
-    mins, meds = {}, {}
+    anchor). Bench writes -1.0 sentinels for queries that FAILED in a
+    sweep; pooling min(valid, -1) would mask a sibling's real reading
+    and a negative ratio would silently skew the era median, so
+    sentinels are excluded from both maps and collected into `failed`
+    (a query is failed only if NO listed artifact has a valid time)."""
+    mins, meds, failed = {}, {}, set()
     for path in spec.split(","):
         with open(path) as f:
             d = json.load(f)
         m = d.get("queries_min") or d.get("queries") or {}
         for q, v in m.items():
-            mins[q] = min(mins.get(q, float("inf")), v)
+            if v < 0:
+                failed.add(q)
+            else:
+                mins[q] = min(mins.get(q, float("inf")), v)
         if not meds:
-            meds = d.get("queries") or {}
-    return mins, meds
+            meds = {q: v for q, v in (d.get("queries") or {}).items()
+                    if v >= 0}
+    return mins, meds, failed - set(mins)
 
 
 def main():
-    args, flag, skip = [], 1.35, False
-    for i, a in enumerate(sys.argv[1:], 1):
-        if skip:
-            skip = False
-        elif a == "--flag":
-            flag = float(sys.argv[i + 1])
-            skip = True
-        elif not a.startswith("--"):
-            args.append(a)
-    if len(args) != 2:
-        sys.exit(__doc__)
-    old_path, new_path = args
-    old_min, old_med = load(old_path)
-    new_min, new_med = load(new_path)
+    ap = argparse.ArgumentParser(
+        description="Cross-round bench comparison in the MIN domain, "
+                    "era-normalized (see module docstring).")
+    ap.add_argument("old", help="old artifact(s), comma-separated")
+    ap.add_argument("new", help="new artifact(s), comma-separated")
+    ap.add_argument("--flag", type=float, default=1.35,
+                    help="era-normalized residual threshold (default 1.35)")
+    ns = ap.parse_args()
+    old_path, new_path, flag = ns.old, ns.new, ns.flag
+    old_min, old_med, old_failed = load(old_path)
+    new_min, new_med, new_failed = load(new_path)
 
     shared = sorted(set(old_min) & set(new_min))
     if not shared:
         sys.exit("no shared query lines between the two artifacts")
-    ratios = {q: new_min[q] / old_min[q] for q in shared if old_min[q] > 0}
+    ratios = {q: new_min[q] / old_min[q] for q in shared
+              if old_min[q] > 0 and new_min[q] > 0}
     era = statistics.median(ratios.values())
+    # a query valid on one side only (typically: failed in the new
+    # artifact) is invisible to the ratio table — a NEW hard failure
+    # must never read as "fleet-wide flat", so report them explicitly
+    one_sided = sorted(set(old_min) ^ set(new_min))
 
     flagged, median_only = [], []
     for q in shared:
@@ -95,7 +112,8 @@ def main():
             "new_min": round(new_min[q], 3),
             "ratio": round(ratios[q], 3),
             "residual": round(resid, 3),
-            "median_residual": round(med_resid, 3) if med_resid else None,
+            "median_residual":
+                round(med_resid, 3) if med_resid is not None else None,
         }
         if resid > flag:
             flagged.append(row)
@@ -118,6 +136,13 @@ def main():
     else:
         print(f"[bench_compare] no min-domain residual exceeds {flag} — "
               f"fleet-wide flat after era normalization", file=sys.stderr)
+    for q in sorted(new_failed):
+        print(f"  FAILED in new artifact(s): {q}", file=sys.stderr)
+    for q in sorted(old_failed):
+        print(f"  (failed in old artifact(s): {q})", file=sys.stderr)
+    for q in one_sided:
+        print(f"  one-sided (present on one side only): {q}",
+              file=sys.stderr)
     for r in median_only:
         print(f"  (median-only, likely bimodal ambient — NOT a "
               f"regression) {r['name']}: median residual "
@@ -128,6 +153,8 @@ def main():
         "old": old_path, "new": new_path, "shared": len(shared),
         "era_factor": round(era, 4), "flag_threshold": flag,
         "flagged": flagged, "median_only_suspects": median_only,
+        "failed_old": sorted(old_failed), "failed_new": sorted(new_failed),
+        "one_sided": one_sided,
     }, sys.stdout, indent=1)
     print()
 

@@ -20,9 +20,15 @@ A flagged cell (< 1e-6) is then tie-tested EXACTLY:
 
 Usage: python3 tools/boundary_audit.py <sfDir> <verifyOutDir>
 (verifyOutDir only supplies oracle_sql.json)
+
+Exit codes: 0 = clean AND positive control verified; 1 = a graded
+query has a tie cell; 2 = control missing on the sf0.1 fixture (audit
+self-check failed); 3 = clean but control ungraded (non-sf0.1 fixture,
+where the known tie cell cannot exist).
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -178,13 +184,20 @@ def main(sf_dir, out_dir):
     if not control_found:
         # the known exact 31/32 tie cell lives in the sf0.1 fixture —
         # at other SFs the control CANNOT fire, so its absence grades
-        # the audit only when the right fixture was scanned
-        if "sf0.1" not in sf_dir.rstrip("/"):
+        # the audit only when the right fixture was scanned. Exact
+        # basename compare (not substring): "sf0.15" must not read as
+        # the graded fixture. Exit 3 (not 0) for the ungraded case so a
+        # caller keying on the exit code can tell "control verified"
+        # (0) from "control could not be graded here" without parsing
+        # stdout.
+        basename = os.path.basename(sf_dir.rstrip("/"))
+        if basename != "sf0.1":
             print("NOTE: positive control not found — expected: the "
                   "known tie cell exists only in the sf0.1 fixture "
                   f"(ran against {sf_dir}); per-query results above "
-                  "stand, the audit's own detection is ungraded here")
-            return 0
+                  "stand, the audit's own detection is ungraded here "
+                  "(exit 3)")
+            return 1 if any_tie else 3
         print("FAIL: positive control did not surface its known tie")
         return 2
     print("== audit " + ("FAILED" if any_tie else "clean: no graded "
