@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Distributed rounds the LAST [[connectedComponents]] call took —
+    * instrumentation for the stress harness's O(log diameter)
+    * convergence gate (tools read it right after the call returns in
+    * single-query use; it is not part of the operator contract and two
+    * concurrent calls race benignly on it).
+    */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** (id, component) for every node of the undirected edge list;
     * `component` is the minimum node id reachable. Deterministic for
     * any partitioning — min is associative/commutative and the
@@ -132,6 +140,7 @@ object Components {
     }
     sym.unpersist(false)
     e0.unpersist(false)
+    lastRounds = rounds
     labels.select(col("id"), col("lbl").as("component"))
   }
 }

@@ -186,8 +186,8 @@ object LlmQueries {
     * unigram/bigram sets do; for huge per-doc sets the count-join
     * remains the fallback shape.
     */
-  private def verifiedPairs(aBands: DataFrame, bBands: DataFrame,
-                            sets: DataFrame): DataFrame = {
+  private[graft] def verifiedPairs(aBands: DataFrame, bBands: DataFrame,
+                                   sets: DataFrame): DataFrame = {
     val a = aBands.select(col("band"), col("bkey"), col("doc_id").as("i"))
     val b = bBands.select(col("band"), col("bkey"), col("doc_id").as("j"))
     val cand = a.join(b, Seq("band", "bkey"))

@@ -36,7 +36,13 @@ import graft.{Sessions, SparkEntry}
 
 object Stress {
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("dedup") => dedupMain(args.drop(1))
+    case Some("dedupskew") => dedupSkewMain(args.drop(1))
+    case _ => corrMain(args)
+  }
+
+  private def corrMain(args: Array[String]): Unit = {
     val k = args.lift(0).map(_.toInt).getOrElse(2000)
     val days = args.lift(1).map(_.toInt).getOrElse(7)
     val bits = args.lift(2).map(_.toInt).getOrElse(11)
@@ -141,4 +147,380 @@ object Stress {
         .forEach(p => { Try(Files.delete(p)); () })
     }
   }
+
+  // =========================================================== dedup
+
+  /** Synthetic document corpus with PLANTED near-dup cliques and
+    * realistic shingle overlap (the corr harness's smooth-signal lesson
+    * transposed to text: background docs share a small common
+    * vocabulary — partial overlap everywhere, never hash-white
+    * disjointness — while planted cluster members are 1-2 token
+    * substitutions on a 200-token base, so pairwise Jaccard lands in
+    * [0.961, 1.0], organically above d2's 0.95 verify threshold).
+    * Layout: doc_ids [0, nClusters*cSize) are cluster members (cluster
+    * cid = id div cSize), then nBackground background docs, then
+    * nBoiler BOILERPLATE docs sharing one identical text (the hot
+    * LSH bucket of the skew mode; 0 in the recall mode).
+    */
+  private def synthDocs(spark: org.apache.spark.sql.SparkSession,
+      nClusters: Int, cSize: Int, nBackground: Int,
+      nBoiler: Int): org.apache.spark.sql.DataFrame = {
+    val L = 200
+    val planted = spark.range(nClusters.toLong * cSize).select(
+      col("id").as("doc_id"),
+      expr(s"""concat_ws(' ', transform(sequence(0, ${L - 1}), p ->
+        CASE WHEN p = pmod(xxhash64('a', id div $cSize, id % $cSize), $L)
+               OR p = pmod(xxhash64('b', id div $cSize, id % $cSize), $L)
+          THEN concat('m', id, '_', p)
+          ELSE concat('t', id div $cSize, '_', p) END))""").as("text"))
+    val pc = nClusters.toLong * cSize
+    val background = spark.range(nBackground.toLong).select(
+      (col("id") + pc).as("doc_id"),
+      expr(s"""concat_ws(' ', transform(sequence(0, ${L - 1}), p ->
+        CASE WHEN pmod(xxhash64('c', id, p), 10) < 3
+          THEN concat('c', pmod(xxhash64('w', id, p), 500))
+          ELSE concat('v', pmod(xxhash64('u', id, p), 2000000)) END))""")
+        .as("text"))
+    val boiler = spark.range(nBoiler.toLong).select(
+      (col("id") + pc + nBackground).as("doc_id"),
+      expr(s"""concat_ws(' ', transform(sequence(0, ${L - 1}), p ->
+        concat('hot_', p)))""").as("text"))
+    planted.unionByName(background).unionByName(boiler)
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("stress").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
+  /** All within-cluster (i, j) pairs — the planted truth relation. */
+  private def plantedPairs(spark: org.apache.spark.sql.SparkSession,
+      nClusters: Int, cSize: Int): org.apache.spark.sql.DataFrame = {
+    val ids = spark.range(nClusters.toLong * cSize)
+      .select(col("id"), (col("id") / cSize).cast("long").as("cid"))
+    ids.select(col("id").as("i"), col("cid"))
+      .join(ids.select(col("id").as("j"), col("cid")), Seq("cid"))
+      .where(col("i") < col("j"))
+      .select("i", "j")
+  }
+
+  /** Per-stage task-duration recorder (listener bus is single-threaded,
+    * so the plain buffers need no synchronization).
+    */
+  private final class TaskStats
+      extends org.apache.spark.scheduler.SparkListener {
+    val byStage =
+      scala.collection.mutable.Map.empty[Int,
+        scala.collection.mutable.ArrayBuffer[Long]]
+    val recsByStage =
+      scala.collection.mutable.Map.empty[Int,
+        scala.collection.mutable.ArrayBuffer[Long]]
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) {
+        byStage.getOrElseUpdate(t.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          t.taskInfo.duration
+        if (t.taskMetrics != null)
+          recsByStage.getOrElseUpdate(t.stageId,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+            t.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+    def dump(tag: String): Unit =
+      byStage.toSeq.sortBy(_._1).foreach { case (sid, ds) =>
+        val sorted = ds.sorted
+        val recs = recsByStage.getOrElse(sid, Nil).toSeq
+        println(f"[stress-skew]   $tag stage=$sid%4d tasks=${ds.size}%3d " +
+          f"max=${sorted.last}%6d ms med=${sorted(ds.size / 2)}%6d ms " +
+          f"maxShufRecs=${if (recs.isEmpty) 0L else recs.max}%9d")
+      }
+    /** (maxTaskMs, medianTaskMs, nTasks) of the stage holding the
+      * single slowest task AMONG multi-task stages — where a join
+      * straggler lives (single-task stages like the final count
+      * trivially read max == median and would mask it).
+      */
+    def straggler: (Long, Long, Int, Long) = {
+      val multi = byStage.filter(_._2.size >= 8)
+      val (sid, ds) = (if (multi.nonEmpty) multi else byStage)
+        .maxBy(_._2.max)
+      val sorted = ds.sorted
+      val recs = recsByStage.getOrElse(sid, Nil).toSeq
+      (sorted.last, sorted(sorted.size / 2), sorted.size,
+        if (recs.isEmpty) 0L else recs.max)
+    }
+  }
+
+  /** ORGANIC dedup-tier stress (VERDICT r17 task 3): what corrMain does
+    * for the corr tier, for d2 -> d6 — a 20-50x-fixture corpus with
+    * planted near-dup cliques runs the REAL pipeline
+    * (hashedShingles -> signatureTables -> verifiedPairs ->
+    * connectedComponents) against scratch lake tables, and the gates
+    * are recall on planted pairs, zero false positives, pointer-jump
+    * round count, candidate-set size (edge-sized, never corpus^2), and
+    * total shuffle bytes (corpus-LINEAR).
+    *
+    *   sbt "runMain graft.tools.Stress dedup [nClusters] [cSize] [nBackground]"
+    *                                          (2500)      (4)     (100000)
+    */
+  private def dedupMain(args: Array[String]): Unit = {
+    val nClusters = args.lift(0).map(_.toInt).getOrElse(2500)
+    val cSize = args.lift(1).map(_.toInt).getOrElse(4)
+    val nBackground = args.lift(2).map(_.toInt).getOrElse(100000)
+    val spark = Sessions.build("graft-stress-dedup")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_dedup_").toString
+    try {
+      val nDocs = nClusters.toLong * cSize + nBackground
+      synthDocs(spark, nClusters, cSize, nBackground, 0)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"[stress-dedup] corpus: $nDocs docs " +
+        s"($nClusters cliques x $cSize + $nBackground background) at $dir")
+
+      val shufWrite = new AtomicLong
+      val shufRead = new AtomicLong
+      val peakStageWrite = new AtomicLong
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(
+            sc: SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            peakStageWrite.getAndUpdate(p =>
+              math.max(p, m.shuffleWriteMetrics.bytesWritten))
+          }
+        }
+      })
+
+      // --- the real pipeline, organically, on scratch lake tables ---
+      val t0 = System.nanoTime()
+      val docs = spark.read
+        .schema(graft.Catalog.schemas("documents"))
+        .parquet(s"$dir/documents.parquet")
+      val sh = graft.queries.LlmQueries.hashedShingles(docs).cache()
+      val (sets, bands) =
+        try {
+          val (se, ba) = graft.queries.LlmQueries.signatureTables(sh)
+          se.write.mode("overwrite").parquet(s"$dir/sets")
+          ba.write.mode("overwrite").parquet(s"$dir/bands")
+          (spark.read.parquet(s"$dir/sets"),
+           spark.read.parquet(s"$dir/bands"))
+        } finally { sh.unpersist(); () }
+      val tSig = (System.nanoTime() - t0) / 1e9
+
+      // candidate count measured separately (same shape as
+      // verifiedPairs's first join) — the edge-sized-not-corpus^2 gate
+      val cand = bands.select(col("band"), col("bkey"),
+          col("doc_id").as("i"))
+        .join(bands.select(col("band"), col("bkey"),
+          col("doc_id").as("j")), Seq("band", "bkey"))
+        .where(col("i") < col("j"))
+        .select("i", "j").distinct()
+      val nCand = cand.count()
+
+      val t1 = System.nanoTime()
+      graft.queries.LlmQueries.verifiedPairs(bands, bands, sets)
+        .write.mode("overwrite").parquet(s"$dir/pairs")
+      val pairs = spark.read.parquet(s"$dir/pairs")
+      val nPairs = pairs.count()
+      val tPairs = (System.nanoTime() - t1) / 1e9
+
+      val t2 = System.nanoTime()
+      val comp = graft.ops.Components
+        .connectedComponents(pairs.select("i", "j"), "i", "j")
+        .cache()
+      val nNodes = comp.count()
+      val rounds = graft.ops.Components.lastRounds
+      val tComp = (System.nanoTime() - t2) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+
+      // --- gates ---
+      val truth = plantedPairs(spark, nClusters, cSize).cache()
+      val nTruth = truth.count()
+      val hit = pairs.join(truth, Seq("i", "j")).count()
+      val recall = hit.toDouble / nTruth
+      // zero false positives: exact-Jaccard verification means every
+      // emitted pair must be a planted within-cluster pair (background
+      // overlap tops out far below 0.95)
+      val fp = pairs.join(truth, Seq("i", "j"), "left_anti").count()
+      // components never cross clusters, and nearly every planted doc
+      // landed in one (a doc goes missing only if ALL its incident
+      // pairs were missed — p ~ 0.04^(cSize-1))
+      val crossed = comp
+        .where((col("id") / cSize).cast("long") =!=
+          (col("component") / cSize).cast("long")).count()
+      require(fp == 0, s"$fp false-positive pairs")
+      require(crossed == 0, s"$crossed docs in cross-cluster components")
+      require(recall >= 0.90,
+        f"planted-pair recall $recall%.4f < 0.90 ($hit of $nTruth)")
+      require(nNodes >= (nClusters.toLong * cSize * 98) / 100,
+        s"only $nNodes of ${nClusters * cSize} planted docs in components")
+      require(rounds <= 6,
+        s"pointer-jump took $rounds rounds on clique components")
+      require(nCand <= nTruth * 3 / 2 + 1000,
+        s"candidate set $nCand not edge-sized (planted $nTruth)")
+      val shufTotal = shufWrite.get / 1e6
+      require(shufTotal < 5000,
+        f"total shuffle write $shufTotal%.0f MB is not corpus-linear")
+      comp.unpersist(); truth.unpersist()
+      println(f"[stress-dedup] docs=$nDocs cand=$nCand pairs=$nPairs " +
+        f"recall=$recall%.4f (hit=$hit/$nTruth) fp=0 " +
+        f"ccRounds=$rounds nodes=$nNodes")
+      println(f"[stress-dedup] wall=$wall%.1f s (sig=$tSig%.1f " +
+        f"pairs=$tPairs%.1f cc=$tComp%.1f) " +
+        f"shuffle_write=${shufWrite.get / 1e6}%.0f MB " +
+        f"shuffle_read=${shufRead.get / 1e6}%.0f MB " +
+        f"peak_stage_write=${peakStageWrite.get / 1e6}%.0f MB")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
+
+  /** LSH band-join SKEW evidence (VERDICT r17 task 4): plant a
+    * boilerplate hot bucket (nBoiler docs sharing ONE text => one
+    * (band, bkey) carrying nBoiler rows per side => quadratic join
+    * output in one task) and measure the candidate join's per-task
+    * time distribution under three arms:
+    *   baseline — default confs: the straggler task;
+    *   aqe      — AQE skew-join forced aggressive (threshold/advisory
+    *              floored to 64 KB, factor 1): shows how far
+    *              input-byte-keyed splitting can and cannot help an
+    *              output-quadratic hot key;
+    *   cap      — [[graft.ops.Text.capBandKeys]] maxDf=64: the
+    *              structural guard; planted-pair candidates must
+    *              survive intact while the boilerplate bucket
+    *              disappears.
+    *
+    *   sbt "runMain graft.tools.Stress dedupskew [nBoiler] [nBackground] [nClusters]"
+    *                                              (2000)    (30000)       (300)
+    */
+  private def dedupSkewMain(args: Array[String]): Unit = {
+    val nBoiler = args.lift(0).map(_.toInt).getOrElse(2000)
+    val nBackground = args.lift(1).map(_.toInt).getOrElse(30000)
+    val nClusters = args.lift(2).map(_.toInt).getOrElse(300)
+    val cSize = 4
+    val spark = Sessions.build("graft-stress-dedupskew")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_skew_").toString
+    try {
+      synthDocs(spark, nClusters, cSize, nBackground, nBoiler)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = spark.read
+        .schema(graft.Catalog.schemas("documents"))
+        .parquet(s"$dir/documents.parquet")
+      val sh = graft.queries.LlmQueries.hashedShingles(docs).cache()
+      try {
+        val (_, ba) = graft.queries.LlmQueries.signatureTables(sh)
+        ba.write.mode("overwrite").parquet(s"$dir/bands")
+      } finally { sh.unpersist(); () }
+      println(s"[stress-skew] corpus: ${nClusters * cSize} planted + " +
+        s"$nBackground background + $nBoiler boilerplate (ONE text)")
+
+      def candCount(bands: org.apache.spark.sql.DataFrame): Long =
+        bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
+          .join(bands.select(col("band"), col("bkey"),
+            col("doc_id").as("j")), Seq("band", "bkey"))
+          .where(col("i") < col("j"))
+          .select("i", "j").distinct()
+          .count()
+
+      val truth = plantedPairs(spark, nClusters, cSize)
+      val nTruth = truth.count()
+      val arms = Seq("baseline", "aqe", "cap")
+      val results = arms.map { arm =>
+        val confs = Map(
+          // coalescing off and size-based broadcasts off in EVERY arm:
+          // at this scratch scale AQE folds the whole ~5 MB shuffle
+          // into one partition and the planner broadcasts the tiny
+          // bands table (first observed: the whole candidate join ran
+          // as ONE scan task, skew invisible) — at 100 TB the bands
+          // relation is corpus-sized, never broadcast, and the join
+          // runs shuffled on many partitions with the hot bucket as
+          // one task among thousands; the 32-partition uncoalesced
+          // SMJ is that shape (same conf the cluster-shape
+          // correctness sweep pins)
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.skewJoin.enabled" ->
+            (arm != "baseline").toString,
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+            (if (arm == "aqe") "1" else "5.0"),
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+            (if (arm == "aqe") "65536" else "256m"),
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+            (if (arm == "aqe") "65536" else "64m"))
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val stats = new TaskStats
+        spark.sparkContext.addSparkListener(stats)
+        val bands = spark.read.parquet(s"$dir/bands")
+        val input =
+          if (arm == "cap") graft.ops.Text.capBandKeys(bands, 64)
+          else bands
+        val t0 = System.nanoTime()
+        val n = candCount(input)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously (the bus's
+        // waitUntilEmpty is private[spark]); a short settle suffices
+        // for a dev tool reading after the action returned
+        Thread.sleep(1000)
+        spark.sparkContext.removeSparkListener(stats)
+        if (sys.env.contains("GRAFT_SKEW_DEBUG")) stats.dump(arm)
+        val (maxMs, medMs, nTasks, maxRecs) = stats.straggler
+        println(f"[stress-skew] arm=$arm%-8s cand=$n%9d " +
+          f"wall=$wall%6.1f s straggler stage: max_task=$maxMs%6d ms " +
+          f"median_task=$medMs%4d ms tasks=$nTasks " +
+          f"max/median=${maxMs.toDouble / math.max(medMs, 1)}%.1f " +
+          f"max_task_shuffle_records=$maxRecs%d")
+        (arm, n, maxMs, medMs, maxRecs)
+      }
+      confsReset(spark)
+      val base = results.find(_._1 == "baseline").get
+      val aqe = results.find(_._1 == "aqe").get
+      val cap = results.find(_._1 == "cap").get
+      val boilerPairs = nBoiler.toLong * (nBoiler - 1) / 2
+      // the straggler is real in the baseline: the slowest task is a
+      // clear multiple of the median AND it is the task carrying the
+      // hot bucket's quadratic pair output (i < j halves the square)
+      require(base._3 >= 2 * math.max(base._4, 1),
+        s"baseline straggler not visible: max ${base._3} ms vs " +
+          s"median ${base._4} ms")
+      require(base._5 >= boilerPairs * 9 / 10,
+        s"baseline straggler task carries ${base._5} records, " +
+          s"expected ~$boilerPairs — wrong stage identified?")
+      // the measured AQE finding the cap's scaladoc cites: even with
+      // threshold/advisory floored, the hot key's OUTPUT still rides
+      // one task (input-byte-keyed splitting cannot see an
+      // output-quadratic key whose input is a few hundred KB)
+      require(aqe._5 >= boilerPairs * 9 / 10,
+        s"AQE split the hot key's output (${aqe._5} records max-task) " +
+          "— the capBandKeys scaladoc's measured claim needs updating")
+      // the cap removes the straggler structurally...
+      require(cap._3 <= 2 * math.max(cap._4, 1),
+        s"cap arm still has a straggler: max ${cap._3} ms vs " +
+          s"median ${cap._4} ms")
+      // ...and the quadratic bucket, without touching planted pairs
+      require(base._2 >= boilerPairs,
+        s"baseline cand ${base._2} < boilerplate $boilerPairs")
+      require(cap._2 < boilerPairs / 10 && cap._2 >= nTruth * 9 / 10,
+        s"cap cand ${cap._2}: expected ~planted ($nTruth) without " +
+          s"the $boilerPairs boilerplate pairs")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
+
+  private def confsReset(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq("spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .foreach(spark.conf.unset)
 }

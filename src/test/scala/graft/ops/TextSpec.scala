@@ -32,6 +32,24 @@ class TextSpec extends SparkTestBase {
     assert(sig(0).toSeq.tail != sig(2).toSeq.tail)
   }
 
+  test("capBandKeys drops only band keys over maxDf, broadcasts the " +
+    "hot list") {
+    // one boilerplate key carrying 4 docs, one normal key carrying 2 —
+    // at maxDf 3 the hot bucket's rows vanish and the normal bucket is
+    // untouched (the skew guard must never cost real near-dup recall)
+    val bands = (Seq.tabulate(4)(i => (i.toLong, 0, "hot")) ++
+      Seq((10L, 0, "ok"), (11L, 0, "ok")))
+      .toDF("doc_id", "band", "bkey")
+    val capped = Text.capBandKeys(bands, 3)
+    assert(capped.where(col("bkey") === "hot").count() == 0)
+    assert(capped.where(col("bkey") === "ok").count() == 2)
+    // the same call with the cap above the hot df is the identity
+    assert(Text.capBandKeys(bands, 4).count() == 6)
+    // the hot-list side is dimension-sized and must broadcast
+    assert(planOf(capped).contains("BroadcastHashJoin"),
+      planOf(capped))
+  }
+
   test("simhash: identical term vectors match; disjoint vocab differs") {
     val docs = Seq((1L, "p q r p"), (2L, "p p q r"), (3L, "s t u v w"))
       .toDF("doc_id", "text")
