@@ -571,6 +571,72 @@ class StreamsSpec extends StreamRecipes {
       s"fixture cannot detect the drop: rho=$rho == $withBeyond")
   }
 
+  test("windowedCorr state is WATERMARK-bounded — measured in state-store " +
+    "rows, not argued: emitted windows leave state, only the open tail " +
+    "remains") {
+    // The 100 TB claim behind every streaming operator here is "state
+    // is bounded by the watermark, never by stream length". This pins
+    // it numerically via StreamingQueryProgress.stateOperators: after
+    // a 2.5-day drain (720 buckets, 360 panel rows, 3 spans pushed
+    // THROUGH state), the three-operator chain may retain only the
+    // un-evicted tail — buckets/panel rows inside the final 1-hour
+    // watermark lag plus the one open span — a fixed-size set
+    // independent of how long the stream ran.
+    val base = 1700006400L
+    val users = Seq(0L, 1L)
+    val rows = for {
+      t <- 0L until (86400L * 5 / 2) by 600L
+      u <- users
+    } yield evRow(t * 10 + u, base + t, u,
+      u.toDouble + 0.001 * t + ((t / 600 + 7 * u) % 13).toDouble)
+    val in = tmp("graft_corr_state_in_")
+    stageFile(in, "ticks.parquet", base * 1000, rows)
+    val progresses = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+          progresses.add(e.progress); ()
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+    spark.streams.addListener(listener)
+    try {
+      Streams.windowedCorr(spark, in, tmp("graft_corr_state_out_"),
+        tmp("graft_corr_state_ck_"), users,
+        bucket = "10 minutes", span = "1 day", watermark = "1 hour")
+      // listener events deliver asynchronously; wait for the final
+      // batch's progress to land
+      val deadline = System.currentTimeMillis() + 30000
+      def lastWithState() = {
+        import scala.jdk.CollectionConverters._
+        progresses.asScala.toSeq
+          .filter(_.stateOperators.nonEmpty).lastOption
+      }
+      while (lastWithState().isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val last = lastWithState().getOrElse(
+        fail("no StreamingQueryProgress with stateOperators arrived"))
+      val perOp = last.stateOperators.map(_.numRowsTotal).toSeq
+      // the chain really is three stateful operators
+      assert(perOp.length == 3, s"state operators: $perOp")
+      // non-vacuous: open-tail state exists (the last hour's buckets
+      // and the open day-2 span are NOT yet emitted)...
+      assert(perOp.sum > 0, s"no retained state at all: $perOp")
+      // ...and bounded by the watermark tail, not the stream: ~12 open
+      // bucket cells + ~6 open panel rows + 1 open span, vs the ~1083
+      // state rows the drain pushed through the chain. 40 = that
+      // open-tail budget with slack for boundary rows; anything near
+      // the through-count means eviction broke.
+      assert(perOp.sum <= 40,
+        s"state not watermark-bounded: $perOp (sum ${perOp.sum})")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("windowedCorr restart: a later tick file advances the stream, " +
     "each span emitted exactly once") {
     val in = tmp("graft_corr2_in_")
