@@ -39,6 +39,7 @@ object Stress {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("dedup") => dedupMain(args.drop(1))
     case Some("dedupskew") => dedupSkewMain(args.drop(1))
+    case Some("statestore") => stateStoreMain(args.drop(1))
     case _ => corrMain(args)
   }
 
@@ -523,4 +524,84 @@ object Stress {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes")
       .foreach(spark.conf.unset)
+
+  /** Honest fixture-scale PRICING of the state-store provider swap
+    * (the fence lesson: never sell a scale feature as a fixture-wall
+    * win — measure what it costs where its benefit is invisible).
+    * Runs the deepest streaming chain (windowedCorr: three stateful
+    * operators) end to end — fresh input/checkpoint per run, identical
+    * staged ticks — under the default heap provider, RocksDB, and
+    * RocksDB + changelog checkpointing, `runs`x each in one JVM, and
+    * prints per-drain wall seconds plus an output-equality sanity
+    * count. At fixture state sizes (tens of rows) RocksDB's off-heap
+    * machinery is pure overhead; its value is state CAPACITY —
+    * corpus-sized dedup keys, span-sized co-moment buffers — which no
+    * fixture can show.
+    *
+    *   sbt "runMain graft.tools.Stress statestore [days] [runs]"  (5 3)
+    */
+  private def stateStoreMain(args: Array[String]): Unit = {
+    val days = args.lift(0).map(_.toInt).getOrElse(5)
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = Sessions.build("graft-stress-statestore")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_ss_").toString
+    try {
+      val base = 1700006400L
+      val users = Seq(0L, 1L, 2L)
+      val rows = for {
+        t <- 0L until (86400L * days) by 300L
+        u <- users
+      } yield org.apache.spark.sql.Row(t * 10 + u,
+        java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(base + t)),
+        u, "tick",
+        u.toDouble + 0.001 * t + ((t / 300 + 7 * u) % 13).toDouble, "{}")
+      val in = s"$dir/in"
+      Files.createDirectories(java.nio.file.Paths.get(in))
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+          graft.Catalog.schemas("events"))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      println(s"[stress-ss] ${rows.size} ticks over $days days, " +
+        s"$runs drains per provider")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val logKey = "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled"
+      val rocks = "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"
+      var counts = Set.empty[Long]
+      Seq(("heap", None, false), ("rocksdb", Some(rocks), false),
+          ("rocksdb+changelog", Some(rocks), true)).foreach {
+        case (label, prov, changelog) =>
+          prov.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+          spark.conf.set(logKey, changelog.toString)
+          val secs = (1 to runs).map { i =>
+            val out = s"$dir/out_${label}_$i"
+            val ck = s"$dir/ck_${label}_$i"
+            val t0 = System.nanoTime()
+            graft.streaming.Streams.windowedCorr(spark, in, out, ck,
+              users, bucket = "10 minutes", span = "1 day",
+              watermark = "1 hour")
+            val w = (System.nanoTime() - t0) / 1e9
+            counts += spark.read.parquet(out).count()
+            w
+          }
+          println(f"[stress-ss] provider=$label%-18s " +
+            f"drains=${secs.map(x => f"$x%.1f").mkString("/")} s " +
+            f"min=${secs.min}%.1f s")
+          spark.conf.unset(provKey)
+          spark.conf.unset(logKey)
+      }
+      require(counts.size == 1,
+        s"providers disagree on emitted row count: $counts")
+      println(s"[stress-ss] all providers emitted ${counts.head} rows")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
 }
