@@ -609,18 +609,23 @@ class StreamsSpec extends StreamRecipes {
       Streams.windowedCorr(spark, in, tmp("graft_corr_state_out_"),
         tmp("graft_corr_state_ck_"), users,
         bucket = "10 minutes", span = "1 day", watermark = "1 hour")
-      // listener events deliver asynchronously; wait for the final
-      // batch's progress to land
+      // listener events deliver asynchronously; the reading must be
+      // the FINAL batch's (the trailing no-input eviction batch —
+      // batch 0's snapshot legitimately holds every open window and
+      // would fail the bound), so wait specifically for a zero-input
+      // progress with state, not merely for any progress
       val deadline = System.currentTimeMillis() + 30000
-      def lastWithState() = {
+      def lastFinal() = {
         import scala.jdk.CollectionConverters._
         progresses.asScala.toSeq
-          .filter(_.stateOperators.nonEmpty).lastOption
+          .filter(p => p.stateOperators.nonEmpty && p.numInputRows == 0)
+          .lastOption
       }
-      while (lastWithState().isEmpty &&
+      while (lastFinal().isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(200)
-      val last = lastWithState().getOrElse(
-        fail("no StreamingQueryProgress with stateOperators arrived"))
+      val last = lastFinal().getOrElse(
+        fail("no zero-input StreamingQueryProgress with stateOperators " +
+          "arrived — AvailableNow should run a trailing eviction batch"))
       val perOp = last.stateOperators.map(_.numRowsTotal).toSeq
       // the chain really is three stateful operators
       assert(perOp.length == 3, s"state operators: $perOp")
