@@ -81,6 +81,17 @@ class RocksDbStreamsSpec extends StreamRecipes {
     }
   }
 
+  test("rocksdb: dedupStream restart — the corpus-sized first-seen " +
+    "user state restores from RocksDB snapshots") {
+    underRocks {
+      val ck = checkDedupRestart()
+      val arts = StreamsSpec.stateArtifacts(ck)
+      assert(arts.exists(_.endsWith(".zip")) &&
+        !arts.exists(_.endsWith(".delta")),
+        s"dedup restart did not run on RocksDB: ${arts.take(5)}")
+    }
+  }
+
   test("rocksdb + changelog checkpointing: the same mid-span restart " +
     "holds, and the checkpoint carries version.changelog files") {
     // changelog mode is the 100 TB posture: each commit uploads only the

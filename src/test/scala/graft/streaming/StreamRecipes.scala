@@ -421,6 +421,38 @@ trait StreamRecipes extends SparkTestBase {
       "fixture makes filled == unfilled — gap fixture broken")
   }
 
+  /** w21's restart: first-seen dedup state survives the checkpoint —
+    * replayed ids emit nothing, new ids emit exactly once. Under
+    * RocksDB this is the restart that matters most at 100 TB: the
+    * flatMapGroupsWithState user state being restored is the
+    * corpus-sized first-seen key set. Returns the checkpoint dir.
+    */
+  protected def checkDedupRestart(): String = {
+    val t0 = graft.SparkEntry.jan2
+    val in = tmp("graft_dedup_rs_in_")
+    stageFile(in, "d1.parquet", 1000000L, Seq(
+      evRow(1L, t0, 1L, 1.0), evRow(2L, t0 + 10, 2L, 2.0),
+      evRow(3L, t0 + 20, 3L, 3.0)))
+    val out = tmp("graft_dedup_rs_out_")
+    val ck = tmp("graft_dedup_rs_ck_")
+    Streams.dedupStream(spark, in, out, ck)
+    assert(spark.read.parquet(out).count() == 3)
+    // second drain against the SAME checkpoint: ids 2 and 3 replayed
+    // (identical payload), id 4 new — the flatMapGroupsWithState
+    // first-seen state must have survived the restart, so only 4 emits
+    stageFile(in, "d2.parquet", 2000000L, Seq(
+      evRow(2L, t0 + 30, 2L, 2.0), evRow(3L, t0 + 40, 3L, 3.0),
+      evRow(4L, t0 + 50, 4L, 4.0)))
+    Streams.dedupStream(spark, in, out, ck)
+    val got = spark.read.parquet(out)
+      .select("event_id", "user_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 3L, 3.0),
+      (4L, 4L, 4.0)), s"restart must add only the new id: $got")
+    ck
+  }
+
   /** The kill-and-redrain case: a span's OPEN corr-UDAF state survives
     * the checkpoint and merges the post-restart ticks — two drains
     * equal one. Returns the restart run's checkpoint dir for

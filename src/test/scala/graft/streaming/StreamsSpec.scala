@@ -171,28 +171,8 @@ class StreamsSpec extends StreamRecipes {
 
   test("dedupStream restart: first-seen state survives the checkpoint — " +
     "replayed ids emit nothing, new ids emit exactly once") {
-    val t0 = graft.SparkEntry.jan2
-    val in = tmp("graft_dedup_rs_in_")
-    stageFile(in, "d1.parquet", 1000000L, Seq(
-      evRow(1L, t0, 1L, 1.0), evRow(2L, t0 + 10, 2L, 2.0),
-      evRow(3L, t0 + 20, 3L, 3.0)))
-    val out = tmp("graft_dedup_rs_out_")
-    val ck = tmp("graft_dedup_rs_ck_")
-    Streams.dedupStream(spark, in, out, ck)
-    assert(spark.read.parquet(out).count() == 3)
-    // second drain against the SAME checkpoint: ids 2 and 3 replayed
-    // (identical payload), id 4 new — the flatMapGroupsWithState
-    // first-seen state must have survived the restart, so only 4 emits
-    stageFile(in, "d2.parquet", 2000000L, Seq(
-      evRow(2L, t0 + 30, 2L, 2.0), evRow(3L, t0 + 40, 3L, 3.0),
-      evRow(4L, t0 + 50, 4L, 4.0)))
-    Streams.dedupStream(spark, in, out, ck)
-    val got = spark.read.parquet(out)
-      .select("event_id", "user_id", "value")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSeq.sorted
-    assert(got == Seq((1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 3L, 3.0),
-      (4L, 4L, 4.0)), s"restart must add only the new id: $got")
+    checkDedupRestart()
+    ()
   }
 
   test("windowedMeans drops late rows past the watermark, accepts the " +
