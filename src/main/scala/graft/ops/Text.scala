@@ -109,12 +109,18 @@ object Text {
     * boilerplate-heavy documents (license headers, templated pages)
     * whose shared text puts thousands of docs into ONE `(band, bkey)`
     * bucket; the candidate self-join's OUTPUT is then quadratic in the
-    * bucket size while its INPUT partition stays small, which is
-    * exactly the skew class AQE's skew-join split cannot see (it
-    * detects skew by input partition BYTES — measured in
-    * `tools/Stress dedupskew`: with the thresholds floored, the hot
-    * bucket's straggler task survives AQE untouched because its input
-    * is a few hundred KB). The scale guard is structural: drop band
+    * bucket size while its INPUT partition stays small — a skew class
+    * AQE's skew-join split does not dissolve, measured in
+    * `tools/Stress dedupskew`: with the thresholds floored to 64 KB,
+    * factor 1, and even `forceOptimizeSkewedJoin=true`, the hot
+    * bucket's task still carries the full ~2M-pair output. Two
+    * structural reasons, both visible in the harness: skew detection
+    * keys on input partition bytes (the hot key's input is ~160 KB —
+    * quadratic output is invisible to it), and the band join is a
+    * SELF-join whose final adaptive plan reuses ONE exchange for both
+    * sides (`ReusedExchange` under the right `ShuffleQueryStage`),
+    * with the hot partition equally skewed on both — a shape the
+    * split rule leaves intact. The scale guard is structural: drop band
     * keys whose document frequency exceeds `maxDf`. The hot-key list
     * is (#hot keys)-sized — dimension metadata — so it broadcasts, and
     * the cap is a left-anti join that costs one cheap count pass.

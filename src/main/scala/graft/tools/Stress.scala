@@ -419,17 +419,26 @@ object Stress {
       println(s"[stress-skew] corpus: ${nClusters * cSize} planted + " +
         s"$nBackground background + $nBoiler boilerplate (ONE text)")
 
-      def candCount(bands: org.apache.spark.sql.DataFrame): Long =
-        bands.select(col("band"), col("bkey"), col("doc_id").as("i"))
+      def candCount(bands: org.apache.spark.sql.DataFrame): Long = {
+        val df = bands.select(col("band"), col("bkey"),
+            col("doc_id").as("i"))
           .join(bands.select(col("band"), col("bkey"),
             col("doc_id").as("j")), Seq("band", "bkey"))
           .where(col("i") < col("j"))
           .select("i", "j").distinct()
-          .count()
+        // count() executes its OWN aggregate plan — print THAT one
+        // post-execution, or the adaptive plan reads isFinalPlan=false
+        val cnt = df.groupBy().count()
+        val n = cnt.collect().head.getLong(0)
+        if (sys.env.contains("GRAFT_SKEW_DEBUG"))
+          println(cnt.queryExecution.executedPlan.toString
+            .linesIterator.take(80).mkString("\n"))
+        n
+      }
 
       val truth = plantedPairs(spark, nClusters, cSize)
       val nTruth = truth.count()
-      val arms = Seq("baseline", "aqe", "cap")
+      val arms = Seq("baseline", "aqe", "aqeforce", "cap")
       val results = arms.map { arm =>
         val confs = Map(
           // coalescing off and size-based broadcasts off in EVERY arm:
@@ -447,11 +456,17 @@ object Stress {
           "spark.sql.adaptive.skewJoin.enabled" ->
             (arm != "baseline").toString,
           "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
-            (if (arm == "aqe") "1" else "5.0"),
+            (if (arm.startsWith("aqe")) "1" else "5.0"),
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
-            (if (arm == "aqe") "65536" else "256m"),
+            (if (arm.startsWith("aqe")) "65536" else "256m"),
           "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
-            (if (arm == "aqe") "65536" else "64m"))
+            (if (arm.startsWith("aqe")) "65536" else "64m"),
+          // aqeforce: also force the split when it would add a shuffle
+          // (the default heuristic declines a split whose output no
+          // longer satisfies a downstream distribution requirement —
+          // here the distinct above the join)
+          "spark.sql.adaptive.forceOptimizeSkewedJoin" ->
+            (arm == "aqeforce").toString)
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
         val stats = new TaskStats
         spark.sparkContext.addSparkListener(stats)
@@ -479,6 +494,7 @@ object Stress {
       confsReset(spark)
       val base = results.find(_._1 == "baseline").get
       val aqe = results.find(_._1 == "aqe").get
+      val aqeForce = results.find(_._1 == "aqeforce").get
       val cap = results.find(_._1 == "cap").get
       val boilerPairs = nBoiler.toLong * (nBoiler - 1) / 2
       // the straggler is real in the baseline: the slowest task is a
@@ -497,6 +513,10 @@ object Stress {
       require(aqe._5 >= boilerPairs * 9 / 10,
         s"AQE split the hot key's output (${aqe._5} records max-task) " +
           "— the capBandKeys scaladoc's measured claim needs updating")
+      require(aqeForce._5 >= boilerPairs * 9 / 10,
+        s"forceOptimizeSkewedJoin split the hot key's output " +
+          s"(${aqeForce._5} records max-task) — the capBandKeys " +
+          "scaladoc's measured claim needs updating")
       // the cap removes the straggler structurally...
       require(cap._3 <= 2 * math.max(cap._4, 1),
         s"cap arm still has a straggler: max ${cap._3} ms vs " +
@@ -519,6 +539,7 @@ object Stress {
   private def confsReset(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq("spark.sql.adaptive.coalescePartitions.enabled",
       "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
       "spark.sql.adaptive.skewJoin.enabled",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
