@@ -11,6 +11,16 @@
 //
 //   sbt "runMain graft.tools.Stress [k] [days] [bits]"   (2000 7 11)
 //
+// Round-18 sibling modes (each with its own scaladoc below):
+//   Stress dedup [nClusters] [cSize] [nBackground]  — organic d2→d6
+//     width stress: planted near-dup cliques, recall/fp/rounds/shuffle
+//     gates (22×-50× fixture corpus);
+//   Stress dedupskew [nBoiler] [nBackground] [nClusters] — LSH band
+//     self-join hot-bucket straggler: baseline vs AQE (can't split it)
+//     vs Text.capBandKeys, per-task time distributions;
+//   Stress statestore [days] [runs] — heap vs RocksDB vs
+//     RocksDB+changelog pricing of the corr-chain drain.
+//
 // Synthetic panel shape: 50 groups of correlated series — series u's
 // value is a shared per-group SMOOTH signal (a sinusoid at the group's
 // own integer frequency: distinct frequencies are orthogonal over the
