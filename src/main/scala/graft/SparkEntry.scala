@@ -840,6 +840,37 @@ object SparkEntry {
     },
     Some("SELECT event_id, user_id, value FROM events ORDER BY event_id"))
 
+  // W24 (round 18): the WATERMARK-BOUNDED streaming dedup
+  // (dropDuplicatesWithinWatermark — the continuous deployment's form
+  // of w21, whose NoTimeout state is corpus-sized) on the oracle gate.
+  // Staging is w21's payload-identical doubled slice with the twin
+  // ts-shifted +30 min (inside the 1 h delay, so the drop is in the
+  // operator's GUARANTEED regime), coalesced to ONE file like
+  // w20/w22/w23: a single AvailableNow batch runs under watermark 0 —
+  // no evictions, no late drops — so keep-first over the doubled
+  // stream is exactly the original row set and the oracle is the same
+  // plain projection as w21's. The eviction/re-emit side of the
+  // bounded contract is spec-pinned (StreamsSpec), not oracle-graded:
+  // it is inherently multi-batch.
+  private val qW24 = Q("w24_streaming_dedup_bounded",
+    (s, d) => {
+      val srcName = "w24_stream_src"
+      graft.sources.Materialize.processTable(s, d, srcName) {
+        val e = T(s, d, "events")
+        e.unionByName(
+            e.withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTE")))
+          .coalesce(1)
+      }
+      val src = graft.sources.Materialize.processPath(d, srcName)
+      val out = graft.sources.Materialize.processPath(d, "w24_dedup")
+      val ck = graft.sources.Materialize.processPath(d, "w24_ck")
+      graft.streaming.Streams.dedupStreamBounded(s, src, out, ck)
+      s.read.parquet(out)
+        .select("event_id", "user_id", "value")
+        .transform(Q.sortedOnce(_, "event_id"))
+    },
+    Some("SELECT event_id, user_id, value FROM events ORDER BY event_id"))
+
   // W23 (round 15): the windowed-means ingest — Streams' FIRST operator
   // (file-source micro-batch ingest → event-time tumbling windows →
   // date-partitioned sink) — on the oracle gate directly, closing the
@@ -1692,7 +1723,7 @@ object SparkEntry {
     qO2, qU1, qU3,
     qF2, qF4, qF8, qF12, qF14,
     qW1, qW2, qW3, qW4, qW5, qW6, qW7, qW8, qW9, qW12, qW13, qW14, qW16,
-    qW17, qW18, qW19, qW20, qW21, qW23,
+    qW17, qW18, qW19, qW20, qW21, qW23, qW24,
     qA3, qA3b, qA3c, qA3d, qA3e, qA3f) ++
     LlmQueries.all ++ PipelineQueries.all ++ CoverageQueries.all ++
     CurationQueries.all ++ MediaQueries.all

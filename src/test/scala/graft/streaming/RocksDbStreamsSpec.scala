@@ -81,6 +81,12 @@ class RocksDbStreamsSpec extends StreamRecipes {
     }
   }
 
+  test("rocksdb: dedupStreamBounded — within-watermark drops and the " +
+    "post-eviction re-emit hold, exercising state REMOVAL on the " +
+    "provider") {
+    underRocks { checkDedupBounded() }
+  }
+
   test("rocksdb: dedupStream restart — the corpus-sized first-seen " +
     "user state restores from RocksDB snapshots") {
     underRocks {

@@ -453,6 +453,50 @@ trait StreamRecipes extends SparkTestBase {
     ck
   }
 
+  /** w24: the WATERMARK-BOUNDED dedup's full contract — duplicates
+    * within the watermark drop (in-batch and cross-batch), a
+    * post-eviction duplicate re-emits. Shared with the RocksDB matrix:
+    * the evicted-and-re-admitted key path exercises state REMOVAL on
+    * the provider, which none of the other recipes' happy paths do.
+    */
+  protected def checkDedupBounded(): Unit = {
+
+    val t0 = graft.SparkEntry.jan2
+    val in = tmp("graft_dedupb_in_")
+    // b1: idA, idB, an IN-BATCH duplicate of idB (payload-identical),
+    // and a clock at t0+3h that drives the post-batch watermark to
+    // t0+2h (delay 1h)
+    stageFile(in, "b1.parquet", 1000000L, Seq(
+      evRow(1L, t0, 1L, 1.0), evRow(2L, t0 + 10, 2L, 2.0),
+      evRow(2L, t0 + 300, 2L, 2.0),
+      evRow(100L, t0 + 10800, 9L, 1.0)))
+    // b2: a CROSS-BATCH duplicate of idB 45 min after its twin — the
+    // late filter (wm as of b1's batch = 0) admits it and idB's state
+    // (evicted only at this batch's END, when the t0+2h watermark
+    // applies) still holds, so it must drop; plus a clock-keeper
+    stageFile(in, "b2.parquet", 2000000L, Seq(
+      evRow(2L, t0 + 2700, 2L, 2.0),
+      evRow(101L, t0 + 11400, 9L, 1.0)))
+    // b3: idA AGAIN at t0+2h30m — above b3's late-filter watermark
+    // (t0+2h) but its twin's state was evicted at b2's end (expires
+    // t0+1h < t0+2h): the bounded contract says this RE-EMITS. A
+    // distinct value makes the re-emission visible in the output.
+    stageFile(in, "b3.parquet", 3000000L, Seq(
+      evRow(1L, t0 + 9000, 1L, 99.0),
+      evRow(102L, t0 + 14400, 9L, 1.0)))
+    val out = tmp("graft_dedupb_out_")
+    val ck = tmp("graft_dedupb_ck_")
+    Streams.dedupStreamBounded(spark, in, out, ck,
+      maxFilesPerTrigger = Some(1))
+    val got = spark.read.parquet(out)
+      .select("event_id", "user_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sorted
+    assert(got == Seq((1L, 1L, 1.0), (1L, 1L, 99.0), (2L, 2L, 2.0),
+      (100L, 9L, 1.0), (101L, 9L, 1.0), (102L, 9L, 1.0)),
+      s"bounded-dedup contract violated: $got")
+    }
+
   /** The kill-and-redrain case: a span's OPEN corr-UDAF state survives
     * the checkpoint and merges the post-restart ticks — two drains
     * equal one. Returns the restart run's checkpoint dir for

@@ -175,6 +175,12 @@ class StreamsSpec extends StreamRecipes {
     ()
   }
 
+  test("dedupStreamBounded: duplicates within the watermark drop " +
+    "(in-batch and cross-batch), a post-eviction duplicate re-emits — " +
+    "the bounded-state contract, both sides pinned") {
+    checkDedupBounded()
+  }
+
   test("windowedMeans drops late rows past the watermark, accepts the " +
     "rest") {
     val base = graft.SparkEntry.sec("2024-01-02T10:00:00")
