@@ -132,17 +132,37 @@ object Text {
     * exactly what the exact tier (d1's full-text signature dedup)
     * already catches without quadratic pair expansion; the LSH tier
     * exists for the non-identical near-dup tail, where organic bucket
-    * sizes are small. Opt-in (the graded d2/d6/d8 plans are pinned and
-    * unchanged); consumers at 100 TB cap at a few × the expected
-    * cluster size.
+    * sizes are small. Plumbed as `maxDf: Option[Int]` (default None)
+    * through the production signature/pair build
+    * ([[graft.queries.LlmQueries.signatureTables]] / `verifiedPairs` /
+    * `deltaVerdicts` and the streaming ingest gate) so a deployment
+    * hitting the boilerplate straggler passes a knob instead of
+    * editing query code; default None leaves the graded d2/d6/d8
+    * plans byte-identical (CapPlumbSpec pins both directions).
+    * Consumers at 100 TB cap at a few × the expected cluster size.
     */
-  def capBandKeys(bands: DataFrame, maxDf: Int): DataFrame = {
-    val hot = bands.groupBy("band", "bkey")
+  def capBandKeys(bands: DataFrame, maxDf: Int): DataFrame =
+    capBandKeysWith(bands, hotBandKeys(bands, maxDf))
+
+  /** The (band, bkey) keys whose document frequency in `bands` exceeds
+    * `maxDf` — the hot-key list [[capBandKeys]] cuts. Split out so a
+    * two-sided probe ([[graft.queries.LlmQueries.verifiedPairs]] with
+    * a cap) computes the list ONCE over the corpus side and applies it
+    * to both band inputs: df is a property of the corpus universe, not
+    * of whichever side of the join a row arrives on.
+    */
+  def hotBandKeys(bands: DataFrame, maxDf: Int): DataFrame =
+    bands.groupBy("band", "bkey")
       .agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .select("band", "bkey")
+
+  /** Anti-join a band relation against a precomputed hot-key list —
+    * the list is (#hot keys)-sized dimension metadata, so it
+    * broadcasts.
+    */
+  def capBandKeysWith(bands: DataFrame, hot: DataFrame): DataFrame =
     bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-  }
 
   /** Weighted 60-bit SimHash over the document's term-frequency vector:
     * bit b of the output is 1 iff Σ_w count(w) · (2·bit_b(hash60(w)) − 1)

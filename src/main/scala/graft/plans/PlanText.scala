@@ -23,4 +23,19 @@ object PlanText {
   def distinctSites(plan: String, needle: String): Set[String] =
     plan.linesIterator.filter(_.contains(needle))
       .map(_.replaceAll("""^[\s:+*()\d-]+""", "")).toSet
+
+  /** Run-invariant normalization for WHOLE-plan equality compares
+    * (CapPlumbSpec's "default-None leaves the graded plans
+    * byte-identical" gate): two constructions of the same logical
+    * pipeline differ only in allocator-assigned tokens — expression
+    * ids (`#123`), codegen ids, plan/subquery ids, object addresses,
+    * scan file paths — so those are canonicalized and everything else
+    * must match byte for byte.
+    */
+  def normalize(plan: String): String =
+    plan
+      .replaceAll("""#\d+""", "#x")
+      .replaceAll("""plan_id=\d+""", "plan_id=x")
+      .replaceAll("""@[0-9a-fA-F]{6,}""", "@x")
+      .replaceAll("""file:[^\]\),\s]*""", "file:x")
 }

@@ -91,14 +91,23 @@ object LlmQueries {
     * the streaming ingest gate ([[graft.streaming.Streams]]'s
     * incremental dedup) both build through this one function, so their
     * signatures cannot drift.
+    *
+    * `maxDf` (default None = the graded shape, plan byte-identical):
+    * [[graft.ops.Text.capBandKeys]]'s boilerplate-bucket guard applied
+    * at band-table build time, so a lake built with the cap never
+    * stores the quadratic-output hot keys at all — the measured
+    * AQE-invisible straggler (`tools/Stress dedupskew`) becomes a
+    * build parameter instead of a query-code edit.
     */
-  private[graft] def signatureTables(sh: DataFrame)
-      : (DataFrame, DataFrame) =
+  private[graft] def signatureTables(sh: DataFrame,
+      maxDf: Option[Int] = None): (DataFrame, DataFrame) = {
+    val bands = Text.bandKeys(Text.minhashSignature(sh, "doc_id", 12),
+      "doc_id", 2, 6)
     (sh.groupBy("doc_id")
        .agg(array_sort(collect_list(col("h"))).as("hs"))
        .withColumn("sz", size(col("hs"))),
-     Text.bandKeys(Text.minhashSignature(sh, "doc_id", 12),
-       "doc_id", 2, 6))
+     maxDf.fold(bands)(Text.capBandKeys(bands, _)))
+  }
 
   /** Bucket layout of the signature lake: the band table is bucketed by
     * its probe key (band, bkey) so d8's candidate join reads two
@@ -187,9 +196,21 @@ object LlmQueries {
     * remains the fallback shape.
     */
   private[graft] def verifiedPairs(aBands: DataFrame, bBands: DataFrame,
-                                   sets: DataFrame): DataFrame = {
-    val a = aBands.select(col("band"), col("bkey"), col("doc_id").as("i"))
-    val b = bBands.select(col("band"), col("bkey"), col("doc_id").as("j"))
+                                   sets: DataFrame,
+                                   maxDf: Option[Int] = None): DataFrame = {
+    // maxDf: the boilerplate-bucket guard at probe time, for lakes
+    // built WITHOUT the cap. The hot-key list is computed ONCE over
+    // `aBands` (the corpus/full side — df is a property of the corpus
+    // universe, and in deltaVerdicts `bBands` is a delta whose counts
+    // would understate it) and anti-joined onto BOTH sides. Default
+    // None is the graded shape: the fold returns the inputs untouched,
+    // so the d2/d6/d8 plans are byte-identical (CapPlumbSpec).
+    val (ca, cb) = maxDf.fold((aBands, bBands)) { k =>
+      val hot = Text.hotBandKeys(aBands, k)
+      (Text.capBandKeysWith(aBands, hot), Text.capBandKeysWith(bBands, hot))
+    }
+    val a = ca.select(col("band"), col("bkey"), col("doc_id").as("i"))
+    val b = cb.select(col("band"), col("bkey"), col("doc_id").as("j"))
     val cand = a.join(b, Seq("band", "bkey"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
@@ -534,13 +555,15 @@ object LlmQueries {
     */
   private[graft] def deltaVerdicts(allBands: DataFrame,
       deltaBands: DataFrame, allSets: DataFrame, deltaIds: DataFrame,
-      th: Long): DataFrame = {
+      th: Long, maxDf: Option[Int] = None): DataFrame = {
       // the shared band-probe-first candidate+verify shape
       // ([[verifiedPairs]]): the corpus band/set tables are only ever
       // scanned in place — the previous shape attached per-doc sizes to
       // the FULL band table before probing, which sort-merge-shuffled
-      // corpus bands AND corpus sets on every ingest batch
-      val m = verifiedPairs(allBands, deltaBands, allSets)
+      // corpus bands AND corpus sets on every ingest batch. maxDf
+      // passes straight through to the shared probe (hot keys counted
+      // over allBands, applied to both sides).
+      val m = verifiedPairs(allBands, deltaBands, allSets, maxDf)
         .groupBy(col("j").as("doc_id"))
         .agg(min("i").as("match_id"), count(lit(1)).as("n_matches"))
       deltaIds.select("doc_id")

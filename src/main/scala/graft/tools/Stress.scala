@@ -15,9 +15,16 @@
 //   Stress dedup [nClusters] [cSize] [nBackground]  — organic d2→d6
 //     width stress: planted near-dup cliques, recall/fp/rounds/shuffle
 //     gates (22×-50× fixture corpus);
+//   Stress dedupdelta [nClusters] [cSize] [nBackground] [nDeltaCliques]
+//     [nNovel] — the incremental tier (d8/ingest gate) at width: a
+//     delta probes the persisted bucketed lake; gates = delta recall,
+//     novel-all-new, and DELTA-sized probe shuffle vs the corpus
+//     self-pass baseline;
 //   Stress dedupskew [nBoiler] [nBackground] [nClusters] — LSH band
-//     self-join hot-bucket straggler: baseline vs AQE (can't split it)
-//     vs Text.capBandKeys, per-task time distributions;
+//     self-join hot-bucket straggler, FOUR arms: baseline vs aqe
+//     (skew-join floored aggressive — can't split it) vs aqeforce
+//     (forceOptimizeSkewedJoin=true — still can't) vs cap
+//     (Text.capBandKeys), per-task time distributions;
 //   Stress statestore [days] [runs] — heap vs RocksDB vs
 //     RocksDB+changelog pricing of the corr-chain drain.
 //
@@ -48,9 +55,49 @@ object Stress {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("dedup") => dedupMain(args.drop(1))
+    case Some("dedupdelta") => dedupDeltaMain(args.drop(1))
     case Some("dedupskew") => dedupSkewMain(args.drop(1))
     case Some("statestore") => stateStoreMain(args.drop(1))
     case _ => corrMain(args)
+  }
+
+  /** Total/peak shuffle accounting over a measured scope — the
+    * register/measure/drain dance the stress modes all need, factored
+    * so each scope gets its OWN isolated listener window (the delta
+    * mode measures three scopes in one JVM: lake build, corpus
+    * self-pair pass, delta probe).
+    */
+  private final class ShuffleMeter(
+      sc: org.apache.spark.SparkContext) {
+    private val write = new AtomicLong
+    private val read = new AtomicLong
+    private val stages = new AtomicLong
+    private val listener = new SparkListener {
+      override def onStageCompleted(
+          s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          stages.incrementAndGet()
+          ()
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    /** Drain (poll until the stage count is stable), detach, and
+      * return (shuffleWriteBytes, shuffleReadBytes).
+      */
+    def finish(): (Long, Long) = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var prev = -1L
+      var cur = stages.get
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(200); cur = stages.get
+      }
+      sc.removeSparkListener(listener)
+      (write.get, read.get)
+    }
   }
 
   private def corrMain(args: Array[String]): Unit = {
@@ -161,72 +208,41 @@ object Stress {
 
   // =========================================================== dedup
 
-  /** Synthetic document corpus with PLANTED near-dup cliques and
-    * realistic shingle overlap (the corr harness's smooth-signal lesson
-    * transposed to text: background docs share a small common
-    * vocabulary — partial overlap everywhere, never hash-white
-    * disjointness — while planted cluster members are 1-2 token
-    * substitutions on a 200-token base, so pairwise Jaccard lands in
-    * [0.961, 1.0], organically above d2's 0.95 verify threshold).
-    * Layout: doc_ids [0, nClusters*cSize) are cluster members (cluster
-    * cid = id div cSize), then nBackground background docs, then
-    * nBoiler BOILERPLATE docs sharing one identical text (the hot
-    * LSH bucket of the skew mode; 0 in the recall mode).
-    */
+  // Corpus generator + planted truth live in [[DedupFixture]] — ONE
+  // definition shared with the CI-scale suite gates (DedupStressSpec,
+  // CapPlumbSpec) so the geometry the suite asserts recall against is
+  // the geometry this harness measures at width.
   private def synthDocs(spark: org.apache.spark.sql.SparkSession,
       nClusters: Int, cSize: Int, nBackground: Int,
-      nBoiler: Int): org.apache.spark.sql.DataFrame = {
-    val L = 200
-    val planted = spark.range(nClusters.toLong * cSize).select(
-      col("id").as("doc_id"),
-      expr(s"""concat_ws(' ', transform(sequence(0, ${L - 1}), p ->
-        CASE WHEN p = pmod(xxhash64('a', id div $cSize, id % $cSize), $L)
-               OR p = pmod(xxhash64('b', id div $cSize, id % $cSize), $L)
-          THEN concat('m', id, '_', p)
-          ELSE concat('t', id div $cSize, '_', p) END))""").as("text"))
-    val pc = nClusters.toLong * cSize
-    val background = spark.range(nBackground.toLong).select(
-      (col("id") + pc).as("doc_id"),
-      expr(s"""concat_ws(' ', transform(sequence(0, ${L - 1}), p ->
-        CASE WHEN pmod(xxhash64('c', id, p), 10) < 3
-          THEN concat('c', pmod(xxhash64('w', id, p), 500))
-          ELSE concat('v', pmod(xxhash64('u', id, p), 2000000)) END))""")
-        .as("text"))
-    val boiler = spark.range(nBoiler.toLong).select(
-      (col("id") + pc + nBackground).as("doc_id"),
-      expr(s"""concat_ws(' ', transform(sequence(0, ${L - 1}), p ->
-        concat('hot_', p)))""").as("text"))
-    planted.unionByName(background).unionByName(boiler)
-      .select(col("doc_id"), col("text"), lit("en").as("lang"),
-        lit("stress").as("source"),
-        length(col("text")).cast("long").as("n_chars"))
-  }
+      nBoiler: Int): org.apache.spark.sql.DataFrame =
+    DedupFixture.synthDocs(spark, nClusters, cSize, nBackground, nBoiler)
 
-  /** All within-cluster (i, j) pairs — the planted truth relation. */
   private def plantedPairs(spark: org.apache.spark.sql.SparkSession,
-      nClusters: Int, cSize: Int): org.apache.spark.sql.DataFrame = {
-    val ids = spark.range(nClusters.toLong * cSize)
-      .select(col("id"), (col("id") / cSize).cast("long").as("cid"))
-    ids.select(col("id").as("i"), col("cid"))
-      .join(ids.select(col("id").as("j"), col("cid")), Seq("cid"))
-      .where(col("i") < col("j"))
-      .select("i", "j")
-  }
+      nClusters: Int, cSize: Int): org.apache.spark.sql.DataFrame =
+    DedupFixture.plantedPairs(spark, nClusters, cSize)
 
-  /** Per-stage task-duration recorder (listener bus is single-threaded,
-    * so the plain buffers need no synchronization).
+  /** Per-stage task-duration recorder. Writes land on the listener-bus
+    * thread and the driver reads after the action returns, so every
+    * access synchronizes on `this` — the lock is the happens-before
+    * edge (a bare removeSparkListener + fixed sleep has neither
+    * visibility nor drain guarantees). Callers should
+    * [[TaskStats.awaitQuiesce]] before reading: the bus drains
+    * asynchronously (its waitUntilEmpty is private[spark]), so the
+    * honest public-API wait is polling the recorded task count until
+    * it stops changing rather than hoping a fixed sleep was enough on
+    * a loaded host.
     */
   private final class TaskStats
       extends org.apache.spark.scheduler.SparkListener {
-    val byStage =
+    private val byStage =
       scala.collection.mutable.Map.empty[Int,
         scala.collection.mutable.ArrayBuffer[Long]]
-    val recsByStage =
+    private val recsByStage =
       scala.collection.mutable.Map.empty[Int,
         scala.collection.mutable.ArrayBuffer[Long]]
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (t.taskInfo != null) {
+      if (t.taskInfo != null) synchronized {
         byStage.getOrElseUpdate(t.stageId,
           scala.collection.mutable.ArrayBuffer.empty[Long]) +=
           t.taskInfo.duration
@@ -235,7 +251,23 @@ object Stress {
             scala.collection.mutable.ArrayBuffer.empty[Long]) +=
             t.taskMetrics.shuffleWriteMetrics.recordsWritten
       }
-    def dump(tag: String): Unit =
+    private def taskCount: Int =
+      synchronized { byStage.valuesIterator.map(_.size).sum }
+    /** Poll until the recorded task count is stable across two reads
+      * `settleMs` apart (bounded by `maxWaitMs`) — the drain guarantee
+      * the old fixed 1 s sleep only approximated.
+      */
+    def awaitQuiesce(settleMs: Long = 200, maxWaitMs: Long = 15000): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var prev = -1
+      var cur = taskCount
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur
+        Thread.sleep(settleMs)
+        cur = taskCount
+      }
+    }
+    def dump(tag: String): Unit = synchronized {
       byStage.toSeq.sortBy(_._1).foreach { case (sid, ds) =>
         val sorted = ds.sorted
         val recs = recsByStage.getOrElse(sid, Nil).toSeq
@@ -243,12 +275,13 @@ object Stress {
           f"max=${sorted.last}%6d ms med=${sorted(ds.size / 2)}%6d ms " +
           f"maxShufRecs=${if (recs.isEmpty) 0L else recs.max}%9d")
       }
+    }
     /** (maxTaskMs, medianTaskMs, nTasks) of the stage holding the
       * single slowest task AMONG multi-task stages — where a join
       * straggler lives (single-task stages like the final count
       * trivially read max == median and would mask it).
       */
-    def straggler: (Long, Long, Int, Long) = {
+    def straggler: (Long, Long, Int, Long) = synchronized {
       val multi = byStage.filter(_._2.size >= 8)
       val (sid, ds) = (if (multi.nonEmpty) multi else byStage)
         .maxBy(_._2.max)
@@ -389,6 +422,154 @@ object Stress {
     }
   }
 
+  /** Incremental tier (d8 / the streaming ingest gate) at WIDTH
+    * (VERDICT r19 task 2): the r18 stress executed the d2→d6 corpus
+    * self-dedup at 22×/50× fixture, but the per-batch production form
+    * — a delta probing a PERSISTED corpus lake — had only
+    * fixture-scale evidence for its "O(|delta|·bucket), never
+    * corpus-sized" shuffle claim. This mode builds the corpus's REAL
+    * bucketed signature lake ([[graft.queries.LlmQueries.dedupBands]]/
+    * `dedupSets` — the exact tables d8's graded plan probes), measures
+    * the corpus SELF-pair pass's shuffle as the baseline, then probes
+    * the lake with a delta of (a) one NEW member per existing clique
+    * (planted into the corpus's cliques — the recall truth) and (b)
+    * novel docs nothing resembles (the false-positive truth), through
+    * the SAME `deltaVerdicts` probe the graded query and the streaming
+    * ingest gate run. The delta's signature tables are persisted
+    * before probing (what the streaming form's lake maintenance does
+    * for every batch), so the probe plans against real scan
+    * statistics.
+    *
+    * Gates: delta recall ≥ 0.90 (verdict dup_of_corpus with the
+    * match_id inside the planted clique — a wrong-clique match fails),
+    * every novel doc verdicts `new`, zero `dup_of_delta` (deltas land
+    * in distinct cliques), and the probe's total shuffle is
+    * DELTA-sized: < 1/5 of the corpus self-pass's shuffle AND < 10×
+    * the delta's pro-rata per-doc share of it.
+    *
+    *   sbt "runMain graft.tools.Stress dedupdelta [nClusters] [cSize]
+    *        [nBackground] [nDeltaCliques] [nNovel]"
+    *        (2500 4 100000 1000 1000)
+    */
+  private def dedupDeltaMain(args: Array[String]): Unit = {
+    val nClusters = args.lift(0).map(_.toInt).getOrElse(2500)
+    val cSize = args.lift(1).map(_.toInt).getOrElse(4)
+    val nBackground = args.lift(2).map(_.toInt).getOrElse(100000)
+    val nDeltaCliques = args.lift(3).map(_.toInt).getOrElse(1000)
+    val nNovel = args.lift(4).map(_.toInt).getOrElse(1000)
+    require(nDeltaCliques <= nClusters,
+      s"nDeltaCliques $nDeltaCliques > nClusters $nClusters")
+    val spark = Sessions.build("graft-stress-dedupdelta")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_delta_").toString
+    try {
+      val nDocs = nClusters.toLong * cSize + nBackground
+      val nDelta = nDeltaCliques.toLong + nNovel
+      DedupFixture.synthDocs(spark, nClusters, cSize, nBackground, 0)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      println(s"[stress-delta] corpus: $nDocs docs " +
+        s"($nClusters cliques x $cSize + $nBackground background); " +
+        s"delta: $nDeltaCliques clique members + $nNovel novel")
+
+      // --- 1. the real bucketed lake ---------------------------------
+      val mLake = new ShuffleMeter(spark.sparkContext)
+      val t0 = System.nanoTime()
+      val corpusBands = graft.queries.LlmQueries.dedupBands(spark, dir)
+      val corpusSets = graft.queries.LlmQueries.dedupSets(spark, dir)
+      val tLake = (System.nanoTime() - t0) / 1e9
+      val (lakeW, _) = mLake.finish()
+
+      // --- 2. corpus self-pair pass: the shuffle baseline ------------
+      val mCorpus = new ShuffleMeter(spark.sparkContext)
+      val t1 = System.nanoTime()
+      graft.queries.LlmQueries
+        .verifiedPairs(corpusBands, corpusBands, corpusSets)
+        .write.format("noop").mode("overwrite").save()
+      val tCorpus = (System.nanoTime() - t1) / 1e9
+      val (corpusW, _) = mCorpus.finish()
+
+      // --- 3. the delta batch: signatures persisted, lake probed -----
+      val idStart = nDocs
+      val th = nDocs
+      DedupFixture.deltaMembers(spark, nDeltaCliques, cSize, nNovel,
+          idStart)
+        .write.mode("overwrite").parquet(s"$dir/delta.parquet")
+      val deltaDocs = spark.read
+        .schema(graft.Catalog.schemas("documents"))
+        .parquet(s"$dir/delta.parquet")
+      val mDelta = new ShuffleMeter(spark.sparkContext)
+      val t2 = System.nanoTime()
+      val sh = graft.queries.LlmQueries.hashedShingles(deltaDocs).cache()
+      try {
+        val (dSets, dBands) =
+          graft.queries.LlmQueries.signatureTables(sh)
+        dSets.write.mode("overwrite").parquet(s"$dir/delta_sets")
+        dBands.write.mode("overwrite").parquet(s"$dir/delta_bands")
+      } finally { sh.unpersist(); () }
+      val dSets = spark.read.parquet(s"$dir/delta_sets")
+      val dBands = spark.read.parquet(s"$dir/delta_bands")
+      val verdicts = graft.queries.LlmQueries.deltaVerdicts(
+          corpusBands.unionByName(dBands), dBands,
+          corpusSets.unionByName(dSets),
+          deltaDocs.select("doc_id"), th)
+        .cache()
+      val nVerdicts = verdicts.count()
+      val tDelta = (System.nanoTime() - t2) / 1e9
+      val (deltaW, _) = mDelta.finish()
+
+      // --- gates ------------------------------------------------------
+      require(nVerdicts == nDelta, s"$nVerdicts verdicts for $nDelta docs")
+      val planted = verdicts
+        .where(col("doc_id") < idStart + nDeltaCliques)
+      val recalled = planted.where(col("verdict") === "dup_of_corpus")
+      val nRecalled = recalled.count()
+      val recall = nRecalled.toDouble / nDeltaCliques
+      // a recalled delta's match must sit INSIDE its planted clique:
+      // delta doc (idStart + cid) matches docs [cid*cSize, (cid+1)*cSize)
+      val wrongClique = recalled.where(
+        (col("match_id") / cSize).cast("long") =!=
+          (col("doc_id") - idStart)).count()
+      val novelNotNew = verdicts
+        .where(col("doc_id") >= idStart + nDeltaCliques)
+        .where(col("verdict") =!= "new").count()
+      val dupOfDelta = verdicts
+        .where(col("verdict") === "dup_of_delta").count()
+      require(recall >= 0.90,
+        f"delta recall $recall%.4f < 0.90 ($nRecalled of $nDeltaCliques)")
+      require(wrongClique == 0,
+        s"$wrongClique delta docs matched OUTSIDE their planted clique")
+      require(novelNotNew == 0,
+        s"$novelNotNew novel docs not verdicted new")
+      require(dupOfDelta == 0,
+        s"$dupOfDelta dup_of_delta verdicts (deltas are clique-disjoint)")
+      val corpusMb = corpusW / 1e6
+      val deltaMb = deltaW / 1e6
+      // delta-sized, two ways: a fraction of the corpus pass, and
+      // within 10x the delta's pro-rata per-doc share of it
+      require(deltaMb < corpusMb / 5,
+        f"delta probe shuffled $deltaMb%.0f MB — not < 1/5 of the " +
+          f"corpus pass's $corpusMb%.0f MB")
+      require(deltaMb < corpusMb * nDelta / nDocs * 10,
+        f"delta probe shuffled $deltaMb%.0f MB — over 10x the " +
+          f"pro-rata share ${corpusMb * nDelta / nDocs}%.1f MB")
+      verdicts.unpersist()
+      println(f"[stress-delta] lake build: $tLake%.1f s " +
+        f"shuffle=${lakeW / 1e6}%.0f MB; corpus self-pass: " +
+        f"$tCorpus%.1f s shuffle=$corpusMb%.0f MB")
+      println(f"[stress-delta] delta probe ($nDelta docs): $tDelta%.1f s " +
+        f"shuffle=$deltaMb%.1f MB " +
+        f"(${deltaMb / corpusMb * 100}%.1f%% of corpus pass; pro-rata " +
+        f"share would be ${corpusMb * nDelta / nDocs}%.1f MB) " +
+        f"recall=$recall%.4f novel_new=$nNovel/$nNovel dup_of_delta=0")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
+
   /** LSH band-join SKEW evidence (VERDICT r17 task 4): plant a
     * boilerplate hot bucket (nBoiler docs sharing ONE text => one
     * (band, bkey) carrying nBoiler rows per side => quadratic join
@@ -399,6 +580,11 @@ object Stress {
     *              floored to 64 KB, factor 1): shows how far
     *              input-byte-keyed splitting can and cannot help an
     *              output-quadratic hot key;
+    *   aqeforce — the aqe arm plus forceOptimizeSkewedJoin=true, so
+    *              the split is attempted even where it would add a
+    *              shuffle for the downstream distinct's distribution —
+    *              the hot bucket STILL rides one task (gated by its
+    *              own require below, like aqe's);
     *   cap      — [[graft.ops.Text.capBandKeys]] maxDf=64: the
     *              structural guard; planted-pair candidates must
     *              survive intact while the boilerplate bucket
@@ -487,10 +673,10 @@ object Stress {
         val t0 = System.nanoTime()
         val n = candCount(input)
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously (the bus's
-        // waitUntilEmpty is private[spark]); a short settle suffices
-        // for a dev tool reading after the action returned
-        Thread.sleep(1000)
+        // listener events drain asynchronously: poll until the
+        // recorded task count stops changing (a fixed sleep can
+        // under-wait on a loaded host and make the gates flaky)
+        stats.awaitQuiesce()
         spark.sparkContext.removeSparkListener(stats)
         if (sys.env.contains("GRAFT_SKEW_DEBUG")) stats.dump(arm)
         val (maxMs, medMs, nTasks, maxRecs) = stats.straggler

@@ -92,6 +92,12 @@ def main():
         sys.exit("no shared query lines between the two artifacts")
     ratios = {q: new_min[q] / old_min[q] for q in shared
               if old_min[q] > 0 and new_min[q] > 0}
+    if not ratios:
+        # every shared line filtered by the >0 guards (e.g. an artifact
+        # of all-zero timings) — a diagnostic beats a StatisticsError
+        # traceback out of statistics.median
+        sys.exit("no positive shared timings to normalize (all shared "
+                 "lines have a non-positive min on at least one side)")
     era = statistics.median(ratios.values())
     # a query valid on one side only (typically: failed in the new
     # artifact) is invisible to the ratio table — a NEW hard failure
