@@ -209,15 +209,31 @@ object LlmQueries {
       val hot = Text.hotBandKeys(aBands, k)
       (Text.capBandKeysWith(aBands, hot), Text.capBandKeysWith(bBands, hot))
     }
-    val a = ca.select(col("band"), col("bkey"), col("doc_id").as("i"))
-    val b = cb.select(col("band"), col("bkey"), col("doc_id").as("j"))
+    verifiedPairsTwoSided(ca, cb, sets, sets)
+  }
+
+  /** [[verifiedPairs]]'s body with each join side attaching its OWN
+    * set relation — the same plan when both are one relation (the
+    * graded d2/d6/d8 shape passes `sets` twice), but the form
+    * [[deltaVerdictsSplit]] needs when the probe side's signatures
+    * are NOT part of the corpus lake: attaching corpus sets to `i`
+    * and delta sets to `j` keeps the lake relations un-unioned, so
+    * the candidate and attachment joins ride the bucketed layout in
+    * place instead of shuffling the corpus set table per batch (the
+    * width-measured failure mode — see deltaVerdictsSplit's note).
+    */
+  private[graft] def verifiedPairsTwoSided(aBands: DataFrame,
+      bBands: DataFrame, aSets: DataFrame,
+      bSets: DataFrame): DataFrame = {
+    val a = aBands.select(col("band"), col("bkey"), col("doc_id").as("i"))
+    val b = bBands.select(col("band"), col("bkey"), col("doc_id").as("j"))
     val cand = a.join(b, Seq("band", "bkey"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
     cand
-      .join(sets.select(col("doc_id").as("i"), col("sz").as("sa"),
+      .join(aSets.select(col("doc_id").as("i"), col("sz").as("sa"),
         col("hs").as("ha")), Seq("i"))
-      .join(sets.select(col("doc_id").as("j"), col("sz").as("sb"),
+      .join(bSets.select(col("doc_id").as("j"), col("sz").as("sb"),
         col("hs").as("hb")), Seq("j"))
       .where(least(col("sa"), col("sb")) * 1000000L >=
         greatest(col("sa"), col("sb")) * 949999L)
@@ -566,13 +582,69 @@ object LlmQueries {
       val m = verifiedPairs(allBands, deltaBands, allSets, maxDf)
         .groupBy(col("j").as("doc_id"))
         .agg(min("i").as("match_id"), count(lit(1)).as("n_matches"))
-      deltaIds.select("doc_id")
-        .join(m, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("match_id"),
-          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          when(col("match_id").isNull, "new")
-            .when(col("match_id") < th, "dup_of_corpus")
-            .otherwise("dup_of_delta").as("verdict"))
+      verdictLabels(deltaIds, m, th)
+  }
+
+  /** The verdict labeling over a per-delta-doc match aggregate —
+    * shared by [[deltaVerdicts]] and [[deltaVerdictsSplit]] so the
+    * two probe shapes cannot drift on what new / dup_of_corpus /
+    * dup_of_delta mean.
+    */
+  private def verdictLabels(deltaIds: DataFrame, m: DataFrame,
+                            th: Long): DataFrame =
+    deltaIds.select("doc_id")
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(col("match_id").isNull, "new")
+          .when(col("match_id") < th, "dup_of_corpus")
+          .otherwise("dup_of_delta").as("verdict"))
+
+  /** The incremental probe for a delta whose signatures are NOT rows
+    * of the corpus lake — the streaming ingest gate's per-batch form,
+    * and any externally-arriving batch. [[deltaVerdicts]]' single
+    * probe is the right shape when the delta IS a filtered scan of
+    * the lake (d8: both join sides ride the (band,bkey)/(doc_id)
+    * bucket layout in place, zero exchanges above the lake scans),
+    * but for an external delta that shape needs `corpus ∪ delta`
+    * relations, and the union DESTROYS the lake's bucketing: the
+    * set-attachment join then shuffles the CORPUS-sized set table on
+    * every ingest batch — measured at width (`tools/Stress
+    * dedupdelta`, 110k-doc corpus, 2k-doc delta): 174 MB probe
+    * shuffle (the set table's size) for the union shape vs
+    * delta-sized for this one.
+    *
+    * Decomposition: corpus-vs-delta pairs probe the UNTOUCHED lake
+    * scans via [[verifiedPairsTwoSided]] (corpus sets attach to `i`
+    * in place, micro-batch-sized delta relations broadcast/shuffle
+    * only themselves), and delta-vs-delta pairs are a delta-sized
+    * self-probe. `i < j` holds in both probes and the `i` universes
+    * are disjoint (callers pass corpus relations already excluding
+    * the batch's ids), so the union of the two pair relations is
+    * [[deltaVerdicts]]' pair relation EXACTLY and the verdicts are
+    * identical — the width harness asserts that equality on every
+    * run, and the labeling is shared ([[verdictLabels]]).
+    *
+    * `maxDf` keeps deltaVerdicts' df notion: hot keys counted over
+    * corpus ∪ delta (a key's frequency is a corpus-universe property;
+    * the count aggregate's shuffle is #distinct-key-sized after
+    * map-side partials, so the union here costs nothing like the
+    * attachment join's did), cut from both probes' inputs.
+    */
+  private[graft] def deltaVerdictsSplit(cBands: DataFrame,
+      cSets: DataFrame, dBands: DataFrame, dSets: DataFrame,
+      deltaIds: DataFrame, th: Long,
+      maxDf: Option[Int] = None): DataFrame = {
+    val (cb, db) = maxDf.fold((cBands, dBands)) { k =>
+      val hot = Text.hotBandKeys(cBands.unionByName(dBands), k)
+      (Text.capBandKeysWith(cBands, hot), Text.capBandKeysWith(dBands, hot))
+    }
+    val pairs = verifiedPairsTwoSided(cb, db, cSets, dSets)
+      .unionByName(verifiedPairsTwoSided(db, db, dSets, dSets))
+    val m = pairs
+      .groupBy(col("j").as("doc_id"))
+      .agg(min("i").as("match_id"), count(lit(1)).as("n_matches"))
+    verdictLabels(deltaIds, m, th)
   }
 
   /** d8's DuckDB mirror — shared with [[qW22]]: the streaming

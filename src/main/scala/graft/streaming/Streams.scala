@@ -333,9 +333,10 @@ object Streams {
     * [[graft.queries.LlmQueries.dedupSets]] — parquet scans, the lake
     * state d8's batch form reads), and its verdicts (new /
     * dup_of_corpus / dup_of_delta) append to the output. One shared
-    * implementation with d8 (`LlmQueries.deltaVerdicts`), so the
-    * streaming and batch answers cannot drift (StreamsSpec asserts
-    * equality).
+    * implementation with d8 (`LlmQueries.deltaVerdictsSplit`, whose
+    * candidate/verify body and verdict labeling are d8's own —
+    * `verifiedPairsTwoSided` / `verdictLabels`), so the streaming and
+    * batch answers cannot drift (StreamsSpec asserts equality).
     *
     * Within-delta matches are found inside a micro-batch; across
     * micro-batches, each batch's signatures are APPENDED to
@@ -401,9 +402,15 @@ object Streams {
             .join(ids, Seq("doc_id"), "left_anti")
           val cSets = spark.read.parquet(stSets)
             .join(ids, Seq("doc_id"), "left_anti")
-          idempotentWrite(graft.queries.LlmQueries.deltaVerdicts(
-              cBands.unionByName(dBands), dBands,
-              cSets.unionByName(dSets), batch.select("doc_id"), th,
+          // the SPLIT probe (LlmQueries.deltaVerdictsSplit): corpus
+          // state relations go in un-unioned, so at width the
+          // set-attachment join never shuffles the corpus set table
+          // per batch — the union shape measured 174 MB (corpus-sized)
+          // per 2k-doc batch against a 110k-doc lake in
+          // `tools/Stress dedupdelta`; verdicts are provably identical
+          // (the harness asserts split == union on every width run)
+          idempotentWrite(graft.queries.LlmQueries.deltaVerdictsSplit(
+              cBands, cSets, dBands, dSets, batch.select("doc_id"), th,
               maxDf),
             outDir, id)
           // lake maintenance: this batch's signatures become corpus for

@@ -238,10 +238,73 @@ object Profile {
     }
   }
 
+  /** a3f bimodality adjudication (VERDICT r19 task 4): the r18
+    * intra-pair compare read 1.29 vs 2.18 s MIN on identical final
+    * code — the largest same-code scatter ≥ 1 s — explained only by
+    * analogy to a3d's r16 GC story. This runs the graded query 8× in
+    * ONE JVM (the only trustworthy delta domain on this host), each
+    * run bracketed by a whole-JVM GC-time read and carrying a
+    * stage-level listener, and prints per run: wall, GC delta, summed
+    * task time, and the top stages by task time (tasks / sum / max /
+    * stage GC) — so a slow mode names its stalling stage (broadcast
+    * build? fat-array GC? ambient) with numbers instead of analogy.
+    */
+  private def phasesA3fAb(s: SparkSession, d: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val fn = SparkEntry.queries("a3f_corr_pruned_unbroadcast")
+    noop(fn(s, d)) // warm: JIT + lake builds out of the measured runs
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    (1 to 8).foreach { i =>
+      clear(s)
+      val byStage = new java.util.concurrent.ConcurrentHashMap[
+        Int, (String, Long, Long, Long, Int)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null && t.taskMetrics != null) {
+            byStage.merge(t.stageId,
+              ("", t.taskInfo.duration, t.taskInfo.duration,
+                t.taskMetrics.jvmGCTime, 1),
+              (a, b) => (a._1, a._2 + b._2, math.max(a._3, b._3),
+                a._4 + b._4, a._5 + b._5))
+            ()
+          }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler
+              .SparkListenerStageCompleted): Unit = {
+          byStage.computeIfPresent(sc.stageInfo.stageId,
+            (_, v) => (sc.stageInfo.name.takeWhile(_ != '\n').take(60),
+              v._2, v._3, v._4, v._5))
+          ()
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      val g0 = gcMs
+      val t0 = System.nanoTime()
+      noop(fn(s, d))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val gDelta = gcMs - g0
+      Thread.sleep(500) // listener drain (dev read; order-of-magnitude)
+      s.sparkContext.removeSparkListener(listener)
+      val stages = byStage.asScala.toSeq
+        .map { case (id, (nm, sum, mx, gc, n)) => (id, nm, sum, mx, gc, n) }
+      val sumTask = stages.map(_._3).sum / 1e3
+      println(f"[p] a3f run$i wall=$wall%.2f s jvmGc=${gDelta}%d ms " +
+        f"sumTask=$sumTask%.1f s stages=${stages.size}")
+      stages.sortBy(-_._3).take(4).foreach {
+        case (id, nm, sum, mx, gc, n) =>
+          println(f"[p]   stage=$id%4d tasks=$n%3d sum=${sum / 1e3}%6.1f s " +
+            f"max=$mx%5d ms gc=$gc%5d ms  $nm")
+      }
+    }
+  }
+
   private val phaseSets: Map[String, (SparkSession, String) => Unit] =
     Map("panel" -> phasesPanel, "a3d" -> phasesA3d, "a3e" -> phasesA3e,
       "d4" -> phasesD4, "s6b" -> phasesS6b, "s15" -> phasesS15,
-      "cc" -> phasesCC, "barrier" -> phasesBarrier)
+      "cc" -> phasesCC, "barrier" -> phasesBarrier,
+      "a3fab" -> phasesA3fAb)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -26,7 +26,11 @@
 //     (forceOptimizeSkewedJoin=true — still can't) vs cap
 //     (Text.capBandKeys), per-task time distributions;
 //   Stress statestore [days] [runs] — heap vs RocksDB vs
-//     RocksDB+changelog pricing of the corr-chain drain.
+//     RocksDB+changelog pricing of the corr-chain drain;
+//   Stress statestore growth [nBatches] [keysPerBatch] — corpus-sized
+//     dedup state growth: per-batch commit times + checkpoint
+//     artifact sizes under the three providers (changelog commit cost
+//     flat while snapshot cost grows).
 //
 // Synthetic panel shape: 50 groups of correlated series — series u's
 // value is a shared per-group SMOOTH signal (a sinusoid at the group's
@@ -49,6 +53,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.{Sessions, SparkEntry}
 
 object Stress {
@@ -57,6 +62,8 @@ object Stress {
     case Some("dedup") => dedupMain(args.drop(1))
     case Some("dedupdelta") => dedupDeltaMain(args.drop(1))
     case Some("dedupskew") => dedupSkewMain(args.drop(1))
+    case Some("statestore") if args.lift(1).contains("growth") =>
+      stateStoreGrowthMain(args.drop(2))
     case Some("statestore") => stateStoreMain(args.drop(1))
     case _ => corrMain(args)
   }
@@ -440,12 +447,22 @@ object Stress {
     * for every batch), so the probe plans against real scan
     * statistics.
     *
+    * The probe runs TWICE: the production split form
+    * ([[graft.queries.LlmQueries.deltaVerdictsSplit]] — corpus lake
+    * relations un-unioned) and the naive union form (`deltaVerdicts`
+    * over corpus ∪ delta, the shape the streaming gate used through
+    * r18) as the measured control — the union destroys the lake's
+    * bucketing and shuffles the corpus-sized set table per batch
+    * (first run of this harness: 174 MB vs a 22 MB bucketed
+    * self-pass).
+    *
     * Gates: delta recall ≥ 0.90 (verdict dup_of_corpus with the
     * match_id inside the planted clique — a wrong-clique match fails),
     * every novel doc verdicts `new`, zero `dup_of_delta` (deltas land
-    * in distinct cliques), and the probe's total shuffle is
-    * DELTA-sized: < 1/5 of the corpus self-pass's shuffle AND < 10×
-    * the delta's pro-rata per-doc share of it.
+    * in distinct cliques), split verdicts == union verdicts exactly,
+    * and the split probe's shuffle is DELTA-sized: < 10× the delta's
+    * pro-rata per-doc share of the lake build's shuffle AND > 10×
+    * under the union control's.
     *
     *   sbt "runMain graft.tools.Stress dedupdelta [nClusters] [cSize]
     *        [nBackground] [nDeltaCliques] [nNovel]"
@@ -508,14 +525,40 @@ object Stress {
       } finally { sh.unpersist(); () }
       val dSets = spark.read.parquet(s"$dir/delta_sets")
       val dBands = spark.read.parquet(s"$dir/delta_bands")
-      val verdicts = graft.queries.LlmQueries.deltaVerdicts(
-          corpusBands.unionByName(dBands), dBands,
-          corpusSets.unionByName(dSets),
+      val verdicts = graft.queries.LlmQueries.deltaVerdictsSplit(
+          corpusBands, corpusSets, dBands, dSets,
           deltaDocs.select("doc_id"), th)
         .cache()
       val nVerdicts = verdicts.count()
       val tDelta = (System.nanoTime() - t2) / 1e9
       val (deltaW, _) = mDelta.finish()
+
+      // --- the union-shape control: what the probe MUST NOT cost ----
+      // deltaVerdicts over corpus ∪ delta unions is the naive form the
+      // streaming gate used through r18 — the union destroys the
+      // lake's bucketing and the set-attachment join shuffles the
+      // corpus-sized set table. Measured here every run so the split
+      // form's advantage stays a live number (and a Spark version
+      // that learns to push bucketing through unions fails loudly,
+      // like the AQE-skew requires)
+      val mNaive = new ShuffleMeter(spark.sparkContext)
+      val t3 = System.nanoTime()
+      val naive = graft.queries.LlmQueries.deltaVerdicts(
+          corpusBands.unionByName(dBands), dBands,
+          corpusSets.unionByName(dSets),
+          deltaDocs.select("doc_id"), th)
+        .cache()
+      naive.count()
+      val tNaive = (System.nanoTime() - t3) / 1e9
+      val (naiveW, _) = mNaive.finish()
+
+      // the decomposition is EXACT: split == union, verdict for
+      // verdict, at width
+      val diff = verdicts.exceptAll(naive).count() +
+        naive.exceptAll(verdicts).count()
+      require(diff == 0,
+        s"split probe disagrees with the union shape on $diff verdicts")
+      naive.unpersist()
 
       // --- gates ------------------------------------------------------
       require(nVerdicts == nDelta, s"$nVerdicts verdicts for $nDelta docs")
@@ -543,24 +586,33 @@ object Stress {
       require(dupOfDelta == 0,
         s"$dupOfDelta dup_of_delta verdicts (deltas are clique-disjoint)")
       val corpusMb = corpusW / 1e6
+      val lakeMb = lakeW / 1e6
       val deltaMb = deltaW / 1e6
-      // delta-sized, two ways: a fraction of the corpus pass, and
-      // within 10x the delta's pro-rata per-doc share of it
-      require(deltaMb < corpusMb / 5,
-        f"delta probe shuffled $deltaMb%.0f MB — not < 1/5 of the " +
-          f"corpus pass's $corpusMb%.0f MB")
-      require(deltaMb < corpusMb * nDelta / nDocs * 10,
-        f"delta probe shuffled $deltaMb%.0f MB — over 10x the " +
-          f"pro-rata share ${corpusMb * nDelta / nDocs}%.1f MB")
+      val naiveMb = naiveW / 1e6
+      // DELTA-sized, two ways: within 10x the delta's pro-rata
+      // per-doc share of the corpus LAKE BUILD's shuffle (the
+      // honest corpus-linear baseline — the bucketed self-pair pass
+      // is itself nearly shuffle-free by design), and an order of
+      // magnitude under the naive union shape's corpus-sized cost
+      require(deltaMb < lakeMb * nDelta / nDocs * 10,
+        f"split probe shuffled $deltaMb%.1f MB — over 10x the " +
+          f"pro-rata lake share ${lakeMb * nDelta / nDocs}%.1f MB")
+      require(naiveMb > deltaMb * 10,
+        f"union-shape control shuffled $naiveMb%.1f MB, not >10x the " +
+          f"split probe's $deltaMb%.1f MB — did bucketing start " +
+          "surviving unions? update deltaVerdictsSplit's scaladoc")
       verdicts.unpersist()
       println(f"[stress-delta] lake build: $tLake%.1f s " +
-        f"shuffle=${lakeW / 1e6}%.0f MB; corpus self-pass: " +
+        f"shuffle=$lakeMb%.0f MB; corpus self-pass: " +
         f"$tCorpus%.1f s shuffle=$corpusMb%.0f MB")
-      println(f"[stress-delta] delta probe ($nDelta docs): $tDelta%.1f s " +
-        f"shuffle=$deltaMb%.1f MB " +
-        f"(${deltaMb / corpusMb * 100}%.1f%% of corpus pass; pro-rata " +
-        f"share would be ${corpusMb * nDelta / nDocs}%.1f MB) " +
-        f"recall=$recall%.4f novel_new=$nNovel/$nNovel dup_of_delta=0")
+      println(f"[stress-delta] split probe ($nDelta docs): $tDelta%.1f s " +
+        f"shuffle=$deltaMb%.1f MB (pro-rata lake share " +
+        f"${lakeMb * nDelta / nDocs}%.1f MB); union-shape control: " +
+        f"$tNaive%.1f s shuffle=$naiveMb%.0f MB " +
+        f"(${naiveMb / math.max(deltaMb, 0.001)}%.0fx the split probe)")
+      println(f"[stress-delta] recall=$recall%.4f " +
+        f"($nRecalled/$nDeltaCliques) novel_new=$nNovel/$nNovel " +
+        f"dup_of_delta=0 split==union verdicts")
       spark.stop()
     } finally {
       import scala.util.Try
@@ -813,6 +865,176 @@ object Stress {
       require(counts.size == 1,
         s"providers disagree on emitted row count: $counts")
       println(s"[stress-ss] all providers emitted ${counts.head} rows")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
+
+  /** Corpus-sized STATE GROWTH under the three providers (VERDICT r19
+    * task 5): the provider matrix proved semantics and priced
+    * fixture-scale wall time, but the actual benefit claim — commit
+    * cost stops scaling with state size under changelog checkpointing
+    * — was prose. This drives the w21-form dedup state
+    * (`dropDuplicates`, unbounded first-seen-wins — the shape whose
+    * state is CORPUS-sized in production) through `nBatches`
+    * micro-batches of `keysPerBatch` NEW keys each (state grows
+    * linearly to nBatches·keysPerBatch rows) under heap, RocksDB, and
+    * RocksDB+changelog, and records per batch: numRowsTotal, the
+    * state commit time (StateOperatorProgress.commitTimeMs), and the
+    * per-version checkpoint artifacts by extension (heap writes a
+    * full-state .snapshot cadence over .delta files; RocksDB without
+    * changelog uploads a .zip per version whose size tracks the full
+    * state; with changelog it uploads a flat per-batch .changelog and
+    * only occasional maintenance snapshots).
+    *
+    * Gates: every provider ends at nBatches·keysPerBatch state rows;
+    * the non-changelog RocksDB .zip grows with state (last ≥ 3× the
+    * early versions); the changelog mode's per-version .changelog
+    * stays FLAT (max ≤ 2× min) — the structural signature of
+    * commit-cost-independent-of-state-size. Commit latencies are
+    * printed for SCALE.md, not gated: wall-clock on this host is
+    * ambient-shaped, artifact bytes are not.
+    *
+    *   sbt "runMain graft.tools.Stress statestore growth [nBatches] [keysPerBatch]"
+    *                                                      (20)        (50000)
+    */
+  private def stateStoreGrowthMain(args: Array[String]): Unit = {
+    val nBatches = args.lift(0).map(_.toInt).getOrElse(20)
+    val keysPerBatch = args.lift(1).map(_.toInt).getOrElse(50000)
+    val spark = Sessions.build("graft-stress-ss-growth")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_ssg_").toString
+    try {
+      // one batch = one file = keysPerBatch NEVER-seen keys with a
+      // 64-char payload (state rows must have real width for artifact
+      // sizes to mean anything)
+      val src = s"$dir/in"
+      (0 until nBatches).foreach { b =>
+        spark.range(keysPerBatch.toLong).select(
+            (col("id") + b.toLong * keysPerBatch).as("key"),
+            concat(lit("payload_"), col("id"),
+              lit("x" * 64)).as("payload"))
+          .coalesce(1)
+          .write.mode(if (b == 0) "overwrite" else "append").parquet(src)
+      }
+      println(s"[stress-ssg] $nBatches batches x $keysPerBatch new keys " +
+        s"-> ${nBatches.toLong * keysPerBatch} state rows at drain end")
+
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val logKey = "spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled"
+      val rocks = "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"
+
+      // per-version artifact bytes by extension under ck/state
+      def artifacts(ck: String): Map[(String, Long), Long] = {
+        val root = java.nio.file.Paths.get(ck, "state")
+        if (!Files.exists(root)) Map.empty
+        else {
+          val acc = scala.collection.mutable.Map
+            .empty[(String, Long), Long]
+          Files.walk(root).forEach { p =>
+            if (Files.isRegularFile(p)) {
+              val n = p.getFileName.toString
+              n.split('.') match {
+                case Array(v, ext)
+                    if v.forall(_.isDigit) &&
+                      Seq("zip", "changelog", "delta", "snapshot")
+                        .contains(ext) =>
+                  val k = (ext, v.toLong)
+                  acc(k) = acc.getOrElse(k, 0L) + Files.size(p)
+                case _ => ()
+              }
+            }
+          }
+          acc.toMap
+        }
+      }
+
+      case class Arm(label: String, prov: Option[String],
+                     changelog: Boolean)
+      val arms = Seq(Arm("heap", None, changelog = false),
+        Arm("rocksdb", Some(rocks), changelog = false),
+        Arm("rocksdb+changelog", Some(rocks), changelog = true))
+      val summary = arms.map { arm =>
+        arm.prov.fold(spark.conf.unset(provKey))(
+          spark.conf.set(provKey, _))
+        spark.conf.set(logKey, arm.changelog.toString)
+        val ck = s"$dir/ck_${arm.label.replace('+', '_')}"
+        val q = spark.readStream
+          .schema("key LONG, payload STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .dropDuplicates("key")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ck)
+          .format("noop")
+          .start()
+        q.awaitTermination()
+        val progress = q.recentProgress.toSeq
+          .filter(_.stateOperators.nonEmpty)
+          .sortBy(_.batchId)
+        spark.conf.unset(provKey)
+        spark.conf.unset(logKey)
+
+        val art = artifacts(ck)
+        def extSeries(ext: String): Seq[(Long, Long)] =
+          art.collect { case ((e, v), b) if e == ext => (v, b) }
+            .toSeq.sortBy(_._1)
+        println(s"[stress-ssg] provider=${arm.label}")
+        progress.foreach { p =>
+          val so = p.stateOperators.head
+          val v = p.batchId + 1 // state version committed by batch N
+          val perExt = Seq("delta", "snapshot", "zip", "changelog")
+            .flatMap(e => art.get((e, v)).map(b =>
+              f"$e=${b / 1024}%dKB"))
+            .mkString(" ")
+          println(f"[stress-ssg]   batch=${p.batchId}%2d " +
+            f"rowsTotal=${so.numRowsTotal}%8d " +
+            f"commitMs=${so.commitTimeMs}%6d $perExt")
+        }
+        val rowsEnd = progress.lastOption
+          .map(_.stateOperators.head.numRowsTotal).getOrElse(0L)
+        require(rowsEnd == nBatches.toLong * keysPerBatch,
+          s"${arm.label}: final state rows $rowsEnd != " +
+            s"${nBatches.toLong * keysPerBatch}")
+        val commits = progress.map(_.stateOperators.head.commitTimeMs)
+        val firstC = commits.take(5)
+        val lastC = commits.takeRight(5)
+        println(f"[stress-ssg]   commitMs first5=" +
+          firstC.mkString("/") + " last5=" + lastC.mkString("/"))
+        (arm.label, extSeries("zip"), extSeries("changelog"),
+          extSeries("delta"), extSeries("snapshot"))
+      }
+
+      // gates on the artifact-size shapes
+      val rocksZips = summary.find(_._1 == "rocksdb").get._2
+      require(rocksZips.size >= nBatches - 2,
+        s"rocksdb arm wrote ${rocksZips.size} version zips for " +
+          s"$nBatches batches — provider not engaged as expected")
+      val earlyZip = rocksZips.take(3).map(_._2).max
+      val lateZip = rocksZips.takeRight(3).map(_._2).min
+      require(lateZip >= 3L * earlyZip,
+        s"rocksdb snapshot zips did not grow with state: early " +
+          s"$earlyZip B vs late $lateZip B")
+      val logArm = summary.find(_._1 == "rocksdb+changelog").get
+      val logs = logArm._3
+      require(logs.size >= nBatches - 2,
+        s"changelog arm wrote ${logs.size} changelogs for $nBatches " +
+          "batches — changelog checkpointing not engaged")
+      val logSizes = logs.map(_._2)
+      require(logSizes.max <= 2L * math.max(logSizes.min, 1),
+        s"changelog per-version bytes not flat: min ${logSizes.min} " +
+          s"max ${logSizes.max}")
+      println(f"[stress-ssg] GATES: rocksdb zip grows " +
+        f"${earlyZip / 1024}%dKB -> ${lateZip / 1024}%dKB (>=3x); " +
+        f"changelog flat ${logSizes.min / 1024}%dKB..." +
+        f"${logSizes.max / 1024}%dKB (<=2x)")
       spark.stop()
     } finally {
       import scala.util.Try
