@@ -152,6 +152,31 @@ class CapPlumbSpec extends SparkTestBase {
     } finally { sh.unpersist(); () }
   }
 
+  test("deltaVerdictsSplit == deltaVerdicts verdict-for-verdict " +
+      "(default and capped) — the decomposition the streaming gate " +
+      "and the width harness rely on, pinned at suite scale") {
+    // external-delta shape: the last boiler docs' signatures treated
+    // as a fresh batch (corpus relations exclude them), matching the
+    // streaming gate's anti-joined state tables
+    val th = BoilerStart + 40
+    val dBands = bands.where(col("doc_id") >= th)
+    val dSets = sets.where(col("doc_id") >= th)
+    val cBands = bands.where(col("doc_id") < th)
+    val cSets = sets.where(col("doc_id") < th)
+    val deltaIds = spark.range(th, BoilerStart + NBoiler)
+      .select(col("id").as("doc_id"))
+    for (cap <- Seq(None, Some(16))) {
+      val split = LlmQueries.deltaVerdictsSplit(cBands, cSets, dBands,
+        dSets, deltaIds, th, cap)
+      val single = LlmQueries.deltaVerdicts(
+        cBands.unionByName(dBands), dBands, cSets.unionByName(dSets),
+        deltaIds, th, cap)
+      assert(split.exceptAll(single).isEmpty &&
+        single.exceptAll(split).isEmpty,
+        s"split != single probe at maxDf=$cap")
+    }
+  }
+
   test("deltaVerdicts maxDf: hot keys counted over the corpus side — " +
       "a boilerplate delta flips dup_of_corpus -> new under the cap") {
     // delta = the last 40 boiler docs probing a corpus that already
