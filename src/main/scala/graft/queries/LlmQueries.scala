@@ -260,6 +260,44 @@ object LlmQueries {
     Some(s"""WITH $d2SqlCtes
       SELECT i, j, jac FROM pairs ORDER BY i, j"""))
 
+  // d2b (round 19): the CAPPED pair build on the oracle gate — the
+  // boilerplate-bucket guard (`maxDf`, Text.capBandKeys plumbed
+  // through verifiedPairs) graded end to end, not just spec-pinned.
+  // maxDf=32 cuts exactly the fixture's two organically hot band
+  // buckets (df 178 and 203 at sf0.01 — the big near-dup families;
+  // the organic tail tops out at df 30), so the query is non-vacuous
+  // at the gate and the df cut is integer-exact on both engines (no
+  // rounding class). The oracle re-derives the cap relationally:
+  // hot = band keys with df > 32, anti-joined out of the band table
+  // before candidate generation, then the same verify.
+  private val qD2b = Q("d2b_capped_pairs",
+    (s, d) => {
+      val bands = dedupBands(s, d)
+      Q.sortedSmall(
+        verifiedPairs(bands, bands, dedupSets(s, d), maxDf = Some(32)),
+        "i", "j")
+    },
+    Some(s"""WITH $d2SqlCtes,
+      hot AS (
+        SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > 32),
+      bandsc AS (
+        SELECT b.* FROM bands b WHERE NOT EXISTS (
+          SELECT 1 FROM hot h WHERE h.band = b.band AND h.bkey = b.bkey)),
+      candc AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bandsc a JOIN bandsc b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pairsc AS (
+        SELECT i, j, jac FROM (
+          SELECT c.i, c.j,
+            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+              AS jac
+          FROM candc c JOIN sets a ON c.i = a.doc_id
+                       JOIN sets b ON c.j = b.doc_id)
+        WHERE jac >= 0.95)
+      SELECT i, j, jac FROM pairsc ORDER BY i, j"""))
+
   private[queries] lazy val d2SqlCtes = s"""ex AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS s
         FROM documents),
@@ -674,6 +712,32 @@ object LlmQueries {
       val bands = dedupBands(s, d)
       deltaVerdicts(bands, bands.where(col("doc_id") >= th),
           dedupSets(s, d), docs.where(col("doc_id") >= th), th)
+        .orderBy("doc_id")
+    },
+    d8OracleSql)
+
+  // d8b (round 19): the EXTERNAL-delta probe shape on the oracle gate
+  // — [[deltaVerdictsSplit]], the form the streaming ingest gate runs
+  // per micro-batch (corpus relations un-unioned so the probe's
+  // shuffle stays delta-sized at width; `tools/Stress dedupdelta`
+  // measured the union shape at 45× this one). Same delta (top
+  // doc_id decile), same verdicts as d8 by the decomposition proof
+  // (CapPlumbSpec pins split == single at suite scale), so d8's
+  // DuckDB oracle grades this plan verbatim — what the gate checks
+  // here is that the split PLAN, with corpus and delta relations
+  // genuinely disjoint, lands the identical answer.
+  private val qD8b = Q("d8b_external_delta",
+    (s, d) => {
+      val docs = T(s, d, "documents")
+      val th = docs.agg(max("doc_id")).head().getLong(0) * 9 / 10
+      val bands = dedupBands(s, d)
+      val sets = dedupSets(s, d)
+      deltaVerdictsSplit(
+          bands.where(col("doc_id") < th),
+          sets.where(col("doc_id") < th),
+          bands.where(col("doc_id") >= th),
+          sets.where(col("doc_id") >= th),
+          docs.where(col("doc_id") >= th), th)
         .orderBy("doc_id")
     },
     d8OracleSql)
@@ -2406,7 +2470,7 @@ object LlmQueries {
       GROUP BY 1 ORDER BY t1.qid"""))
 
   val all: Seq[Q] =
-    Seq(qD1, qD2, qD3, qD4, qD5, qD6, qD7, qD8, qD9, qW22,
+    Seq(qD1, qD2, qD2b, qD3, qD4, qD5, qD6, qD7, qD8, qD8b, qD9, qW22,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9, qT10,
       qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
       qM1, qM2, qM3, qM4, qC1)

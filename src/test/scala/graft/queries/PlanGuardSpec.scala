@@ -43,15 +43,17 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!p.contains("Generate explode"), p)
   }
 
-  test("d8's probe rides the bucketed signature-lake layout — no " +
-    "exchange ever shuffles a lake-table scan") {
-    // the dedup band/set tables are written bucketBy((band, bkey) /
-    // doc_id): the incremental probe's joins must consume the on-disk
-    // layout, so no Exchange (shuffle OR broadcast build) may sit
-    // directly above a lake-table scan. Exchanges of candidate-sized
-    // relations downstream of a join/aggregate barrier are fine — those
-    // move delta-sized data. Asserted in the cluster shape (broadcasts
-    // disabled), like s14: at 100 TB nothing here fits a broadcast.
+  // the dedup band/set tables are written bucketBy((band, bkey) /
+  // doc_id): a probe's joins must consume the on-disk layout, so no
+  // Exchange (shuffle OR broadcast build) may sit directly above a
+  // lake-table scan. Exchanges of candidate-sized relations downstream
+  // of a join/aggregate barrier are fine — those move delta-sized
+  // data. Asserted in the cluster shape (broadcasts disabled), like
+  // s14: at 100 TB nothing here fits a broadcast. Shared by the d8
+  // single-probe pin and d8b's split-probe pin (round 19): the split
+  // form exists precisely so the corpus lake relations stay
+  // un-unioned and un-shuffled per batch.
+  private def assertNoLakeShuffle(name: String): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
@@ -69,7 +71,7 @@ class PlanGuardSpec extends SparkTestBase {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try {
-      val df = SparkEntry.queries("d8_incremental_dedup")(spark, sf)
+      val df = SparkEntry.queries(name)(spark, sf)
       val root = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.initialPlan
         case p => p
@@ -78,11 +80,21 @@ class PlanGuardSpec extends SparkTestBase {
         case e: Exchange if lakeScanWithoutBarrier(e.child) => e.nodeName
       }
       assert(offenders.isEmpty,
-        s"lake-table scans shuffled by:\n${offenders.mkString("\n")}")
+        s"$name: lake-table scans shuffled by:\n${offenders.mkString("\n")}")
       val p = planOf(df)
       assert(p.contains("Bucketed: true"), p)
       assert(p.contains("SortMergeJoin"), p)
     } finally spark.conf.set(key, prev)
+  }
+
+  test("d8's probe rides the bucketed signature-lake layout — no " +
+    "exchange ever shuffles a lake-table scan") {
+    assertNoLakeShuffle("d8_incremental_dedup")
+  }
+
+  test("d8b's SPLIT probe keeps the same property with corpus and " +
+    "delta relations disjoint — no exchange above a lake-table scan") {
+    assertNoLakeShuffle("d8b_external_delta")
   }
 
   test("d4's hot-shingle cut is a broadcast of the per-lang hot list") {
