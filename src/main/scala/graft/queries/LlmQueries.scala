@@ -1436,21 +1436,13 @@ object LlmQueries {
       .cache()
   }
 
-  /** Exact cosine of candidate (i, j) pairs via the array-form dot
-    * product: two equi-joins against the cached (id, q, sq) relation and
-    * one codegen'd HOF per row — no per-dimension explode shuffle.
+  /** Exact cosine of candidate (i, j) pairs — the shared re-score
+    * ([[graft.ops.Similarity.cosineOf]]; body moved there in round 19
+    * so the width harness re-scores through the identical arithmetic).
     */
   private def cosineOf(cand: DataFrame, q: DataFrame, iCol: String,
                        jCol: String): DataFrame =
-    cand
-      .join(q.select(col("vec_id").as(iCol), col("q").as("qa"),
-        col("sq").as("sqa")), Seq(iCol))
-      .join(q.select(col("vec_id").as(jCol), col("q").as("qb"),
-        col("sq").as("sqb")), Seq(jCol))
-      .withColumn("cosine",
-        Similarity.dotq(col("qa"), col("qb")).cast("double") /
-          sqrt(col("sqa").cast("double") * col("sqb").cast("double")))
-      .drop("qa", "qb", "sqa", "sqb")
+    Similarity.cosineOf(cand, q, iCol, jCol)
 
   /** DuckDB CTE prefix shared by e1/e2: exploded (vec_id, pos, x) and
     * exact decimal squared norms.
@@ -1545,11 +1537,10 @@ object LlmQueries {
     val bk = lshBuckets(s, d, Similarity.bandsFor)
     val probes = bk.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("band"), col("bucket"))
-    val cand = bk.select(col("vec_id").as("tid"), col("band"), col("bucket"))
-      .join(broadcast(probes), Seq("band", "bucket"))
-      .where(col("tid") =!= col("qid"))
-      .select("qid", "tid").distinct()
-    Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
+    // the shared probe body (candidates → exact re-score → top-k):
+    // identical dataflow to the pre-round-19 inline form, now the ONE
+    // implementation the width harness and CI spec also run
+    Similarity.annTopK(bk, probes, q, 3)
   }
 
   /** e2's ranked CTE chain (expects x/n in scope): defines `ranked2`. */
@@ -1639,42 +1630,29 @@ object LlmQueries {
   private val IvfC = 16
   private val IvfNprobe = 4
 
-  /** Per-vector cell scores (id, cid, cos, rn): cosine to each of the C
-    * broadcast centroids, ranked per vector (rn = 1 is the assignment).
-    * Map-only: one codegen'd HOF dot per (vector, centroid) — the shape
-    * that scales as a broadcast-argmin pass at 100 TB.
+  /** e4's sampled codebook: the first C corpus vectors, collected as
+    * literal centroids (C·dims longs of dimension metadata — the
+    * [[graft.ops.Kmeans]] codebook pattern). Round 19 replaced the
+    * window-over-(n·C) `ivfScores` shape here: ranking the full
+    * vector×centroid cross product shuffled AND cached n·C rows —
+    * invisible at C=16 on the fixture, n^1.5 at width once C scales
+    * ≈ √N. Assignment is now a map-only argmax over the literal
+    * codebook ([[graft.ops.Similarity.ivfTopK]]), identical values
+    * (same exact integer dots, same IEEE cosine, same tie-break), so
+    * the oracle is unchanged.
     */
-  private def ivfScores(q: DataFrame): DataFrame = {
-    val cents = q.where(col("vec_id") < IvfC)
-      .select(col("vec_id").as("cid"), col("q").as("cq"),
-        col("sq").as("csq"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cid"))
-    q.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (Similarity.dotq(col("q"), col("cq")).cast("double") /
-          sqrt(col("sq").cast("double") * col("csq").cast("double")))
-          .as("cos"))
-      .withColumn("rn", row_number().over(w))
-  }
+  private def ivfCents(q: DataFrame): Seq[(Long, Seq[Long], Long)] =
+    Similarity.sampledCents(q, 0L, IvfC)
 
   /** e4's ranked result: IVF ANN — each vector is assigned to its
-    * nearest sampled centroid (rn = 1); a probe searches the vectors
-    * assigned to its nprobe nearest cells; survivors are re-scored with
-    * the exact integer cosine.
+    * nearest sampled centroid; a probe searches the vectors assigned
+    * to its nprobe nearest cells; survivors are re-scored with the
+    * exact integer cosine. One shared probe body with the width
+    * harness ([[graft.ops.Similarity.ivfTopK]] — map-only assignment
+    * against the literal codebook).
     */
-  private def e4Top(q: DataFrame): DataFrame = {
-    val scores = ivfScores(q).cache()
-    val assign = scores.where(col("rn") === 1)
-      .select(col("vec_id").as("tid"), col("cid"))
-    val probeCells = scores
-      .where(col("vec_id") < 5 && col("rn") <= IvfNprobe)
-      .select(col("vec_id").as("qid"), col("cid"))
-    val cand = assign.join(broadcast(probeCells), Seq("cid"))
-      .where(col("tid") =!= col("qid"))
-      .select("qid", "tid")
-    Similarity.topK(cosineOf(cand, q, "qid", "tid"), 3)
-  }
+  private def e4Top(q: DataFrame): DataFrame =
+    Similarity.ivfTopK(q, ivfCents(q), 5L, IvfNprobe, 3)
 
   /** e4's ranked CTE chain (expects x/n in scope): defines `ranked4`. */
   private val e4SqlCtes =
@@ -1719,6 +1697,41 @@ object LlmQueries {
       .select(col("qid"), col("tid"), col("rank"),
         round(col("cosine"), 6).as("cosine"))
       .transform(Q.sortedSmall(_, "qid", "rank")),
+    Some(s"""WITH $embSqlPrefix,
+      $e4SqlCtes
+      SELECT qid, tid, rank, round(cosine, 6) AS cosine
+      FROM ranked4 WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  // e4b (round 19): the INVERTED-FILE lake probe on the oracle gate —
+  // the physical form a production IVF index serves from, graded on
+  // e4's oracle verbatim (the d8b pattern). The assignment relation is
+  // persisted partitionBy("cell") carrying each vector's quantized
+  // array + norm (Materialize.partitionedTable), and the probe pushes
+  // the probed cells as a STATIC literal partition filter (collected
+  // driver-side — ≤ C ints of dimension metadata; the width harness
+  // measured runtime dynamic pruning a no-op in this shape, see
+  // Similarity.ivfLakeTopK), so the scan lists/reads only ~nprobe/C
+  // of the corpus; probe vectors broadcast, target vectors already in
+  // the pruned scan. Nothing corpus-sized shuffles; same answer as e4
+  // by construction (same codebook, same assignment argmax, same
+  // probe fan-out, same exact re-score).
+  private val qE4b = Q("e4b_ivf_lake",
+    (s, d) => {
+      val q = embQ(s, d)
+      val cents = ivfCents(q)
+      val lake = Materialize.partitionedTable(s, d, "ivf_lake",
+        Seq("cell"))(
+        q.select(col("vec_id"), col("q"), col("sq"),
+          Similarity.ivfAssign(cents).as("cell")))
+      val probesV = q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("sq").as("qsq"))
+      val cells = Similarity.ivfProbeCells(q, cents, 5L, IvfNprobe)
+      Similarity.ivfLakeTopK(lake, probesV, cells, 3)
+        .select(col("qid"), col("tid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .transform(Q.sortedSmall(_, "qid", "rank"))
+    },
     Some(s"""WITH $embSqlPrefix,
       $e4SqlCtes
       SELECT qid, tid, rank, round(cosine, 6) AS cosine
@@ -2472,6 +2485,6 @@ object LlmQueries {
   val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD5, qD6, qD7, qD8, qD8b, qD9, qW22,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9, qT10,
-      qE1, qE2, qE3, qE4, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
+      qE1, qE2, qE3, qE4, qE4b, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
       qM1, qM2, qM3, qM4, qC1)
 }

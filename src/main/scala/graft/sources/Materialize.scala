@@ -183,6 +183,28 @@ object Materialize {
     spark.table(tbl)
   }
 
+  /** The named HIVE-PARTITIONED table for fixture `dir`: like
+    * [[table]], but written `partitionBy(cols)` so the partition
+    * values are directory structure and readers filtering on them
+    * scan only the matching directories. This is the inverted-file
+    * layout of a production IVF index (e4b): the cell id is the
+    * partition, a probe reads `nprobe` cells and never the corpus
+    * (via a literal partition filter — see Similarity.ivfLakeTopK for
+    * why the filter is static, not dynamic-pruning).
+    */
+  def partitionedTable(spark: SparkSession, dir: String, name: String,
+                       cols: Seq[String])
+                      (build: => DataFrame): DataFrame = {
+    val p = synchronized {
+      builtTables.getOrElseUpdate(("partitioned", dir, name), {
+        val out = path(dir, name)
+        build.write.mode("overwrite").partitionBy(cols: _*).parquet(out)
+        out
+      })
+    }
+    spark.read.parquet(p)
+  }
+
   /** Whether the named table has already been built this JVM — lets a
     * caller group several table builds around one shared cached input
     * and release it when all are written. `family` selects the

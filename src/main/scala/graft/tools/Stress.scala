@@ -32,6 +32,18 @@
 //     artifact sizes under the three providers (changelog commit cost
 //     flat while snapshot cost grows).
 //
+// Round-19 sibling mode:
+//   Stress ann [nBackground1] [nBackground2] [nProbes] [nNbr]
+//     [nprobe] — the ANN tier at TWO corpus widths, both families
+//     through their graded probe bodies: banded-LSH (e2/e3 via
+//     Similarity.annTopK — planted recall, bits-ladder bucket
+//     population, candidates-per-probe sublinearity, probe shuffle
+//     candidate-sized vs a live corpus-shuffle control, small-width
+//     brute-force truth control) and inverted-file IVF (e4b via
+//     Similarity.ivfLakeTopK at C=√N — recall, cell-bounded scan
+//     fraction, partition pruning physically engaged, sublinear probe
+//     shuffle).
+//
 // Synthetic panel shape: 50 groups of correlated series — series u's
 // value is a shared per-group SMOOTH signal (a sinusoid at the group's
 // own integer frequency: distinct frequencies are orthogonal over the
@@ -65,6 +77,7 @@ object Stress {
     case Some("statestore") if args.lift(1).contains("growth") =>
       stateStoreGrowthMain(args.drop(2))
     case Some("statestore") => stateStoreMain(args.drop(1))
+    case Some("ann") => annMain(args.drop(1))
     case _ => corrMain(args)
   }
 
@@ -79,6 +92,7 @@ object Stress {
     private val write = new AtomicLong
     private val read = new AtomicLong
     private val stages = new AtomicLong
+    private val inRecords = new AtomicLong
     private val listener = new SparkListener {
       override def onStageCompleted(
           s: SparkListenerStageCompleted): Unit = {
@@ -86,12 +100,18 @@ object Stress {
         if (m != null) {
           write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          inRecords.addAndGet(m.inputMetrics.recordsRead)
           stages.incrementAndGet()
           ()
         }
       }
     }
     sc.addSparkListener(listener)
+    /** Source records read in the measured scope (valid after
+      * [[finish]]) — the ann IVF arm's physical-pruning gate: a probe
+      * whose lake scan was NOT partition-pruned reads ≥ corpus rows.
+      */
+    def inputRecords: Long = inRecords.get
     /** Drain (poll until the stage count is stable), detach, and
       * return (shuffleWriteBytes, shuffleReadBytes).
       */
@@ -1079,6 +1099,365 @@ object Stress {
         f"changelog flat ${logSizes.min / 1024}%d..." +
         f"${logSizes.max / 1024}%dKB per commit, " +
         f"${logArm._2.size} zips (maintenance only)")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
+
+  /** Per-width measurements of the banded-LSH ANN probe. */
+  private final case class AnnWidth(
+      n: Long, bits: Int, bands: Int, embBytes: Long,
+      wMeanBucket: Double, nCand: Long, recall: Double,
+      tIndex: Double, tProbe: Double, indexW: Long, probeW: Long,
+      naiveW: Long, tNaive: Double, ivf: AnnIvf)
+
+  /** Per-width measurements of the inverted-file IVF probe (e4b's
+    * graded shape at production C ≈ √N).
+    */
+  private final case class AnnIvf(
+      c: Int, nprobe: Int, recall: Double, nCand: Long,
+      tIndex: Double, tProbe: Double, probeW: Long, inputRec: Long,
+      oneProbeRec: Long)
+
+  /** The ANN tier (e2/e3's banded hyperplane LSH — the production
+    * probe body, [[graft.ops.Similarity.annTopK]]) at WIDTH (round
+    * 19): the tier's 100 TB posture was a geometric argument — the
+    * bits ladder holds bucket population ≈ 64 regardless of N, the
+    * band ramp holds recall as buckets narrow, so per-probe work is
+    * O(bands·64) ≈ O(log N) — but nothing had EXECUTED it past the
+    * 5k-vector fixture. This mode synthesizes an embedding corpus
+    * with planted near neighbors ([[AnnFixture]]: nNbr neighbors per
+    * probe at cosine ≈ 0.95, background near-orthogonal) at TWO
+    * widths, builds the persisted bucket lake, probes it through the
+    * SAME `annTopK` the graded e2 runs, and gates:
+    *
+    *   1. planted recall ≥ 0.95 at both widths (the band ramp holds);
+    *   2. size-weighted mean bucket occupancy ≤ 4× the 64 target at
+    *      both widths (the bits ladder holds on organic hash data);
+    *   3. the ladder actually STEPS across the width ratio
+    *      (bits₂ > bits₁ — a 5× corpus must not reuse the small
+    *      geometry);
+    *   4. candidates per probe grow ≤ 2× across the 5× width step
+    *      (per-probe work ~O(bands·64), not O(N));
+    *   5. the probe phase's shuffle is candidate-sized: grows ≤ 2× the
+    *      candidate ratio across the 5× step AND < 1/3 of the live
+    *      corpus-shuffle control (the pre-fix plain-equi-join
+    *      re-score, measured every run — it read 141 → 420 MB where
+    *      the lake-bucketed probe reads 3.3 → 10.8);
+    *   6. small-width brute-force control: the exact top-nNbr equals
+    *      the planted set pair-for-pair — the recall gate grades
+    *      against the true answer, not a convenient one.
+    *
+    * The IVF arm runs e4b's inverted-file shape at production
+    * C = ⌈√N⌉ (the fixture grades C=16): sampled centroids from the
+    * background region, the assignment lake persisted
+    * partitionBy("cell"), probes via [[graft.ops.Similarity
+    * .ivfLakeTopK]] — and gates (7) planted recall ≥ 0.90,
+    * (8) scanned fraction ≤ 3× nprobe/C (cells bound the probe),
+    * (9) the SINGLE-probe read is ~nprobe·(N/C) rows, never the
+    * corpus (partition pruning physically engaged; the 100-probe
+    * batch legitimately covers most cells — that scan is the
+    * amortized batch form), and (10) probe shuffle ≤ 3× across the
+    * width step (~√(width ratio) expected when C = √N).
+    *
+    *   sbt "runMain graft.tools.Stress ann [nBackground1]
+    *        [nBackground2] [nProbes] [nNbr] [nprobe]"
+    *        (200000 1000000 100 3 64)
+    */
+  private def annMain(args: Array[String]): Unit = {
+    val nBg1 = args.lift(0).map(_.toLong).getOrElse(200000L)
+    val nBg2 = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val nProbes = args.lift(2).map(_.toInt).getOrElse(100)
+    val nNbr = args.lift(3).map(_.toInt).getOrElse(3)
+    val nprobe = args.lift(4).map(_.toInt).getOrElse(64)
+    require(nBg2 > nBg1, s"width 2 ($nBg2) must exceed width 1 ($nBg1)")
+    val spark = Sessions.build("graft-stress-ann")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_ann_").toString
+
+    def runWidth(tag: String, nBackground: Long,
+                 bruteControl: Boolean): AnnWidth = {
+      val wdir = s"$dir/$tag"
+      AnnFixture.synthEmbeddings(spark, nProbes, nNbr, nBackground)
+        .write.mode("overwrite").parquet(s"$wdir/embeddings.parquet")
+      val embL = spark.read
+        .schema(graft.Catalog.schemas("embeddings"))
+        .parquet(s"$wdir/embeddings.parquet")
+      val embBytes = Files.walk(
+          java.nio.file.Paths.get(s"$wdir/embeddings.parquet"))
+        .filter(Files.isRegularFile(_))
+        .mapToLong(Files.size(_)).sum()
+      val n = embL.count()
+      val bits = graft.ops.Similarity.bitsFor(n)
+      val bands = graft.ops.Similarity.bandsFor(bits)
+      val signs = graft.ops.Similarity.planeSigns(bands, bits,
+        AnnFixture.Dims)
+
+      // --- index build: the persisted band lake + the vector lake ---
+      // production persists BOTH at index time: the band table the
+      // probe joins, and the quantized-vector table the re-score
+      // fetches targets from — BUCKETED by vec_id, so the re-score's
+      // target join plans zero exchanges on the lake side and only the
+      // candidate relation ever shuffles (the d8 lake posture)
+      val mIndex = new ShuffleMeter(spark.sparkContext)
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.bandBucketsFromSigns(
+          graft.ops.Similarity.withSqNorm(embL, "vec_id"),
+          "vec_id", signs)
+        .write.mode("overwrite").parquet(s"$wdir/bk")
+      val vecTbl = s"ann_vecs_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $vecTbl")
+      graft.ops.Similarity.withSqNorm(embL, "vec_id")
+        .write.mode("overwrite")
+        .bucketBy(32, "vec_id").sortBy("vec_id")
+        .option("path", s"$wdir/vecs")
+        .format("parquet").saveAsTable(vecTbl)
+      val tIndex = (System.nanoTime() - t0) / 1e9
+      val (indexW, _) = mIndex.finish()
+      val bkL = spark.read.parquet(s"$wdir/bk")
+
+      // size-weighted mean bucket occupancy — the expected bucket size
+      // a PROBE lands in (Σs²/Σs), the number that prices per-band
+      // probe cost; the plain mean rewards empty-heavy distributions
+      val bs = bkL.groupBy("band", "bucket").count()
+        .agg(sum(col("count") * col("count")).as("ss"),
+          sum(col("count")).as("s"))
+        .head()
+      val wMean = bs.getLong(0).toDouble / bs.getLong(1)
+
+      // --- the probe, via the ONE shared body (annTopK) -------------
+      val qL = spark.table(vecTbl)
+      val probes = bkL.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+      val mProbe = new ShuffleMeter(spark.sparkContext)
+      val t1 = System.nanoTime()
+      val top = graft.ops.Similarity.annTopK(bkL, probes, qL, nNbr)
+        .cache()
+      top.count()
+      val tProbe = (System.nanoTime() - t1) / 1e9
+      val (probeW, _) = mProbe.finish()
+
+      // candidate volume (un-metered second pass, same probe joins)
+      val nCand = graft.ops.Similarity.annCandidates(bkL, probes).count()
+
+      // the corpus-shuffle control: re-score through plain equi-joins
+      // against the UNBUCKETED vector projection — the shape annTopK
+      // shipped with until this harness measured it (141 → 420 MB
+      // probe shuffle across the 5× step, corpus-bound) — kept live
+      // so the structural fix's advantage stays a number, and a Spark
+      // version that learns to broadcast its way out fails loudly
+      val mNaive = new ShuffleMeter(spark.sparkContext)
+      val t2 = System.nanoTime()
+      val plainVecs = graft.ops.Similarity.withSqNorm(embL, "vec_id")
+      graft.ops.Similarity.topK(
+          graft.ops.Similarity.cosineOf(
+            graft.ops.Similarity.annCandidates(bkL, probes),
+            plainVecs, "qid", "tid"), nNbr)
+        .write.format("noop").mode("overwrite").save()
+      val tNaive = (System.nanoTime() - t2) / 1e9
+      val (naiveW, _) = mNaive.finish()
+
+      val truth = AnnFixture.plantedNeighbors(spark, nProbes, nNbr)
+      val nTruth = nProbes.toLong * nNbr
+      val hits = top.join(truth, Seq("qid", "tid")).count()
+      val recall = hits.toDouble / nTruth
+
+      if (bruteControl) {
+        // exact top-nNbr per probe == the planted set, pair for pair:
+        // ties the recall gate's truth to the true answer, and prices
+        // the brute-force scan the probe replaces
+        val t2 = System.nanoTime()
+        val pr = qL.where(col("vec_id") < nProbes)
+          .select(col("vec_id").as("qid"), col("q").as("qa"),
+            col("sq").as("qsq"))
+        val cos = qL.select(col("vec_id").as("tid"), col("q"), col("sq"))
+          .crossJoin(broadcast(pr))
+          .where(col("tid") =!= col("qid"))
+          .select(col("qid"), col("tid"),
+            (graft.ops.Similarity.dotq(col("q"), col("qa"))
+              .cast("double") /
+              sqrt(col("sq").cast("double") * col("qsq").cast("double")))
+              .as("cosine"))
+        val exact = graft.ops.Similarity.topK(cos, nNbr).cache()
+        val nExact = exact.count()
+        val tBrute = (System.nanoTime() - t2) / 1e9
+        val agree = exact.join(truth, Seq("qid", "tid")).count()
+        require(nExact == nTruth && agree == nTruth,
+          s"brute-force control: exact top-$nNbr has $nExact rows, " +
+            s"$agree planted of $nTruth — the planted truth is NOT " +
+            "the exact answer on this corpus")
+        exact.unpersist()
+        println(f"[stress-ann] $tag brute-force control: exact == " +
+          f"planted ($nTruth pairs), wall $tBrute%.1f s vs probe " +
+          f"$tProbe%.1f s")
+      }
+      top.unpersist()
+
+      // --- the IVF arm: e4b's inverted-file lake at C ≈ √N ----------
+      // centroids sampled from the background region (probes/planted
+      // excluded — a centroid that IS a probe would distort the cell
+      // geometry around exactly the vectors under test)
+      val ivfC = math.ceil(math.sqrt(n.toDouble)).toInt
+      val bg0 = nProbes.toLong * (1 + nNbr)
+      val cents = graft.ops.Similarity.sampledCents(qL, bg0, ivfC)
+      val mIvfIdx = new ShuffleMeter(spark.sparkContext)
+      val t3 = System.nanoTime()
+      // clustered write: one shuffle of n rows groups each cell's rows
+      // into one task, so the partitioned lake is ≤ C files, not
+      // tasks × C
+      qL.select(col("vec_id"), col("q"), col("sq"),
+          graft.ops.Similarity.ivfAssign(cents).as("cell"))
+        .repartition(32, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$wdir/ivf")
+      val tIvfIdx = (System.nanoTime() - t3) / 1e9
+      mIvfIdx.finish()
+      val lakeL = spark.read.parquet(s"$wdir/ivf")
+      val probesV = qL.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("sq").as("qsq"))
+      val cells = graft.ops.Similarity.ivfProbeCells(qL, cents,
+        nProbes, nprobe)
+      val mIvfPr = new ShuffleMeter(spark.sparkContext)
+      val t4 = System.nanoTime()
+      val ivfTop = graft.ops.Similarity.ivfLakeTopK(lakeL, probesV,
+          cells, nNbr)
+        .cache()
+      ivfTop.count()
+      val tIvfPr = (System.nanoTime() - t4) / 1e9
+      val (ivfProbeW, _) = mIvfPr.finish()
+      val ivfInputRec = mIvfPr.inputRecords
+      // per-probe scanned volume: lake rows landing in probed cells
+      val ivfCand = lakeL
+        .join(broadcast(cells), Seq("cell"))
+        .where(col("vec_id") =!= col("qid")).count()
+      val ivfHits = ivfTop.join(truth, Seq("qid", "tid")).count()
+      val ivfRecall = ivfHits.toDouble / nTruth
+      ivfTop.unpersist()
+
+      // the SINGLE-probe physical-pruning read (the serving case): a
+      // batch of 100 probes × nprobe cells covers nearly every cell,
+      // so the batch scan's input volume legitimately approaches the
+      // lake (the union IS the work, amortized across the batch —
+      // same as the LSH band-lake scan). One probe must read ~nprobe
+      // cells, i.e. ~nprobe/C of the corpus — the dynamic partition
+      // pruning engaging physically, not just in the plan
+      val m1p = new ShuffleMeter(spark.sparkContext)
+      graft.ops.Similarity.ivfLakeTopK(lakeL,
+          probesV.where(col("qid") === 0),
+          cells.where(col("qid") === 0), nNbr)
+        .write.format("noop").mode("overwrite").save()
+      m1p.finish()
+      val oneProbeRec = m1p.inputRecords
+
+      println(f"[stress-ann] $tag n=$n bits=$bits bands=$bands " +
+        f"wMeanBucket=$wMean%.1f cand=$nCand " +
+        f"(${nCand.toDouble / nProbes}%.0f/probe) " +
+        f"recall=$recall%.4f ($hits/$nTruth) " +
+        f"index=$tIndex%.1f s probe=$tProbe%.1f s " +
+        f"(naive control $tNaive%.1f s) " +
+        f"indexShuffle=${indexW / 1e6}%.1f MB " +
+        f"probeShuffle=${probeW / 1e6}%.1f MB " +
+        f"naiveShuffle=${naiveW / 1e6}%.1f MB " +
+        f"embBytes=${embBytes / 1e6}%.1f MB")
+      println(f"[stress-ann] $tag IVF C=$ivfC nprobe=$nprobe " +
+        f"recall=$ivfRecall%.4f ($ivfHits/$nTruth) " +
+        f"scanned/probe=${ivfCand.toDouble / nProbes}%.0f " +
+        f"(${ivfCand.toDouble / (nProbes.toLong * n)}%.4f of corpus; " +
+        f"nprobe/C=${nprobe.toDouble / ivfC}%.4f) " +
+        f"index=$tIvfIdx%.1f s probe=$tIvfPr%.1f s " +
+        f"probeShuffle=${ivfProbeW / 1e6}%.1f MB " +
+        f"batchInputRecords=$ivfInputRec " +
+        f"oneProbeInputRecords=$oneProbeRec (corpus $n)")
+      AnnWidth(n, bits, bands, embBytes, wMean, nCand, recall,
+        tIndex, tProbe, indexW, probeW, naiveW, tNaive,
+        AnnIvf(ivfC, nprobe, ivfRecall, ivfCand, tIvfIdx, tIvfPr,
+          ivfProbeW, ivfInputRec, oneProbeRec))
+    }
+
+    try {
+      val w1 = runWidth("w1", nBg1, bruteControl = true)
+      val w2 = runWidth("w2", nBg2, bruteControl = false)
+      val widthRatio = w2.n.toDouble / w1.n
+      val candRatio =
+        (w2.nCand.toDouble / nProbes) / (w1.nCand.toDouble / nProbes)
+      val probeShufRatio = w2.probeW.toDouble / math.max(w1.probeW, 1L)
+      // --- gates ---
+      require(w1.recall >= 0.95 && w2.recall >= 0.95,
+        f"planted recall ${w1.recall}%.4f / ${w2.recall}%.4f < 0.95")
+      require(w1.wMeanBucket <= 256 && w2.wMeanBucket <= 256,
+        f"weighted mean bucket ${w1.wMeanBucket}%.0f / " +
+          f"${w2.wMeanBucket}%.0f past 4x the 64 target — the bits " +
+          "ladder is not holding bucket population")
+      require(w2.bits > w1.bits,
+        s"bits ladder did not step (${w1.bits} -> ${w2.bits}) across " +
+          f"a $widthRatio%.1fx width step")
+      require(candRatio <= 2.0,
+        f"candidates/probe grew $candRatio%.2fx across a " +
+          f"$widthRatio%.1fx width step — probe cost is not " +
+          "O(bands x bucket)")
+      // probe shuffle must track CANDIDATES, not the corpus: bytes per
+      // candidate may not double across the step (at the measured 3-11
+      // MB absolutes a fixed ratio would gate encoding noise — id
+      // entropy, partition-count effects — instead of plan shape; the
+      // per-width naive-control gate below catches a corpus-shaped
+      // re-score regardless)
+      require(probeShufRatio <= 2.0 * candRatio,
+        f"probe shuffle grew $probeShufRatio%.2fx against a " +
+          f"$candRatio%.2fx candidate step (limit 2x) across the " +
+          f"$widthRatio%.1fx width step — shuffle is not " +
+          "candidate-bound")
+      require(w1.probeW * 3 < w1.naiveW && w2.probeW * 3 < w2.naiveW,
+        f"probe shuffle ${w1.probeW / 1e6}%.1f/${w2.probeW / 1e6}%.1f " +
+          f"MB is not < 1/3 of the corpus-shuffle control " +
+          f"(${w1.naiveW / 1e6}%.1f/${w2.naiveW / 1e6}%.1f MB)")
+      println(f"[stress-ann] GATES: recall ${w1.recall}%.4f/" +
+        f"${w2.recall}%.4f (>=0.95), wMeanBucket " +
+        f"${w1.wMeanBucket}%.0f/${w2.wMeanBucket}%.0f (<=256), bits " +
+        f"${w1.bits}->${w2.bits} (stepped), cand/probe x$candRatio%.2f" +
+        f" (<=2.0 at x$widthRatio%.1f width), probe shuffle " +
+        f"x$probeShufRatio%.2f (<=2x cand step), probe vs naive " +
+        f"control " +
+        f"${w1.probeW / 1e6}%.1f vs ${w1.naiveW / 1e6}%.1f / " +
+        f"${w2.probeW / 1e6}%.1f vs ${w2.naiveW / 1e6}%.1f MB (<1/3)")
+
+      // --- IVF gates (e4b's inverted-file shape at C ≈ √N) ---------
+      val sf1 = w1.ivf.nCand.toDouble / (nProbes.toDouble * w1.n)
+      val sf2 = w2.ivf.nCand.toDouble / (nProbes.toDouble * w2.n)
+      val ivfShufRatio =
+        w2.ivf.probeW.toDouble / math.max(w1.ivf.probeW, 1L)
+      require(w1.ivf.recall >= 0.90 && w2.ivf.recall >= 0.90,
+        f"IVF recall ${w1.ivf.recall}%.4f / ${w2.ivf.recall}%.4f " +
+          "< 0.90")
+      require(sf1 <= 3.0 * nprobe / w1.ivf.c &&
+          sf2 <= 3.0 * nprobe / w2.ivf.c,
+        f"IVF scanned fraction $sf1%.4f / $sf2%.4f past 3x nprobe/C " +
+          f"(${nprobe.toDouble / w1.ivf.c}%.4f / " +
+          f"${nprobe.toDouble / w2.ivf.c}%.4f) — cells are not " +
+          "bounding the probe")
+      // physical pruning is gated on the SINGLE-probe read (a batch of
+      // 100 probes × nprobe cells covers nearly every cell, so the
+      // batch read legitimately approaches the lake — amortized): one
+      // probe must read ~nprobe·(N/C) rows, never the corpus
+      def onePruned(w: AnnWidth): Boolean =
+        w.ivf.oneProbeRec < 3L * w.ivf.nprobe * (w.n / w.ivf.c) &&
+          w.ivf.oneProbeRec < w.n / 2
+      require(onePruned(w1) && onePruned(w2),
+        s"single-probe read ${w1.ivf.oneProbeRec} / " +
+          s"${w2.ivf.oneProbeRec} rows against corpora ${w1.n} / " +
+          s"${w2.n} — the lake scan was not partition-pruned")
+      require(ivfShufRatio <= 3.0,
+        f"IVF probe shuffle grew $ivfShufRatio%.2fx across the width " +
+          f"step — expected ~sqrt(width ratio) with C = sqrt(N)")
+      println(f"[stress-ann] IVF GATES: recall ${w1.ivf.recall}%.4f/" +
+        f"${w2.ivf.recall}%.4f (>=0.90), scanned $sf1%.4f/$sf2%.4f " +
+        f"(<=3x nprobe/C), one-probe read ${w1.ivf.oneProbeRec}/" +
+        f"${w2.ivf.oneProbeRec} rows vs corpora ${w1.n}/${w2.n} " +
+        f"(pruned), probe shuffle x$ivfShufRatio%.2f (<=3.0)")
       spark.stop()
     } finally {
       import scala.util.Try

@@ -97,6 +97,68 @@ class PlanGuardSpec extends SparkTestBase {
     assertNoLakeShuffle("d8b_external_delta")
   }
 
+  test("e4b's inverted-file probe prunes the lake scan to the probed " +
+    "cells STATICALLY and never shuffles it — literal cell partition " +
+    "filter (runtime DPP measured a no-op in this shape), probe " +
+    "relations broadcast, the only exchange is the candidate-sized " +
+    "top-k window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    spark.conf.set("spark.sql.maxMetadataStringLength", 4000)
+    // full traversal: sortedSmall caches the result, so the probe plan
+    // lives inside an InMemoryRelation (the a3f walk's lesson)
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val into = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+        case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      (p +: into) ++ p.children.flatMap(walk)
+    }
+    val df = SparkEntry.queries("e4b_ivf_lake")(spark, sf)
+    val nodes = walk(df.queryExecution.executedPlan)
+    // the lake scan carries the probed cells as a LITERAL partition
+    // filter — static pruning at file-listing time (the width harness
+    // measured the dynamic-pruning alternative reading the full
+    // corpus: the planted dynamicpruningexpression degenerates when
+    // the broadcast exchange isn't reused; see ivfLakeTopK's scaladoc)
+    val lakeScans = nodes.collect {
+      case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("ivf_lake")) => f
+    }
+    assert(lakeScans.nonEmpty, "no ivf_lake scan:\n" +
+      df.queryExecution.executedPlan)
+    // the literal list plans as INSET (or IN for short lists); a
+    // residual dynamicpruningexpression may coexist — redundant and
+    // harmless once the static filter prunes the file listing
+    assert(lakeScans.exists(f =>
+        f.metadata.get("PartitionFilters").exists(pf =>
+          pf.contains("cell") &&
+            (pf.contains("INSET") || pf.contains(" IN (")))),
+      s"lake scan has no literal cell IN/INSET partition filter: " +
+        lakeScans.map(_.metadata.get("PartitionFilters")).mkString(" | "))
+    // no exchange (shuffle OR broadcast build) sits above the lake
+    // scan: both probe relations arrive as explicit broadcasts of
+    // probe-sized data, so the corpus rows never cross the wire before
+    // the join — the d8 lake posture
+    def lakeScanWithoutBarrier(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.metadata.get("Location").exists(_.contains("ivf_lake"))
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        false
+      case other => other.children.exists(lakeScanWithoutBarrier)
+    }
+    val offenders = nodes.collect {
+      case e: Exchange if lakeScanWithoutBarrier(e.child) => e.nodeName
+    }
+    assert(offenders.isEmpty,
+      s"ivf_lake scan shuffled by:\n${offenders.mkString("\n")}")
+  }
+
   test("d4's hot-shingle cut is a broadcast of the per-lang hot list") {
     val p = plan("d4_ngram_jaccard")
     // the max-df cut joins the tiny per-lang hot arrays as the BUILD
