@@ -1581,6 +1581,42 @@ object LlmQueries {
       SELECT qid, tid, rank, round(cosine, 6) AS cosine
       FROM ranked2 WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  // e2b (round 19): e2's probe against the PERSISTED index lakes — the
+  // physical form a production LSH index serves from, graded on e2's
+  // oracle verbatim (the d8b/e4b pattern). Two lake tables: the band
+  // relation as plain parquet (the probe side broadcasts into it —
+  // scanned, never shuffled) and the quantized-vector relation
+  // BUCKETED by vec_id (Materialize.bucketedTable), so the re-score's
+  // target fetch — the join the width harness caught corpus-shuffling
+  // in the naive shape (141 → 420 MB, `tools/Stress ann`) — rides the
+  // on-disk layout: only the slim candidate relation exchanges, the
+  // vector lake plans zero exchanges (PlanGuardSpec pins it in the
+  // cluster shape). Same geometry, same arithmetic, same answer as e2.
+  private val qE2b = Q("e2b_lsh_lake",
+    (s, d) => {
+      val bkL = Materialize.table(s, d, "lsh_bands") {
+        val bits = Similarity.bitsFor(T(s, d, "embeddings").count())
+        val signs = Similarity.planeSigns(Similarity.bandsFor(bits),
+          bits, EmbDims)
+        Similarity.bandBucketsFromSigns(
+          Similarity.withSqNorm(T(s, d, "embeddings"), "vec_id"),
+          "vec_id", signs)
+      }
+      val vecL = Materialize.bucketedTable(s, d, "emb_vecs", 32,
+        Seq("vec_id"))(
+        Similarity.withSqNorm(T(s, d, "embeddings"), "vec_id"))
+      val probes = bkL.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("band"), col("bucket"))
+      Similarity.annTopK(bkL, probes, vecL, 3)
+        .select(col("qid"), col("tid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .transform(Q.sortedSmall(_, "qid", "rank"))
+    },
+    Some(s"""WITH $embSqlPrefix,
+      $e2SqlCtes
+      SELECT qid, tid, rank, round(cosine, 6) AS cosine
+      FROM ranked2 WHERE rank <= 3 ORDER BY qid, rank"""))
+
   // e3: ANN recall grade — per probe, the fraction of e1's exact top-3
   // that e2's LSH top-3 recovers. This is the number that justifies (or
   // indicts) the bucketing parameters: bandsFor's 4·bits+4 ramp holds
@@ -2485,6 +2521,7 @@ object LlmQueries {
   val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD5, qD6, qD7, qD8, qD8b, qD9, qW22,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9, qT10,
-      qE1, qE2, qE3, qE4, qE4b, qE5, qE6, qE7, qE8, qE9, qE10, qE11,
+      qE1, qE2, qE2b, qE3, qE4, qE4b, qE5, qE6, qE7, qE8, qE9, qE10,
+      qE11,
       qM1, qM2, qM3, qM4, qC1)
 }

@@ -1315,7 +1315,10 @@ object Stress {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$wdir/ivf")
       val tIvfIdx = (System.nanoTime() - t3) / 1e9
-      mIvfIdx.finish()
+      // the only index-build shuffle is the write-clustering
+      // repartition above — n rows, corpus-linear, printed so the
+      // build cost stays a number
+      val (ivfIdxW, _) = mIvfIdx.finish()
       val lakeL = spark.read.parquet(s"$wdir/ivf")
       val probesV = qL.where(col("vec_id") < nProbes)
         .select(col("vec_id").as("qid"), col("q").as("qa"),
@@ -1369,7 +1372,8 @@ object Stress {
         f"scanned/probe=${ivfCand.toDouble / nProbes}%.0f " +
         f"(${ivfCand.toDouble / (nProbes.toLong * n)}%.4f of corpus; " +
         f"nprobe/C=${nprobe.toDouble / ivfC}%.4f) " +
-        f"index=$tIvfIdx%.1f s probe=$tIvfPr%.1f s " +
+        f"index=$tIvfIdx%.1f s (indexShuffle=${ivfIdxW / 1e6}%.1f MB, " +
+        f"the n-row write-clustering repartition) probe=$tIvfPr%.1f s " +
         f"probeShuffle=${ivfProbeW / 1e6}%.1f MB " +
         f"batchInputRecords=$ivfInputRec " +
         f"oneProbeInputRecords=$oneProbeRec (corpus $n)")

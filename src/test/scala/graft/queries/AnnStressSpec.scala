@@ -19,9 +19,14 @@ import graft.tools.AnnFixture
   * ratio, candidates/probe grow ≤ 2× across it (per-probe work
   * ~O(bands·bucket), not O(N)), size-weighted bucket occupancy ≤ 4×
   * the 64 target, and a small-width brute-force control proving the
-  * planted truth IS the exact top-k. (The shuffle-size gates stay
-  * width-only, where relation sizes force real exchanges; the plan
-  * property is annCandidates' broadcast probe side, pinned below.)
+  * planted truth IS the exact top-k. The IVF case runs e4b's
+  * inverted-file shape at C = √N ([[Similarity.ivfLakeTopK]] over a
+  * `partitionBy(cell)` lake): planted recall ≥ 0.90 and the probe
+  * scan bounded by the probed cells. (The shuffle-size and
+  * physical-read gates stay width-only, where relation sizes force
+  * real exchanges; the plan properties pinned at suite scale are
+  * annCandidates' broadcast probe side below and e4b's literal cell
+  * partition filter in PlanGuardSpec.)
   */
 class AnnStressSpec extends SparkTestBase {
 

@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkTestBase {
   // single-probe pin and d8b's split-probe pin (round 19): the split
   // form exists precisely so the corpus lake relations stay
   // un-unioned and un-shuffled per batch.
-  private def assertNoLakeShuffle(name: String): Unit = {
+  private def assertNoLakeShuffle(name: String,
+      lakeTables: Seq[String] = Seq("dedup_bands", "dedup_sets")): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
@@ -61,7 +62,7 @@ class PlanGuardSpec extends SparkTestBase {
     def lakeScanWithoutBarrier(p: SparkPlan): Boolean = p match {
       case s: FileSourceScanExec =>
         s.tableIdentifier.exists(t =>
-          t.table.contains("dedup_bands") || t.table.contains("dedup_sets"))
+          lakeTables.exists(t.table.contains))
       case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         false
@@ -95,6 +96,12 @@ class PlanGuardSpec extends SparkTestBase {
   test("d8b's SPLIT probe keeps the same property with corpus and " +
     "delta relations disjoint — no exchange above a lake-table scan") {
     assertNoLakeShuffle("d8b_external_delta")
+  }
+
+  test("e2b's lake probe never shuffles the bucketed vector lake — " +
+    "the re-score's target fetch rides the vec_id layout in the " +
+    "cluster shape (the width harness's corpus-shuffle fix, pinned)") {
+    assertNoLakeShuffle("e2b_lsh_lake", Seq("emb_vecs"))
   }
 
   test("e4b's inverted-file probe prunes the lake scan to the probed " +
