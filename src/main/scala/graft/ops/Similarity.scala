@@ -242,10 +242,8 @@ object Similarity {
     */
   def ivfLakeTopK(lake: DataFrame, probesV: DataFrame,
                   probeCells: DataFrame, k: Int): DataFrame = {
-    val cellIds = probeCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val pruned = lake.where(col("cell")
-      .isin(cellIds.map(Int.box).toSeq: _*))
+    val cellIds = collectCellIds(probeCells)
+    val pruned = lake.where(col("cell").isin(cellIds: _*))
     val cos = pruned.join(broadcast(probeCells), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .join(broadcast(probesV), Seq("qid"))
@@ -255,6 +253,18 @@ object Similarity {
           .as("cosine"))
     topK(cos, k)
   }
+
+  /** The distinct probed cell ids, collected driver-side (≤ C ints —
+    * the codebook-collect pattern) for the static partition filter.
+    * Cast to int BEFORE the collect, so the probe is independent of
+    * partition-column type inference: a lake read back with
+    * `partitionColumnTypeInference.enabled=false` presents `cell` as a
+    * string, and a caller passing a long-typed cell would otherwise
+    * throw ClassCastException at query build time.
+    */
+  def collectCellIds(probeCells: DataFrame): Seq[Integer] =
+    probeCells.select(col("cell").cast("int").as("cell")).distinct()
+      .collect().map(r => Int.box(r.getInt(0))).sortBy(_.intValue).toSeq
 
   /** A sampled IVF codebook: the vectors with `cidStart ≤ vec_id <
     * cidStart + c` as literal centroids (cid = vec_id). Bounded
@@ -325,7 +335,6 @@ object Similarity {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until bands).map(b => (0 until bits).map(t => (0 until dims).map {
       p =>
-        md.reset()
         val hex = md.digest(s"$b:$t:$p".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.substring(0, 15)
         (java.lang.Long.parseLong(hex, 16) & 1L) * 2 - 1

@@ -48,8 +48,14 @@ object Profile {
     // untimed passes of the first name (plus its own warm pass below)
     // put the lead query ~3 executions deep before its timed runs.
     names.headOption.map(SparkEntry.queries).foreach { fn =>
+      // NonFatal only: a warmup OOM/VM error must propagate — a
+      // degraded JVM proceeding into the timed loop would report
+      // garbage as signal. A non-fatal warmup failure is noted (the
+      // per-query warm pass below reports the real error and skips).
       try { noop(fn(spark, sfDir)); noop(fn(spark, sfDir)) }
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"[q] JVM warmup pass failed (continuing): ${e.getMessage}")
+      }
     }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -1175,6 +1175,21 @@ object Stress {
     val nNbr = args.lift(3).map(_.toInt).getOrElse(3)
     val nprobe = args.lift(4).map(_.toInt).getOrElse(64)
     require(nBg2 > nBg1, s"width 2 ($nBg2) must exceed width 1 ($nBg1)")
+    // the bits-ladder "steps across the width ratio" gate below is only
+    // meaningful when the two corpus sizes land on DIFFERENT bitsFor
+    // rungs — fail the ARGUMENTS up front (exact corpus sizes, probes
+    // and planted included) instead of failing a finished run on a gate
+    // the chosen widths could never satisfy (e.g. 300k vs 500k both
+    // land on bits=13 while every real gate would pass)
+    locally {
+      val n1 = nBg1 + nProbes.toLong * (1 + nNbr)
+      val n2 = nBg2 + nProbes.toLong * (1 + nNbr)
+      require(graft.ops.Similarity.bitsFor(n1) <
+          graft.ops.Similarity.bitsFor(n2),
+        s"widths $n1 and $n2 land on the same bitsFor rung " +
+          s"(${graft.ops.Similarity.bitsFor(n1)}) — choose widths " +
+          "that cross a bits-ladder rung so the ladder gate can grade")
+    }
     val spark = Sessions.build("graft-stress-ann")
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_stress_ann_").toString
@@ -1349,10 +1364,20 @@ object Stress {
       // same as the LSH band-lake scan). One probe must read ~nprobe
       // cells, i.e. ~nprobe/C of the corpus — the dynamic partition
       // pruning engaging physically, not just in the plan
+      // probe-0's cells and vector are collected BEFORE the meter opens
+      // and re-enter as LocalRelations (no file scan, no input metrics):
+      // the meter's inputRecords must read the LAKE scan alone — with
+      // the auxiliary relations metered too, a regression in row-group
+      // pushdown on the bucketed vector table would fail this gate for
+      // a reason unrelated to partition pruning
+      val cells0 = cells.where(col("qid") === 0)
+      val cells0L = spark.createDataFrame(
+        java.util.Arrays.asList(cells0.collect(): _*), cells0.schema)
+      val probe0 = probesV.where(col("qid") === 0)
+      val probe0L = spark.createDataFrame(
+        java.util.Arrays.asList(probe0.collect(): _*), probe0.schema)
       val m1p = new ShuffleMeter(spark.sparkContext)
-      graft.ops.Similarity.ivfLakeTopK(lakeL,
-          probesV.where(col("qid") === 0),
-          cells.where(col("qid") === 0), nNbr)
+      graft.ops.Similarity.ivfLakeTopK(lakeL, probe0L, cells0L, nNbr)
         .write.format("noop").mode("overwrite").save()
       m1p.finish()
       val oneProbeRec = m1p.inputRecords

@@ -140,9 +140,15 @@ class PlanGuardSpec extends SparkTestBase {
       df.queryExecution.executedPlan)
     // the literal list plans as INSET (or IN for short lists); a
     // residual dynamicpruningexpression may coexist — redundant and
-    // harmless once the static filter prunes the file listing
+    // harmless once the static filter prunes the file listing — but it
+    // must NOT satisfy the pin: strip every dynamicpruningexpression(…)
+    // before matching, so a Spark version that prints the dynamic
+    // filter as a parenthesized IN list can never silently stand in
+    // for the static literal this test documents
+    def stripDpp(pf: String): String =
+      "dynamicpruningexpression\\([^)]*\\)".r.replaceAllIn(pf, "")
     assert(lakeScans.exists(f =>
-        f.metadata.get("PartitionFilters").exists(pf =>
+        f.metadata.get("PartitionFilters").map(stripDpp).exists(pf =>
           pf.contains("cell") &&
             (pf.contains("INSET") || pf.contains(" IN (")))),
       s"lake scan has no literal cell IN/INSET partition filter: " +
