@@ -115,15 +115,23 @@ object Similarity {
         Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("q").as("qa"),
         col("sq").as("qsq"))
-    // join order matters at width: the tid fetch joins the SLIM
-    // (qid, tid) candidate relation against the bucketed lake FIRST —
-    // attaching the 8·dims-byte probe vector before that join would
-    // ride it through the candidate shuffle (measured: 86.6 MB vs the
-    // slim order's candidate-sized shuffle at 200k vectors). The
-    // broadcast probe-vector attach is map-side after, and the
-    // vectors are dropped before the top-k window so the rank shuffle
-    // moves only (qid, tid, cosine).
-    val cos = annCandidates(bk, probes)
+    rescoredTopK(annCandidates(bk, probes), q, pv, k)
+  }
+
+  /** The ONE exact re-score + top-k every ANN family ends in, with the
+    * join order that holds at width: the tid fetch joins the SLIM
+    * (qid, tid) candidate relation against the vector relation FIRST —
+    * attaching the 8·dims-byte probe vector before that join would
+    * ride it through the candidate shuffle (measured: 86.6 MB vs the
+    * slim order's candidate-sized shuffle at 200k vectors; when `q` is
+    * the vec_id-bucketed lake its side plans zero exchanges). The
+    * broadcast probe-vector attach (`pv` = (qid, qa, qsq)) is map-side
+    * after, and the vectors are dropped before the top-k window so the
+    * rank shuffle moves only (qid, tid, cosine).
+    */
+  def rescoredTopK(cand: DataFrame, q: DataFrame, pv: DataFrame,
+                   k: Int): DataFrame = {
+    val cos = cand
       .join(q.select(col("vec_id").as("tid"), col("q").as("qb"),
         col("sq").as("sqb")), Seq("tid"))
       .join(broadcast(pv), Seq("qid"))
@@ -160,22 +168,15 @@ object Similarity {
         Seq("cell"))
       .where(col("tid") =!= col("qid"))
       .select("qid", "tid")
-    // same re-score shape and join ORDER as [[annTopK]]: slim
-    // candidates fetch target vectors first (candidate-sized shuffle,
-    // zero lake exchange when q is bucketed by vec_id), probe vectors
-    // broadcast-attach after, vectors dropped before the rank window
+    // same re-score shape and join ORDER as [[annTopK]], via the one
+    // shared [[rescoredTopK]] body: slim candidates fetch target
+    // vectors first (candidate-sized shuffle, zero lake exchange when
+    // q is bucketed by vec_id), probe vectors broadcast-attach after,
+    // vectors dropped before the rank window
     val pv = q.where(col("vec_id") < nProbeIds)
       .select(col("vec_id").as("qid"), col("q").as("qa"),
         col("sq").as("qsq"))
-    val cos = cand
-      .join(q.select(col("vec_id").as("tid"), col("q").as("qb"),
-        col("sq").as("sqb")), Seq("tid"))
-      .join(broadcast(pv), Seq("qid"))
-      .withColumn("cosine",
-        dotq(col("qa"), col("qb")).cast("double") /
-          sqrt(col("qsq").cast("double") * col("sqb").cast("double")))
-      .drop("qa", "qb", "qsq", "sqb")
-    topK(cos, k)
+    rescoredTopK(cand, q, pv, k)
   }
 
   /** Cosine of the row's quantized vector (columns `q`, `sq`) to one
@@ -248,6 +249,63 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .join(broadcast(probesV), Seq("qid"))
       .select(col("qid"), col("vec_id").as("tid"),
+        (dotq(col("q"), col("qa")).cast("double") /
+          sqrt(col("sq").cast("double") * col("qsq").cast("double")))
+          .as("cosine"))
+    topK(cos, k)
+  }
+
+  /** The IVF-PQ serving probe — the production composition e11 grades,
+    * in the physical form a 100 TB index actually serves from: BOTH
+    * persisted relations are cell-partitioned, so one static partition
+    * filter (the probed cells, driver-derived like [[ivfLakeTopK]]'s)
+    * prunes every scan in the query to ~nprobe/C of the index.
+    *
+    *   - `codesLake` is (vec_id, sub, code) partitioned by `cell`: the
+    *     ADC phase reads CODES from the probed cells only — both
+    *     cell-pruned and codes-sized (a PQ code row is 3 small ints vs
+    *     the vector's dims longs), the double saving PQ exists for.
+    *     Scoring is a broadcast LUT join (`lut` = (qid, sub, code,
+    *     pdot, csq), M·K rows per probe — dimension metadata) + a
+    *     candidate-sized (qid, tid) partial aggregate; the corpus's
+    *     full vectors are never touched.
+    *   - `vecLake` is (vec_id, q, sq) partitioned by `cell`: the exact
+    *     re-rank fetches only the ADC top-`rerank` survivors' vectors,
+    *     and since every candidate lives in a probed cell by
+    *     construction, the fetch scans the SAME pruned cells — the
+    *     rerank relation (rerank·|probes| rows) arrives broadcast, so
+    *     nothing corpus-sized shuffles anywhere in the probe.
+    *
+    * The ADC ranking formula (Σ_sub lut.pdot / √(qsq · Σ_sub csq),
+    * ties to the lower tid) and the exact-cosine re-rank are the same
+    * arithmetic as e9/e11's graded bodies, so this lake form grades
+    * against e11's oracle verbatim.
+    */
+  def ivfPqTopK(codesLake: DataFrame, vecLake: DataFrame, lut: DataFrame,
+                probeCells: DataFrame, probesV: DataFrame,
+                rerank: Int, k: Int): DataFrame = {
+    val cellIds = collectCellIds(probeCells)
+    val adc = codesLake.where(col("cell").isin(cellIds: _*))
+      .join(broadcast(probeCells), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .select(col("qid"), col("vec_id").as("tid"), col("pdot"), col("csq"))
+      .groupBy("qid", "tid")
+      .agg(sum("pdot").as("adot"), sum("csq").as("tcsq"))
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("acos").desc, col("tid"))
+    val cand = adc
+      .join(broadcast(probesV.select(col("qid"), col("qsq"))), Seq("qid"))
+      .withColumn("acos", col("adot").cast("double") /
+        sqrt(col("qsq").cast("double") * col("tcsq").cast("double")))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= rerank)
+      .select("qid", "tid")
+    val cos = vecLake.where(col("cell").isin(cellIds: _*))
+      .select(col("vec_id").as("tid"), col("q"), col("sq"))
+      .join(broadcast(cand), Seq("tid"))
+      .join(broadcast(probesV), Seq("qid"))
+      .select(col("qid"), col("tid"),
         (dotq(col("q"), col("qa")).cast("double") /
           sqrt(col("sq").cast("double") * col("qsq").cast("double")))
           .as("cosine"))

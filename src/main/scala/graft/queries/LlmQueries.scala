@@ -2518,10 +2518,49 @@ object LlmQueries {
       FROM t1 LEFT JOIN t11 ON t1.qid = t11.qid AND t1.tid = t11.tid
       GROUP BY 1 ORDER BY t1.qid"""))
 
+  // e11b: e11's IVF-PQ composition in its production SERVING layout —
+  // the lake twin (the e2b/e4b pattern, round 20). Both persisted
+  // relations are cell-partitioned: the PQ code table (what the probe
+  // scores from — codes-sized AND cell-pruned) and the full-vector
+  // table (what the top-PqRerank re-rank fetches from — same pruned
+  // cells, since every ADC candidate lives in a probed cell by
+  // construction). One static literal cell filter derived driver-side
+  // (ivfLakeTopK's convention — runtime DPP measured a no-op in this
+  // shape at width, round 19) prunes every scan in the probe; the LUT,
+  // probe cells, probe vectors, and rerank survivors all arrive
+  // broadcast, so nothing corpus-sized ever shuffles. Same ranking
+  // arithmetic as e11 end to end — graded against e11's oracle
+  // verbatim.
+  private val qE11b = Q("e11b_ivfpq_lake",
+    (s, d) => {
+      val q = embQ(s, d)
+      val cents = kmCents(s, d)
+      def assigned = graft.ops.Kmeans.assign(q, cents)
+      val codesLake = Materialize.partitionedTable(s, d,
+        "ivfpq_codes_lake", Seq("cell"))(
+        pqCodesT(s, d).select(col("vec_id"), col("sub"), col("code"))
+          .join(assigned.select(col("vec_id"), col("cell")),
+            Seq("vec_id")))
+      val vecLake = Materialize.partitionedTable(s, d,
+        "ivfpq_vec_lake", Seq("cell"))(
+        assigned.select(col("vec_id"), col("q"), col("sq"), col("cell")))
+      val probeCells = graft.ops.Kmeans
+        .nearestCells(q.where(col("vec_id") < 5), "vec_id", cents,
+          KmNprobe)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val probesV = q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("sq").as("qsq"))
+      recallOf(e1TopT(s, d),
+        Similarity.ivfPqTopK(codesLake, vecLake, pqLut(s, d),
+          probeCells, probesV, PqRerank, 3))
+    },
+    qE11.oracle)
+
   val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD5, qD6, qD7, qD8, qD8b, qD9, qW22,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9, qT10,
       qE1, qE2, qE2b, qE3, qE4, qE4b, qE5, qE6, qE7, qE8, qE9, qE10,
-      qE11,
+      qE11, qE11b,
       qM1, qM2, qM3, qM4, qC1)
 }

@@ -104,11 +104,19 @@ class PlanGuardSpec extends SparkTestBase {
     assertNoLakeShuffle("e2b_lsh_lake", Seq("emb_vecs"))
   }
 
-  test("e4b's inverted-file probe prunes the lake scan to the probed " +
-    "cells STATICALLY and never shuffles it — literal cell partition " +
-    "filter (runtime DPP measured a no-op in this shape), probe " +
-    "relations broadcast, the only exchange is the candidate-sized " +
-    "top-k window") {
+  /** The static-pruned-lake pin (e4b's property, shared with e11b):
+    * every scan of the named lake directories carries the probed cells
+    * as a LITERAL partition filter — static pruning at file-listing
+    * time (the width harness measured the dynamic-pruning alternative
+    * reading the full corpus: the planted dynamicpruningexpression
+    * degenerates when the broadcast exchange isn't reused; see
+    * ivfLakeTopK's scaladoc) — and no exchange (shuffle OR broadcast
+    * build) sits above any lake scan: the probe relations arrive as
+    * explicit broadcasts of probe-sized data, so the corpus rows never
+    * cross the wire before the join — the d8 lake posture.
+    */
+  private def assertStaticPrunedLake(name: String,
+      lakeDirs: Seq[String]): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
@@ -125,19 +133,10 @@ class PlanGuardSpec extends SparkTestBase {
       }
       (p +: into) ++ p.children.flatMap(walk)
     }
-    val df = SparkEntry.queries("e4b_ivf_lake")(spark, sf)
+    val df = SparkEntry.queries(name)(spark, sf)
     val nodes = walk(df.queryExecution.executedPlan)
-    // the lake scan carries the probed cells as a LITERAL partition
-    // filter — static pruning at file-listing time (the width harness
-    // measured the dynamic-pruning alternative reading the full
-    // corpus: the planted dynamicpruningexpression degenerates when
-    // the broadcast exchange isn't reused; see ivfLakeTopK's scaladoc)
-    val lakeScans = nodes.collect {
-      case f: FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("ivf_lake")) => f
-    }
-    assert(lakeScans.nonEmpty, "no ivf_lake scan:\n" +
-      df.queryExecution.executedPlan)
+    def isLake(f: FileSourceScanExec): Boolean =
+      f.metadata.get("Location").exists(l => lakeDirs.exists(l.contains))
     // the literal list plans as INSET (or IN for short lists); a
     // residual dynamicpruningexpression may coexist — redundant and
     // harmless once the static filter prunes the file listing — but it
@@ -147,19 +146,23 @@ class PlanGuardSpec extends SparkTestBase {
     // for the static literal this test documents
     def stripDpp(pf: String): String =
       "dynamicpruningexpression\\([^)]*\\)".r.replaceAllIn(pf, "")
-    assert(lakeScans.exists(f =>
-        f.metadata.get("PartitionFilters").map(stripDpp).exists(pf =>
-          pf.contains("cell") &&
-            (pf.contains("INSET") || pf.contains(" IN (")))),
-      s"lake scan has no literal cell IN/INSET partition filter: " +
-        lakeScans.map(_.metadata.get("PartitionFilters")).mkString(" | "))
-    // no exchange (shuffle OR broadcast build) sits above the lake
-    // scan: both probe relations arrive as explicit broadcasts of
-    // probe-sized data, so the corpus rows never cross the wire before
-    // the join — the d8 lake posture
+    lakeDirs.foreach { lake =>
+      val lakeScans = nodes.collect {
+        case f: FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains(lake)) => f
+      }
+      assert(lakeScans.nonEmpty, s"$name: no $lake scan:\n" +
+        df.queryExecution.executedPlan)
+      assert(lakeScans.forall(f =>
+          f.metadata.get("PartitionFilters").map(stripDpp).exists(pf =>
+            pf.contains("cell") &&
+              (pf.contains("INSET") || pf.contains(" IN (")))),
+        s"$name: a $lake scan has no literal cell IN/INSET partition " +
+          "filter: " +
+          lakeScans.map(_.metadata.get("PartitionFilters")).mkString(" | "))
+    }
     def lakeScanWithoutBarrier(p: SparkPlan): Boolean = p match {
-      case f: FileSourceScanExec =>
-        f.metadata.get("Location").exists(_.contains("ivf_lake"))
+      case f: FileSourceScanExec => isLake(f)
       case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
       case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         false
@@ -169,7 +172,24 @@ class PlanGuardSpec extends SparkTestBase {
       case e: Exchange if lakeScanWithoutBarrier(e.child) => e.nodeName
     }
     assert(offenders.isEmpty,
-      s"ivf_lake scan shuffled by:\n${offenders.mkString("\n")}")
+      s"$name: lake scan shuffled by:\n${offenders.mkString("\n")}")
+  }
+
+  test("e4b's inverted-file probe prunes the lake scan to the probed " +
+    "cells STATICALLY and never shuffles it — literal cell partition " +
+    "filter (runtime DPP measured a no-op in this shape), probe " +
+    "relations broadcast, the only exchange is the candidate-sized " +
+    "top-k window") {
+    assertStaticPrunedLake("e4b_ivf_lake", Seq("ivf_lake"))
+  }
+
+  test("e11b's IVF-PQ serving probe statically prunes BOTH lakes — " +
+    "the cell-partitioned code table the ADC scores from and the " +
+    "cell-partitioned vector table the re-rank fetches from — and " +
+    "never shuffles either (LUT, probe cells, probe vectors, rerank " +
+    "survivors all broadcast)") {
+    assertStaticPrunedLake("e11b_ivfpq_lake",
+      Seq("ivfpq_codes_lake", "ivfpq_vec_lake"))
   }
 
   test("d4's hot-shingle cut is a broadcast of the per-lang hot list") {
