@@ -55,10 +55,23 @@ object Sinks {
       .filter(f => f.isDirectory && !f.getName.startsWith("."))
     require(subdirs.isEmpty,
       s"compactParquet: $dir is partitioned (${subdirs.head.getName}/…) — " +
-        "compact each partition directory instead")
+        "compact each partition directory instead " +
+        "(compactPartitionedParquet preserves the layout)")
     def parts(f: java.io.File) = Option(f.listFiles()).getOrElse(Array())
       .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
     val before = parts(d)
+    // bucketed layouts encode the bucket id IN the file name
+    // (part-…_00042.c000…): a naive rewrite would silently destroy the
+    // bucket↔file mapping while the catalog still claims the spec, and
+    // every downstream bucketed join/agg would then read WRONG buckets —
+    // a correctness corruption, not just a lost optimization. Refuse
+    // loudly; the catalog-aware [[compactBucketedTable]] preserves it.
+    val bucketName = ".*_\\d{5}\\.c\\d{3}.*\\.parquet".r
+    require(!before.exists(f => bucketName.matches(f.getName)),
+      s"compactParquet: $dir holds BUCKETED data files " +
+        s"(${before.find(f => bucketName.matches(f.getName)).get.getName}) " +
+        "— rewriting them flat would corrupt the bucket↔file mapping " +
+        "the catalog advertises; use compactBucketedTable")
     val nOut = math.max(1,
       math.ceil(before.map(_.length()).sum.toDouble / targetBytes).toInt)
     val tmp = dir + ".compact_tmp"
@@ -86,6 +99,92 @@ object Sinks {
     Option(out.listFiles()).getOrElse(Array()).foreach(_.delete())
     out.delete()
     (before.length, parts(d).length)
+  }
+
+  /** Catalog-aware compaction of a BUCKETED table — the maintenance op
+    * [[compactParquet]] refuses, done right: the bucket spec is read
+    * from the catalog, the data is re-clustered by the bucket columns
+    * into exactly `numBuckets` tasks (repartition's HashPartitioning is
+    * the same Murmur3 ladder bucketing uses, so each task holds exactly
+    * one bucket and writes exactly one file — the floor a bucketed
+    * layout can compact to), and rewritten through `bucketBy`+`sortBy`
+    * into a fresh location under a temp name; only after the rewrite
+    * fully lands is the original dropped and the temp RENAMED to the
+    * table's name (metadata-only), so a failed rewrite leaves the
+    * original intact. Every downstream zero-exchange plan keyed on the
+    * bucket columns survives verbatim — pinned in CompactSpec with a
+    * post-compact join plan. Returns (filesBefore, filesAfter).
+    */
+  def compactBucketedTable(spark: SparkSession, table: String): (Int, Int) = {
+    val cat = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = cat.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(sys.error(
+      s"compactBucketedTable: $table has no bucket spec — " +
+        "use compactParquet on its location"))
+    val loc = java.nio.file.Paths.get(meta.location)
+    def files(p: java.nio.file.Path): Int = {
+      val s = java.nio.file.Files.list(p)
+      try s.filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .count().toInt
+      finally s.close()
+    }
+    val before = files(loc)
+    val keys = spec.bucketColumnNames
+    val sorts = spec.sortColumnNames
+    val tmpTbl = s"${ident.table}_compact_tmp"
+    val tmpPath = s"$loc.compact_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+    // read the data files RAW (catalog schema, no bucket metadata): a
+    // catalog read advertises HashPartitioning on the bucket key, the
+    // optimizer then drops the repartition as redundant, and the write
+    // inherits the SCAN's task layout — one file per (read task,
+    // bucket), i.e. no compaction at all (measured: 48 -> 42 files).
+    // The raw read keeps the repartition a real shuffle, so task i
+    // holds exactly bucket i (same Murmur3 pmod ladder) and writes
+    // exactly one file.
+    val w0 = spark.read.schema(spark.table(table).schema)
+      .parquet(loc.toString)
+      .repartition(spec.numBuckets, keys.map(col): _*)
+      .write.mode("overwrite")
+      .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+    val w = if (sorts.nonEmpty) w0.sortBy(sorts.head, sorts.tail: _*) else w0
+    w.option("path", tmpPath).format("parquet").saveAsTable(tmpTbl)
+    spark.sql(s"DROP TABLE ${ident.quotedString}")
+    spark.sql(s"ALTER TABLE $tmpTbl RENAME TO ${ident.quotedString}")
+    // the original data dir is orphaned once the swap lands
+    java.nio.file.Files.walk(loc)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    (before, files(java.nio.file.Paths.get(tmpPath)))
+  }
+
+  /** Per-partition compaction of a Hive-partitioned lake — the
+    * layout-preserving form [[compactParquet]]'s partition refusal
+    * points at: every LEAF partition directory (`cell=…/`,
+    * `year=…/month=…/`) is compacted in place with the flat rewriter,
+    * so the directory structure — and with it partition pruning and
+    * every static-filter plan downstream (e4b/e11b's probes) — is
+    * untouched; only the file count within each partition drops.
+    * Returns summed (filesBefore, filesAfter) across partitions.
+    */
+  def compactPartitionedParquet(spark: SparkSession, dir: String,
+                                targetBytes: Long): (Int, Int) = {
+    val root = new java.io.File(dir)
+    def subdirs(f: java.io.File) = Option(f.listFiles()).getOrElse(Array())
+      .filter(x => x.isDirectory && !x.getName.startsWith("."))
+    require(subdirs(root).nonEmpty,
+      s"compactPartitionedParquet: $dir has no partition " +
+        "subdirectories — use compactParquet")
+    def leaves(f: java.io.File): Seq[java.io.File] = {
+      val s = subdirs(f)
+      if (s.isEmpty) Seq(f) else s.toSeq.flatMap(leaves)
+    }
+    leaves(root)
+      .filter(l => Option(l.listFiles()).getOrElse(Array())
+        .exists(f => f.getName.endsWith(".parquet") && f.length() > 0))
+      .map(l => compactParquet(spark, l.getPath, targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (b2, a2)) => (b + b2, a + a2) }
   }
 
   /** Gzip JSONL write — the interchange format document corpora actually
