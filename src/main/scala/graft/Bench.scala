@@ -113,8 +113,22 @@ object Bench {
         start
       }
 
+  /** Start-load ceiling for a trustworthy sweep. Round 19's committed
+    * driver sweep started at load_avg 8.86 (vs 2.89 the round before)
+    * and embedded a3d=13.24 s against an idle-anchor 1.55 s — an honest
+    * artifact (load recorded) that still mis-reads as a regression in
+    * any round-over-round comparison. Above this ceiling the sweep
+    * still RUNS (the driver's round artifact must exist), but both
+    * JSON lines carry `"loaded_window": true` and stderr says so
+    * loudly, so no future reader can mistake ambient load for a code
+    * delta. 4.0 sits between every clean recorded start (≤ 2.9) and
+    * the known-contaminated one (8.86) on this 32-thread host.
+    */
+  private val LoadedWindowCeiling = 4.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadLaunch = loadAvg
     val spark = Sessions.build("graft-bench")
     var failures = 0
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -129,6 +143,18 @@ object Bench {
     // canary AFTER the warm pass (JIT/codegen steady state) and again
     // after the sweep: their pair brackets the host's load over the run
     val loadStart = loadAvg
+    // the loaded-window stamp reads the WORSE of launch and post-warm
+    // load: the warm pass itself drives load_avg up, so loadStart alone
+    // would flag every sweep, while loadLaunch alone would miss a spike
+    // arriving during warmup on an idle-launched host
+    val loadedWindow =
+      math.min(loadLaunch, loadStart) > LoadedWindowCeiling
+    if (loadedWindow)
+      System.err.println(f"[bench] LOADED WINDOW: load_avg at launch " +
+        f"$loadLaunch%.2f / post-warm $loadStart%.2f exceeds " +
+        f"$LoadedWindowCeiling%.1f — per-query times in this sweep are " +
+        "not comparable across rounds; adjudicate against idle twin " +
+        "anchors instead")
     val canaryStart = canarySec(spark)
     // warm the micro canary's own codegen once, or the alphabetically
     // first query inherits a false suspect flag from ITS warmup
@@ -262,7 +288,7 @@ object Bench {
     val canaryEnd = canarySec(spark)
     val loadEnd = loadAvg
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary_q":$qsCanary,"suspect":$suspectJson,"retimed":$retimedJson,"retime_passes":$passes,"canary_floor":$microFloor,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary_q":$qsCanary,"suspect":$suspectJson,"retimed":$retimedJson,"retime_passes":$passes,"canary_floor":$microFloor,"total_min":$totalMin,"sf":"$sfDir","failures":$failures,"loaded_window":$loadedWindow,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"launch":$loadLaunch,"start":$loadStart,"end":$loadEnd}}"""
     println(line)
     val baseDir = artifactBase(Paths.get("").toAbsolutePath)
     // the driver's stdout capture truncates long lines from the front,
@@ -296,7 +322,7 @@ object Bench {
     // of the captured artifact parses THIS and follows `full_artifact`
     // for per-query detail.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results2.size},"failures":$failures,"total_min":$totalMin,"canary_floor":$microFloor,"suspect":$suspectJson,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"start":$loadStart,"end":$loadEnd},"full_artifact":"${stampedPath.getFileName}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results2.size},"failures":$failures,"total_min":$totalMin,"canary_floor":$microFloor,"suspect":$suspectJson,"loaded_window":$loadedWindow,"canary_sec":{"start":$canaryStart,"end":$canaryEnd},"load_avg":{"launch":$loadLaunch,"start":$loadStart,"end":$loadEnd},"full_artifact":"${stampedPath.getFileName}"}"""
     println(compact)
     spark.stop()
   }

@@ -266,9 +266,24 @@ object Profile {
     * stage GC) — so a slow mode names its stalling stage (broadcast
     * build? fat-array GC? ambient) with numbers instead of analogy.
     */
-  private def phasesA3fAb(s: SparkSession, d: String): Unit = {
+  private def phasesA3fAb(s: SparkSession, d: String): Unit =
+    abProtocol("a3f_corr_pruned_unbroadcast")(s, d)
+
+  /** The same 8-run one-JVM adjudication protocol for a3d — the repo's
+    * largest ambient-load multiplier after round 19's loaded driver
+    * sweep (idle min 1.55 s, 13.24 s under load_avg 8.86; anchor
+    * scatter 1.55→2.61 the largest same-code intra-pair ratio). Run it
+    * on an idle box so the next loaded sweep is adjudicated by lookup
+    * (SCALE.md's a3d paragraph) instead of re-derivation.
+    */
+  private def phasesA3dAb(s: SparkSession, d: String): Unit =
+    abProtocol("a3d_corr_pruned")(s, d)
+
+  private def abProtocol(queryName: String)(
+      s: SparkSession, d: String): Unit = {
     import scala.jdk.CollectionConverters._
-    val fn = SparkEntry.queries("a3f_corr_pruned_unbroadcast")
+    val label = queryName.takeWhile(_ != '_')
+    val fn = SparkEntry.queries(queryName)
     noop(fn(s, d)) // warm: JIT + lake builds out of the measured runs
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -307,7 +322,7 @@ object Profile {
       val stages = byStage.asScala.toSeq
         .map { case (id, (nm, sum, mx, gc, n)) => (id, nm, sum, mx, gc, n) }
       val sumTask = stages.map(_._3).sum / 1e3
-      println(f"[p] a3f run$i wall=$wall%.2f s jvmGc=${gDelta}%d ms " +
+      println(f"[p] $label%s run$i wall=$wall%.2f s jvmGc=${gDelta}%d ms " +
         f"sumTask=$sumTask%.1f s stages=${stages.size}")
       stages.sortBy(-_._3).take(4).foreach {
         case (id, nm, sum, mx, gc, n) =>
@@ -321,7 +336,7 @@ object Profile {
     Map("panel" -> phasesPanel, "a3d" -> phasesA3d, "a3e" -> phasesA3e,
       "d4" -> phasesD4, "s6b" -> phasesS6b, "s15" -> phasesS15,
       "cc" -> phasesCC, "barrier" -> phasesBarrier,
-      "a3fab" -> phasesA3fAb)
+      "a3fab" -> phasesA3fAb, "a3dab" -> phasesA3dAb)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
