@@ -2518,6 +2518,40 @@ object LlmQueries {
       FROM t1 LEFT JOIN t11 ON t1.qid = t11.qid AND t1.tid = t11.tid
       GROUP BY 1 ORDER BY t1.qid"""))
 
+  // e7b: e7's trained-IVF probe in its production serving layout — the
+  // lake twin for the TRAINED coarse quantizer (e4b covers the
+  // sampled-codebook stub). The corpus is persisted partitionBy(cell)
+  // under the trained assignment, the probe fan-out is the same
+  // nearestCells ladder as e7, and the probe runs through ivfLakeTopK:
+  // one static literal cell filter prunes the scan, probe cells and
+  // vectors arrive broadcast, and the exact re-score happens inside
+  // the pruned scan — no corpus fetch join (e7's cosineOf re-score is
+  // a plain equi-join against the full vector relation: fine at
+  // fixture scale where the candidate side broadcasts, corpus-shuffled
+  // at width — the round-19 LSH finding's IVF sibling, priced in
+  // `Stress ann trained`). Candidates (assigned cell ∩ probed cells,
+  // self excluded) and ranking arithmetic are identical to e7, so the
+  // recall output grades against e7's oracle verbatim.
+  private val qE7b = Q("e7b_trained_ivf_lake",
+    (s, d) => {
+      val q = embQ(s, d)
+      val cents = kmCents(s, d)
+      val lake = Materialize.partitionedTable(s, d, "trained_ivf_lake",
+        Seq("cell"))(
+        graft.ops.Kmeans.assign(q, cents)
+          .select(col("vec_id"), col("q"), col("sq"), col("cell")))
+      val probeCells = graft.ops.Kmeans
+        .nearestCells(q.where(col("vec_id") < 5), "vec_id", cents,
+          KmNprobe)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val probesV = q.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("sq").as("qsq"))
+      recallOf(e1TopT(s, d),
+        Similarity.ivfLakeTopK(lake, probesV, probeCells, 3))
+    },
+    qE7.oracle)
+
   // e11b: e11's IVF-PQ composition in its production SERVING layout —
   // the lake twin (the e2b/e4b pattern, round 20). Both persisted
   // relations are cell-partitioned: the PQ code table (what the probe
@@ -2560,7 +2594,7 @@ object LlmQueries {
   val all: Seq[Q] =
     Seq(qD1, qD2, qD2b, qD3, qD4, qD5, qD6, qD7, qD8, qD8b, qD9, qW22,
       qT1, qT2, qT3, qT4, qT5, qT6, qT7, qT8, qT9, qT10,
-      qE1, qE2, qE2b, qE3, qE4, qE4b, qE5, qE6, qE7, qE8, qE9, qE10,
-      qE11, qE11b,
+      qE1, qE2, qE2b, qE3, qE4, qE4b, qE5, qE6, qE7, qE7b, qE8, qE9,
+      qE10, qE11, qE11b,
       qM1, qM2, qM3, qM4, qC1)
 }

@@ -183,6 +183,12 @@ class PlanGuardSpec extends SparkTestBase {
     assertStaticPrunedLake("e4b_ivf_lake", Seq("ivf_lake"))
   }
 
+  test("e7b's trained-IVF probe statically prunes the trained lake " +
+    "and never shuffles it — same property as e4b, under the trained " +
+    "coarse quantizer's assignment") {
+    assertStaticPrunedLake("e7b_trained_ivf_lake", Seq("trained_ivf_lake"))
+  }
+
   test("e11b's IVF-PQ serving probe statically prunes BOTH lakes — " +
     "the cell-partitioned code table the ADC scores from and the " +
     "cell-partitioned vector table the re-rank fetches from — and " +
