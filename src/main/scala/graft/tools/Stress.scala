@@ -77,6 +77,10 @@ object Stress {
     case Some("statestore") if args.lift(1).contains("growth") =>
       stateStoreGrowthMain(args.drop(2))
     case Some("statestore") => stateStoreMain(args.drop(1))
+    case Some("ann") if args.lift(1).contains("trained") =>
+      annTrainedMain(args.drop(2))
+    case Some("ann") if args.lift(1).contains("crossover") =>
+      annCrossoverMain(args.drop(2))
     case Some("ann") => annMain(args.drop(1))
     case _ => corrMain(args)
   }
@@ -1487,6 +1491,451 @@ object Stress {
         f"(<=3x nprobe/C), one-probe read ${w1.ivf.oneProbeRec}/" +
         f"${w2.ivf.oneProbeRec} rows vs corpora ${w1.n}/${w2.n} " +
         f"(pruned), probe shuffle x$ivfShufRatio%.2f (<=3.0)")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
+
+  /** Per-width measurements of the TRAINED vector-index tier. */
+  private final case class TrainedWidth(
+      n: Long, c: Int, tTrain: Double, trainW: Long, ctlW: Long,
+      ivfRecall: Double, ivfCand: Long, tIvfPr: Double, ivfProbeW: Long,
+      oneProbeRec: Long, naiveW: Long, tNaive: Double,
+      tPqTrain: Double, pqTrainW: Long, pqRecall: Double,
+      codesBytes: Long, lakeBytes: Long, tPqPr: Double, pqProbeW: Long,
+      onePqRec: Long)
+
+  /** The TRAINED vector-index tier at width (VERDICT r19 task 1): e6's
+    * k-means training, e7b's trained-IVF lake probe, and e11b's
+    * IVF-PQ/ADC serving path — the production index forms — executed
+    * at two corpus widths through the graded operator bodies
+    * ([[graft.ops.Kmeans.train]]/[[graft.ops.Kmeans.trainProduct]]/
+    * [[graft.ops.Kmeans.assign]]/[[graft.ops.Similarity.ivfLakeTopK]]/
+    * [[graft.ops.Similarity.ivfPqTopK]]), with the live corpus-shaped
+    * controls the round-19 LSH/IVF width runs established. Both r19
+    * executions caught fixture-green corpus-shaped plans; this owes the
+    * same audit to the only index family still arguing from plan gates.
+    *
+    * Gates, per width and across the width step:
+    *   1. TRAINING shuffle is aggregate-sized: THREE full Lloyd rounds
+    *      together shuffle less than ONE corpus-shaped control round —
+    *      the same (cell,pos) rollup with map-side combine defeated by
+    *      an explicit row-level repartition (n·dims rows through the
+    *      wire: what the update costs if partial aggregation is lost).
+    *      The only training collects are the first-C init (C rows) and
+    *      the per-round (cell,pos) stats (≤ C·dims rows) — the
+    *      codebook-collect pattern, bounds printed.
+    *   2. training shuffle grows ≤ 3× across the 5× width step (the
+    *      aggregate is C·dims·tasks-sized and C = √N).
+    *   3. trained-IVF lake probe (e7b's body): planted recall ≥ 0.90,
+    *      scanned fraction ≤ 3× nprobe/C, SINGLE-probe read ~
+    *      nprobe·(N/C) rows (static pruning physically engaged —
+    *      probe-0's cells/vector enter as LocalRelations so the meter
+    *      reads the lake scan alone), probe shuffle ≤ 3× across the
+    *      width step.
+    *   4. the corpus-shuffle control, live: e7's graded re-score shape
+    *      (cosineOf's plain equi-joins against the full vector
+    *      relation — fixture-green because the candidate side
+    *      broadcasts there) run on the SAME candidates; the lake
+    *      probe's shuffle must be < 1/3 of it.
+    *   5. IVF-PQ serving probe (e11b's body, both lakes
+    *      cell-partitioned): planted recall ≥ 0.90 after the ADC →
+    *      exact-rerank chain, the code lake ≤ 1/2 the vector lake's
+    *      bytes ON DISK (the codes-sized claim — 3 small ints vs dims
+    *      longs per row, parquet-encoded), SINGLE-probe input ≤
+    *      3 × nprobe·(N/C)·(M+1) rows (M code rows + 1 rerank vector
+    *      row per candidate — both scans cell-pruned), probe shuffle
+    *      ≤ 3× across the width step.
+    *
+    *   sbt "runMain graft.tools.Stress ann trained [nBackground1]
+    *        [nBackground2] [nProbes] [nNbr] [nprobe]"
+    *        (200000 1000000 100 3 64)
+    */
+  private def annTrainedMain(args: Array[String]): Unit = {
+    val nBg1 = args.lift(0).map(_.toLong).getOrElse(200000L)
+    val nBg2 = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val nProbes = args.lift(2).map(_.toInt).getOrElse(100)
+    val nNbr = args.lift(3).map(_.toInt).getOrElse(3)
+    val nprobe = args.lift(4).map(_.toInt).getOrElse(64)
+    require(nBg2 > nBg1, s"width 2 ($nBg2) must exceed width 1 ($nBg1)")
+    val spark = Sessions.build("graft-stress-ann-trained")
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_annt_").toString
+    val KmIters = 3
+    val PqM = 8
+    val PqK = 16
+    val PqIters = 2
+    val PqRerank = 20
+    val subd = AnnFixture.Dims / PqM
+
+    def du(p: String): Long =
+      Files.walk(java.nio.file.Paths.get(p))
+        .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+    def localized(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+    def runWidth(tag: String, nBackground: Long): TrainedWidth = {
+      val wdir = s"$dir/$tag"
+      AnnFixture.synthEmbeddings(spark, nProbes, nNbr, nBackground)
+        .write.mode("overwrite").parquet(s"$wdir/emb")
+      val embL = spark.read
+        .schema(graft.Catalog.schemas("embeddings"))
+        .parquet(s"$wdir/emb")
+      // persist the quantized form once — training scans it 3+ times,
+      // and re-deriving it per round would meter the derivation, not
+      // the training
+      graft.ops.Similarity.withSqNorm(embL, "vec_id")
+        .write.mode("overwrite").parquet(s"$wdir/vecs")
+      val qL = spark.read.parquet(s"$wdir/vecs")
+      val n = qL.count()
+      val c = math.ceil(math.sqrt(n.toDouble)).toInt
+
+      // --- e6 at width: 3 Lloyd rounds, C = sqrt(N) ------------------
+      val mTrain = new ShuffleMeter(spark.sparkContext)
+      val t0 = System.nanoTime()
+      val cents = graft.ops.Kmeans.train(qL, "vec_id", c, KmIters)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val (trainW, _) = mTrain.finish()
+      // corpus-shaped control: ONE update round with map-side combine
+      // defeated — the row-level (cell,pos) relation crosses the wire
+      val mCtl = new ShuffleMeter(spark.sparkContext)
+      graft.ops.Kmeans.assign(qL, cents)
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .repartition(col("cell"), col("pos"))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+        .write.format("noop").mode("overwrite").save()
+      val (ctlW, _) = mCtl.finish()
+      println(f"[stress-annt] $tag n=$n C=$c train=$tTrain%.1f s " +
+        f"(${KmIters} rounds) trainShuffle=${trainW / 1e6}%.1f MB vs " +
+        f"one corpus-shaped round ${ctlW / 1e6}%.1f MB; collects: " +
+        f"init C=$c rows, per-round stats <= ${c * AnnFixture.Dims} " +
+        "(C*dims) rows")
+
+      // --- e7b at width: the trained inverted-file lake + probe ------
+      val tL0 = System.nanoTime()
+      graft.ops.Kmeans.assign(qL, cents)
+        .select(col("vec_id"), col("q"), col("sq"), col("cell"))
+        .repartition(32, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$wdir/ivf")
+      val tLake = (System.nanoTime() - tL0) / 1e9
+      val lakeL = spark.read.parquet(s"$wdir/ivf")
+      val lakeBytes = du(s"$wdir/ivf")
+      val probeCells = graft.ops.Kmeans
+        .nearestCells(qL.where(col("vec_id") < nProbes), "vec_id",
+          cents, nprobe)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val probesV = qL.where(col("vec_id") < nProbes)
+        .select(col("vec_id").as("qid"), col("q").as("qa"),
+          col("sq").as("qsq"))
+      val truth = AnnFixture.plantedNeighbors(spark, nProbes, nNbr)
+      val nTruth = nProbes.toLong * nNbr
+      val mPr = new ShuffleMeter(spark.sparkContext)
+      val t1 = System.nanoTime()
+      val ivfTop = graft.ops.Similarity.ivfLakeTopK(lakeL, probesV,
+        probeCells, nNbr).cache()
+      ivfTop.count()
+      val tIvfPr = (System.nanoTime() - t1) / 1e9
+      val (ivfProbeW, _) = mPr.finish()
+      val ivfHits = ivfTop.join(truth, Seq("qid", "tid")).count()
+      val ivfRecall = ivfHits.toDouble / nTruth
+      ivfTop.unpersist()
+      val ivfCand = lakeL.join(broadcast(probeCells), Seq("cell"))
+        .where(col("vec_id") =!= col("qid")).count()
+      // single-probe physical pruning (probe-0 relations pre-collected
+      // into LocalRelations so the meter reads the lake scan alone)
+      val cells0L = localized(probeCells.where(col("qid") === 0))
+      val probe0L = localized(probesV.where(col("qid") === 0))
+      val m1p = new ShuffleMeter(spark.sparkContext)
+      graft.ops.Similarity.ivfLakeTopK(lakeL, probe0L, cells0L, nNbr)
+        .write.format("noop").mode("overwrite").save()
+      m1p.finish()
+      val oneProbeRec = m1p.inputRecords
+      // the corpus-shuffle control: e7's graded re-score shape (plain
+      // equi-joins against the full vector relation) on the SAME
+      // candidate set — fixture-green (candidates broadcast there),
+      // corpus-shaped at width; kept live so the lake probe's advantage
+      // stays a number
+      val candE7 = graft.ops.Kmeans.assign(qL, cents)
+        .select(col("vec_id").as("tid"), col("cell"))
+        .join(broadcast(probeCells), Seq("cell"))
+        .where(col("tid") =!= col("qid"))
+        .select("qid", "tid")
+      val mNaive = new ShuffleMeter(spark.sparkContext)
+      val t2 = System.nanoTime()
+      graft.ops.Similarity.topK(
+          graft.ops.Similarity.cosineOf(candE7, qL, "qid", "tid"), nNbr)
+        .write.format("noop").mode("overwrite").save()
+      val tNaive = (System.nanoTime() - t2) / 1e9
+      val (naiveW, _) = mNaive.finish()
+      println(f"[stress-annt] $tag IVF(trained) C=$c nprobe=$nprobe " +
+        f"recall=$ivfRecall%.4f ($ivfHits/$nTruth) lake=$tLake%.1f s " +
+        f"(${lakeBytes / 1e6}%.1f MB) probe=$tIvfPr%.1f s " +
+        f"probeShuffle=${ivfProbeW / 1e6}%.1f MB " +
+        f"scanned/probe=${ivfCand.toDouble / nProbes}%.0f " +
+        f"oneProbeRec=$oneProbeRec (nprobe*N/C=" +
+        f"${nprobe.toLong * (n / c)}) naive(e7-shape) $tNaive%.1f s " +
+        f"${naiveW / 1e6}%.1f MB")
+
+      // --- e11b at width: PQ training, the code lake, the ADC probe -
+      val subVecs = (0 until PqM).map(m =>
+          qL.select(col("vec_id"), lit(m).as("sub"),
+            slice(col("q"), m * subd + 1, subd).as("q")))
+        .reduce(_.union(_))
+      val mPqT = new ShuffleMeter(spark.sparkContext)
+      val t3 = System.nanoTime()
+      val pqC = graft.ops.Kmeans.trainProduct(subVecs, "vec_id", PqM,
+        PqK, PqIters)
+      val tPqTrain = (System.nanoTime() - t3) / 1e9
+      val (pqTrainW, _) = mPqT.finish()
+      // the code lake rides the coarse cell (read from the ivf lake so
+      // the C-literal coarse assignment is not re-evaluated 8×)
+      val t4 = System.nanoTime()
+      (0 until PqM).map { m =>
+          graft.ops.Kmeans.assign(
+              lakeL.select(col("vec_id"), col("cell").as("ccell"),
+                slice(col("q"), m * subd + 1, subd).as("q")), pqC(m))
+            .select(col("vec_id"), lit(m).as("sub"),
+              col("cell").as("code"), col("ccell").as("cell"))
+        }.reduce(_.union(_))
+        .repartition(32, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$wdir/pq_codes")
+      val tCodes = (System.nanoTime() - t4) / 1e9
+      val codesLakeL = spark.read.parquet(s"$wdir/pq_codes")
+      val codesBytes = du(s"$wdir/pq_codes")
+      val centT = (for (m <- 0 until PqM; k <- pqC(m).indices)
+          yield (m, k, pqC(m)(k), pqC(m)(k).map(x => x * x).sum))
+        .toDF("sub", "code", "cq", "csq")
+      val probeSubs = (0 until PqM).map(m =>
+          qL.where(col("vec_id") < nProbes)
+            .select(col("vec_id").as("qid"), lit(m).as("sub"),
+              slice(col("q"), m * subd + 1, subd).as("qs")))
+        .reduce(_.union(_))
+      val lut = probeSubs.join(broadcast(centT), Seq("sub"))
+        .select(col("qid"), col("sub"), col("code"),
+          graft.ops.Similarity.dotq(col("qs"), col("cq")).as("pdot"),
+          col("csq"))
+      val mPq = new ShuffleMeter(spark.sparkContext)
+      val t5 = System.nanoTime()
+      val pqTop = graft.ops.Similarity.ivfPqTopK(codesLakeL, lakeL,
+        lut, probeCells, probesV, PqRerank, nNbr).cache()
+      pqTop.count()
+      val tPqPr = (System.nanoTime() - t5) / 1e9
+      val (pqProbeW, _) = mPq.finish()
+      val pqHits = pqTop.join(truth, Seq("qid", "tid")).count()
+      val pqRecall = pqHits.toDouble / nTruth
+      pqTop.unpersist()
+      // single-probe ADC read: both pruned scans (codes + rerank
+      // vectors), probe-0 relations local
+      val lut0L = localized(lut.where(col("qid") === 0))
+      val m1pq = new ShuffleMeter(spark.sparkContext)
+      graft.ops.Similarity.ivfPqTopK(codesLakeL, lakeL, lut0L,
+          cells0L, probe0L, PqRerank, nNbr)
+        .write.format("noop").mode("overwrite").save()
+      m1pq.finish()
+      val onePqRec = m1pq.inputRecords
+      println(f"[stress-annt] $tag IVF-PQ M=$PqM K=$PqK " +
+        f"pqTrain=$tPqTrain%.1f s (${pqTrainW / 1e6}%.1f MB shuffle) " +
+        f"codes=$tCodes%.1f s recall=$pqRecall%.4f ($pqHits/$nTruth) " +
+        f"codesLake=${codesBytes / 1e6}%.1f MB vs " +
+        f"vecLake=${lakeBytes / 1e6}%.1f MB probe=$tPqPr%.1f s " +
+        f"probeShuffle=${pqProbeW / 1e6}%.1f MB onePqRec=$onePqRec " +
+        f"(3x(M+1)*nprobe*N/C=" +
+        f"${3L * (PqM + 1) * nprobe * (n / c)})")
+      TrainedWidth(n, c, tTrain, trainW, ctlW, ivfRecall, ivfCand,
+        tIvfPr, ivfProbeW, oneProbeRec, naiveW, tNaive, tPqTrain,
+        pqTrainW, pqRecall, codesBytes, lakeBytes, tPqPr, pqProbeW,
+        onePqRec)
+    }
+
+    try {
+      val w1 = runWidth("w1", nBg1)
+      val w2 = runWidth("w2", nBg2)
+      val widthRatio = w2.n.toDouble / w1.n
+      // 1. training shuffle aggregate-sized, per width: 3 rounds < 1
+      //    corpus-shaped round
+      require(w1.trainW < w1.ctlW && w2.trainW < w2.ctlW,
+        f"training shuffle (${w1.trainW / 1e6}%.1f / " +
+          f"${w2.trainW / 1e6}%.1f MB over $KmIters rounds) is not " +
+          f"under ONE corpus-shaped round (${w1.ctlW / 1e6}%.1f / " +
+          f"${w2.ctlW / 1e6}%.1f MB) — the Lloyd update is shuffling " +
+          "row-level data")
+      // 2. training shuffle sublinear across the width step (C = √N)
+      val trainRatio = w2.trainW.toDouble / math.max(w1.trainW, 1L)
+      require(trainRatio <= 3.0,
+        f"training shuffle grew $trainRatio%.2fx across a " +
+          f"$widthRatio%.1fx width step — expected ~sqrt with C = " +
+          "sqrt(N)")
+      // 3. trained-IVF probe gates (e7b's body)
+      require(w1.ivfRecall >= 0.90 && w2.ivfRecall >= 0.90,
+        f"trained-IVF recall ${w1.ivfRecall}%.4f / " +
+          f"${w2.ivfRecall}%.4f < 0.90")
+      val sf1 = w1.ivfCand.toDouble / (nProbes.toDouble * w1.n)
+      val sf2 = w2.ivfCand.toDouble / (nProbes.toDouble * w2.n)
+      require(sf1 <= 3.0 * nprobe / w1.c && sf2 <= 3.0 * nprobe / w2.c,
+        f"trained-IVF scanned fraction $sf1%.4f / $sf2%.4f past 3x " +
+          "nprobe/C")
+      def onePruned(w: TrainedWidth): Boolean =
+        w.oneProbeRec < 3L * nprobe * (w.n / w.c) &&
+          w.oneProbeRec < w.n / 2
+      require(onePruned(w1) && onePruned(w2),
+        s"single-probe read ${w1.oneProbeRec} / ${w2.oneProbeRec} " +
+          s"rows against corpora ${w1.n} / ${w2.n} — the trained lake " +
+          "scan was not partition-pruned")
+      val ivfShufRatio =
+        w2.ivfProbeW.toDouble / math.max(w1.ivfProbeW, 1L)
+      require(ivfShufRatio <= 3.0,
+        f"trained-IVF probe shuffle grew $ivfShufRatio%.2fx across " +
+          "the width step")
+      // 4. the live corpus-shuffle control
+      require(w1.ivfProbeW * 3 < w1.naiveW && w2.ivfProbeW * 3 < w2.naiveW,
+        f"lake probe shuffle ${w1.ivfProbeW / 1e6}%.1f/" +
+          f"${w2.ivfProbeW / 1e6}%.1f MB is not < 1/3 of the " +
+          f"corpus-shuffle control (${w1.naiveW / 1e6}%.1f/" +
+          f"${w2.naiveW / 1e6}%.1f MB)")
+      // 5. IVF-PQ serving gates (e11b's body)
+      require(w1.pqRecall >= 0.90 && w2.pqRecall >= 0.90,
+        f"IVF-PQ recall ${w1.pqRecall}%.4f / ${w2.pqRecall}%.4f < 0.90")
+      require(w1.codesBytes * 2 < w1.lakeBytes &&
+          w2.codesBytes * 2 < w2.lakeBytes,
+        f"code lake ${w1.codesBytes / 1e6}%.1f/" +
+          f"${w2.codesBytes / 1e6}%.1f MB is not codes-sized vs the " +
+          "vector lake " +
+          f"${w1.lakeBytes / 1e6}%.1f/${w2.lakeBytes / 1e6}%.1f MB")
+      def onePqPruned(w: TrainedWidth): Boolean =
+        w.onePqRec < 3L * (PqM + 1) * nprobe * (w.n / w.c) &&
+          w.onePqRec < w.n.toLong * PqM / 2
+      require(onePqPruned(w1) && onePqPruned(w2),
+        s"single-probe ADC read ${w1.onePqRec} / ${w2.onePqRec} rows " +
+          "— the code/vector lake scans were not both pruned")
+      val pqShufRatio = w2.pqProbeW.toDouble / math.max(w1.pqProbeW, 1L)
+      require(pqShufRatio <= 3.0,
+        f"IVF-PQ probe shuffle grew $pqShufRatio%.2fx across the " +
+          "width step")
+      println(f"[stress-annt] GATES: train shuffle " +
+        f"${w1.trainW / 1e6}%.1f/${w2.trainW / 1e6}%.1f MB < control " +
+        f"${w1.ctlW / 1e6}%.1f/${w2.ctlW / 1e6}%.1f MB, xwidth " +
+        f"x$trainRatio%.2f (<=3); IVF recall ${w1.ivfRecall}%.4f/" +
+        f"${w2.ivfRecall}%.4f, scanned $sf1%.4f/$sf2%.4f, one-probe " +
+        f"${w1.oneProbeRec}/${w2.oneProbeRec} rows (pruned), shuffle " +
+        f"x$ivfShufRatio%.2f, vs naive ${w1.ivfProbeW / 1e6}%.1f<" +
+        f"${w1.naiveW / 1e6}%.1f / ${w2.ivfProbeW / 1e6}%.1f<" +
+        f"${w2.naiveW / 1e6}%.1f MB; PQ recall ${w1.pqRecall}%.4f/" +
+        f"${w2.pqRecall}%.4f, codes ${w1.codesBytes / 1e6}%.1f/" +
+        f"${w2.codesBytes / 1e6}%.1f MB vs vecs " +
+        f"${w1.lakeBytes / 1e6}%.1f/${w2.lakeBytes / 1e6}%.1f MB, " +
+        f"one-probe ADC ${w1.onePqRec}/${w2.onePqRec} rows, shuffle " +
+        f"x$pqShufRatio%.2f")
+      spark.stop()
+    } finally {
+      import scala.util.Try
+      Files.walk(java.nio.file.Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder())
+        .forEach(p => { Try(Files.delete(p)); () })
+    }
+  }
+
+  /** The IVF lake's batch-probe amortization curve (VERDICT r19 task
+    * 5): e4b's static pruning is gated on the SINGLE-probe read, while
+    * a 100-probe batch legitimately touches most cells — somewhere in
+    * between, pruned-scan serving stops beating one full-scan batch
+    * pass. This measures that crossover: at each width, the sampled-
+    * codebook IVF lake (e4b's build) is probed with batches of
+    * 1..nProbes probes (probe relations pre-collected into
+    * LocalRelations, so the meter reads the lake scan alone) and the
+    * physical rows read are printed against the corpus — the
+    * operational knob (batch size ↔ serving mode) a 100 TB deployment
+    * actually turns.
+    *
+    *   sbt "runMain graft.tools.Stress ann crossover [nBackground1]
+    *        [nBackground2] [nProbes] [nNbr] [nprobe]"
+    *        (200000 1000000 100 3 64)
+    */
+  private def annCrossoverMain(args: Array[String]): Unit = {
+    val nBg1 = args.lift(0).map(_.toLong).getOrElse(200000L)
+    val nBg2 = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val nProbes = args.lift(2).map(_.toInt).getOrElse(100)
+    val nNbr = args.lift(3).map(_.toInt).getOrElse(3)
+    val nprobe = args.lift(4).map(_.toInt).getOrElse(64)
+    val spark = Sessions.build("graft-stress-ann-xover")
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stress_annx_").toString
+    def localized(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    try {
+      Seq(("w1", nBg1), ("w2", nBg2)).foreach { case (tag, nBackground) =>
+        val wdir = s"$dir/$tag"
+        AnnFixture.synthEmbeddings(spark, nProbes, nNbr, nBackground)
+          .write.mode("overwrite").parquet(s"$wdir/emb")
+        val embL = spark.read
+          .schema(graft.Catalog.schemas("embeddings"))
+          .parquet(s"$wdir/emb")
+        graft.ops.Similarity.withSqNorm(embL, "vec_id")
+          .write.mode("overwrite").parquet(s"$wdir/vecs")
+        val qL = spark.read.parquet(s"$wdir/vecs")
+        val n = qL.count()
+        val c = math.ceil(math.sqrt(n.toDouble)).toInt
+        val bg0 = nProbes.toLong * (1 + nNbr)
+        val cents = graft.ops.Similarity.sampledCents(qL, bg0, c)
+        qL.select(col("vec_id"), col("q"), col("sq"),
+            graft.ops.Similarity.ivfAssign(cents).as("cell"))
+          .repartition(32, col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$wdir/ivf")
+        val lakeL = spark.read.parquet(s"$wdir/ivf")
+        val cells = graft.ops.Similarity.ivfProbeCells(qL, cents,
+          nProbes, nprobe)
+        val probesV = qL.where(col("vec_id") < nProbes)
+          .select(col("vec_id").as("qid"), col("q").as("qa"),
+            col("sq").as("qsq"))
+        // pre-collect ALL probe relations once; per-batch slices are
+        // driver-side filters of the collected arrays
+        val cellRows = cells.collect()
+        val probeRows = probesV.collect()
+        val batches = Seq(1, 2, 4, 8, 16, 32, 64, nProbes)
+          .filter(_ <= nProbes).distinct
+        println(s"[stress-annx] $tag n=$n C=$c nprobe=$nprobe " +
+          s"corpusRows=$n")
+        var crossed = false
+        batches.foreach { b =>
+          val bCells = spark.createDataFrame(java.util.Arrays.asList(
+            cellRows.filter(_.getLong(0) < b): _*), cells.schema)
+          val bProbes = spark.createDataFrame(java.util.Arrays.asList(
+            probeRows.filter(_.getLong(0) < b): _*), probesV.schema)
+          val nCells = cellRows.filter(_.getLong(0) < b)
+            .map(_.getInt(1)).distinct.length
+          val m = new ShuffleMeter(spark.sparkContext)
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.ivfLakeTopK(lakeL, bProbes, bCells, nNbr)
+            .write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          m.finish()
+          val rec = m.inputRecords
+          if (b == 1) require(rec < n / 2,
+            s"single-probe read $rec rows vs corpus $n — pruning " +
+              "not engaged")
+          if (!crossed && rec >= (n * 8) / 10) {
+            crossed = true
+            println(s"[stress-annx] $tag CROSSOVER at batch=$b: " +
+              s"pruned read $rec >= 80% of corpus $n — a full-scan " +
+              "batch pass wins from here")
+          }
+          println(f"[stress-annx] $tag batch=$b%3d cells=$nCells%4d/" +
+            f"$c%d rowsRead=$rec%9d (${rec.toDouble / n}%.3f of " +
+            f"corpus) wall=$wall%.1f s")
+        }
+      }
       spark.stop()
     } finally {
       import scala.util.Try

@@ -152,6 +152,107 @@ class AnnStressSpec extends SparkTestBase {
         f"(${nprobe.toDouble / c}%.4f)")
   }
 
+  test("CI-scale TRAINED tier (the `Stress ann trained` gates at suite " +
+      "width): k-means at C = sqrt(N) through the graded bodies, " +
+      "trained-IVF lake recall >= 0.90 with the scan bounded by the " +
+      "probed cells, IVF-PQ/ADC serving recall >= 0.90 with a " +
+      "codes-sized (not vector-sized) code lake") {
+    val dir = scratchDir("graft_anntrained_")
+    val nBackground = 12000L
+    val nprobe = 16
+    AnnFixture.synthEmbeddings(spark, nProbes, nNbr, nBackground)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val embL = spark.read
+      .schema(graft.Catalog.schemas("embeddings"))
+      .parquet(s"$dir/embeddings.parquet")
+    Similarity.withSqNorm(embL, "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/vecs")
+    val qL = spark.read.parquet(s"$dir/vecs")
+    val n = qL.count()
+    val c = math.ceil(math.sqrt(n.toDouble)).toInt
+    // e6's body at CI width: 3 Lloyd rounds from the first-C init
+    val cents = graft.ops.Kmeans.train(qL, "vec_id", c, 3)
+    assert(cents.size == c && cents.forall(_.size == AnnFixture.Dims))
+    // e7b's body: the trained inverted-file lake + static-pruned probe
+    graft.ops.Kmeans.assign(qL, cents)
+      .select(col("vec_id"), col("q"), col("sq"), col("cell"))
+      .repartition(8, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/ivf")
+    val lakeL = spark.read.parquet(s"$dir/ivf")
+    val lakeBytes = duBytes(s"$dir/ivf")
+    val probeCells = graft.ops.Kmeans
+      .nearestCells(qL.where(col("vec_id") < nProbes), "vec_id", cents,
+        nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val probesV = qL.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("qid"), col("q").as("qa"),
+        col("sq").as("qsq"))
+    val truth = AnnFixture.plantedNeighbors(spark, nProbes, nNbr)
+    val nTruth = nProbes.toLong * nNbr
+    val ivfTop = Similarity.ivfLakeTopK(lakeL, probesV, probeCells, nNbr)
+      .cache()
+    val ivfRecall =
+      ivfTop.join(truth, Seq("qid", "tid")).count().toDouble / nTruth
+    ivfTop.unpersist()
+    assert(ivfRecall >= 0.90,
+      f"trained-IVF planted recall $ivfRecall%.4f < 0.90")
+    val scanned = lakeL.join(broadcast(probeCells), Seq("cell"))
+      .where(col("vec_id") =!= col("qid")).count()
+    val frac = scanned.toDouble / (nProbes.toDouble * n)
+    assert(frac <= 3.0 * nprobe / c,
+      f"trained-IVF scanned fraction $frac%.4f past 3x nprobe/C")
+    // e11b's body: PQ codebooks trained jointly, the cell-partitioned
+    // code lake, the ADC -> exact-rerank serving probe
+    val PqM = 8
+    val PqK = 16
+    val subd = AnnFixture.Dims / PqM
+    val subVecs = (0 until PqM).map(m =>
+        qL.select(col("vec_id"), lit(m).as("sub"),
+          slice(col("q"), m * subd + 1, subd).as("q")))
+      .reduce(_.union(_))
+    val pqC = graft.ops.Kmeans.trainProduct(subVecs, "vec_id", PqM,
+      PqK, 2)
+    (0 until PqM).map { m =>
+        graft.ops.Kmeans.assign(
+            lakeL.select(col("vec_id"), col("cell").as("ccell"),
+              slice(col("q"), m * subd + 1, subd).as("q")), pqC(m))
+          .select(col("vec_id"), lit(m).as("sub"),
+            col("cell").as("code"), col("ccell").as("cell"))
+      }.reduce(_.union(_))
+      .repartition(8, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/pq_codes")
+    val codesLakeL = spark.read.parquet(s"$dir/pq_codes")
+    val codesBytes = duBytes(s"$dir/pq_codes")
+    assert(codesBytes * 2 < lakeBytes,
+      s"code lake $codesBytes B is not codes-sized vs the vector " +
+        s"lake $lakeBytes B")
+    import spark.implicits._
+    val centT = (for (m <- 0 until PqM; k <- pqC(m).indices)
+        yield (m, k, pqC(m)(k), pqC(m)(k).map(x => x * x).sum))
+      .toDF("sub", "code", "cq", "csq")
+    val probeSubs = (0 until PqM).map(m =>
+        qL.where(col("vec_id") < nProbes)
+          .select(col("vec_id").as("qid"), lit(m).as("sub"),
+            slice(col("q"), m * subd + 1, subd).as("qs")))
+      .reduce(_.union(_))
+    val lut = probeSubs.join(broadcast(centT), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        Similarity.dotq(col("qs"), col("cq")).as("pdot"), col("csq"))
+    val pqTop = Similarity.ivfPqTopK(codesLakeL, lakeL, lut,
+      probeCells, probesV, 20, nNbr).cache()
+    val pqRecall =
+      pqTop.join(truth, Seq("qid", "tid")).count().toDouble / nTruth
+    pqTop.unpersist()
+    assert(pqRecall >= 0.90,
+      f"IVF-PQ planted recall $pqRecall%.4f < 0.90")
+  }
+
+  private def duBytes(p: String): Long =
+    java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+
   test("annCandidates broadcasts the probe side — the corpus bucket " +
       "relation is scanned, never shuffled, for candidate generation") {
     val dir = scratchDir("graft_annplan_")
