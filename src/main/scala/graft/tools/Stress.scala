@@ -1740,6 +1740,14 @@ object Stress {
     *   sbt "runMain graft.tools.Stress ann trained [nBackground1]
     *        [nBackground2] [nProbes] [nNbr] [nprobe]"
     *        (200000 1000000 100 3 64)
+    *
+    * Width selection: both widths must put the vector relation past
+    * the broadcast threshold, or gate 4's naive control is not
+    * corpus-shaped — at 100k vectors Spark broadcasts the corpus into
+    * the e7-shape joins and the control legitimately measures ~0 MB
+    * (observed live: 0.2 MB at 100k vs 901 MB at 200k). That is the
+    * correct production answer for small corpora, but it makes the
+    * <1/3-of-control gate vacuous; the defaults are chosen past it.
     */
   private def annTrainedMain(args: Array[String]): Unit = {
     val nBg1 = args.lift(0).map(_.toLong).getOrElse(200000L)
