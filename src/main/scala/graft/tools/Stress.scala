@@ -44,6 +44,25 @@
 //     fraction, partition pruning physically engaged, sublinear probe
 //     shuffle).
 //
+// Round-20 sibling modes:
+//   Stress ann trained [nBackground1] [nBackground2] [nProbes] [nNbr]
+//     [nprobe] — the TRAINED index tier at two widths: k-means
+//     training (Lloyd shuffle aggregate-sized vs a live corpus-shaped
+//     control round, collects bounded by C·dims), the trained-IVF
+//     lake probe (e7b's body: recall, static pruning, the naive
+//     e7-shape re-score control kept live), and IVF-PQ/ADC serving
+//     (e11b's body: codes-sized lake, cell-pruned ADC + rerank reads);
+//   Stress ann crossover [nBackground1] [nBackground2] [nProbes]
+//     [nNbr] [nprobe] — the IVF lake's batch-probe amortization
+//     curve: physical rows read vs probe-batch size at two widths,
+//     printing where pruned-scan serving stops beating one full-scan
+//     batch pass (~1.6·C/nprobe probes);
+//   Stress statestore corrwidth [k...] — the streaming corr chain's
+//     O(k²) co-moment state priced at panel widths (heap vs
+//     RocksDB+changelog): per-batch state rows / memory / commit /
+//     changelog artifact bytes, gated on superlinear growth and
+//     identical finalized-span counts across providers.
+//
 // Synthetic panel shape: 50 groups of correlated series — series u's
 // value is a shared per-group SMOOTH signal (a sinusoid at the group's
 // own integer frequency: distinct frequencies are orthogonal over the
