@@ -42,8 +42,14 @@ object Components {
     * any partitioning — min is associative/commutative and the
     * iteration runs to a fixpoint.
     */
+  /** `labelBudget` is the per-partition label target of the loop tier
+    * (and, via `labelParts == 1`, the small-tier cutoff): the default
+    * ~100k labels/partition is the production knob; specs pass 1 to
+    * force the distributed loop on small graphs.
+    */
   def connectedComponents(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
+                          dstCol: String,
+                          labelBudget: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // cache the raw edge projection FIRST: phase 0 and the node universe
@@ -89,16 +95,59 @@ object Components {
     val sym = star
       .unionByName(star.select(col("b").as("a"), col("a").as("b")))
       .cache()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    val nNodes = sym.select("a").distinct().count()
     // label-relation partitioning for the loop below: the relation is
     // node-count-sized, and tiny partitions cost more in per-task +
     // checkpoint overhead than they buy, so target ~100k labels per
     // partition — 1 at fixture scale, growing with the node count on a
     // cluster (the knob the old hard-coded coalesce(1) lacked)
-    val labelParts =
-      Relational.boundedPartitions(labels.count(), 100000L)
+    val labelParts = Relational.boundedPartitions(nNodes, labelBudget)
+    // Small-graph tier: when the label relation fits the loop's ONE
+    // coalesced partition anyway (labelParts == 1 — every round below
+    // would already funnel the full label set through a single task),
+    // finish the contraction in one union-find task over the star
+    // edges instead of O(log diameter) distributed rounds: phase 0
+    // already shrank the edge relation to ≤ one (node, local root)
+    // edge per node per partition, so this single task sees STRICTLY
+    // less data than each loop round's coalesce(1) checkpoint did,
+    // and the 2-jobs-per-round latency (checkpoint + convergence
+    // count) collapses to one job. Same output bit-for-bit: min-root
+    // union-find converges to component = min reachable id, the
+    // loop's fixpoint (ComponentsSpec pins tier equality).
+    if (labelParts == 1) {
+      val solved = star.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val ks = parent.keysIterator.toArray
+        ks.iterator.map(k => (k, find(k)))
+      }.toDF("id", "component")
+        // materialize BEFORE the unpersists: the star plan reads the
+        // cached edge projection, and an uncached consumer would re-run
+        // the caller's whole edge plan (d6 feeds d2's pipeline in)
+        .localCheckpoint()
+      sym.unpersist(false)
+      e0.unpersist(false)
+      lastRounds = 0
+      return solved
+    }
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0) {

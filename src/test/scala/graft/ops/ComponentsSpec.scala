@@ -23,6 +23,13 @@ class ComponentsSpec extends SparkTestBase {
     Components.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
       .as[(Long, Long)].collect().toMap
 
+  // labelBudget = 1 forces the distributed pointer-jump loop, which the
+  // small-graph union-find tier otherwise takes over at spec scale
+  private def runLoop(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+        labelBudget = 1L)
+      .as[(Long, Long)].collect().toMap
+
   test("golden: two triangles plus a bridge and an isolated pair") {
     val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), // triangle 1-2-3
       (10, 11), (11, 12), (12, 10),                       // triangle 10-12
@@ -38,6 +45,18 @@ class ComponentsSpec extends SparkTestBase {
     val got = run(edges)
     assert(got.values.toSet == Set(1L))
     assert(got.size == 40)
+  }
+
+  test("loop tier (forced) and small-graph union-find tier agree") {
+    val rnd = new scala.util.Random(13)
+    val edges = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq.fill(80)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)))
+      .filter(e => e._1 != e._2)
+    val small = run(edges)
+    val loop = runLoop(edges)
+    assert(Components.lastRounds > 0) // the forced run took the loop
+    assert(small == loop)
+    assert(small == reference(edges))
   }
 
   test("random graphs match union-find") {
