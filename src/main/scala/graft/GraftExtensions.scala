@@ -103,6 +103,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PearsonArrays(args(0), args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("dot_longs"),
+      new ExpressionInfo(classOf[graft.functions.DotLongs].getName,
+        "dot_longs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "dot_longs(a, b) takes 2 array<bigint> arguments")
+        graft.functions.DotLongs(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sqdist_longs"),
+      new ExpressionInfo(classOf[graft.functions.SqDistLongs].getName,
+        "sqdist_longs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sqdist_longs(a, b) takes 2 array<bigint> arguments")
+        graft.functions.SqDistLongs(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("optimizer_fence"),
       new ExpressionInfo(classOf[graft.functions.OptimizerFence].getName,
         "optimizer_fence"),

@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
 object Kmeans {
 
   /** Exact squared L2 distance between the quantized array column `q`
-    * and a centroid literal.
+    * and a centroid literal — the [[graft.functions.SqDistLongs]]
+    * kernel (one primitive loop per (row, centroid); the previous
+    * `aggregate(zip_with(...))` form paid the CodegenFallback lambda
+    * interpreter per element × C centroids per row — see
+    * LongArrayMath's scaladoc for the bit-equivalence contract).
     */
   private def distSq(q: Column, cent: Seq[Long]): Column =
-    aggregate(zip_with(q, typedLit(cent), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, d) => acc + d)
+    call_function("sqdist_longs", q, typedLit(cent))
 
   /** Map-only cell assignment: index of the nearest centroid, first
     * (lowest) index on exact ties.

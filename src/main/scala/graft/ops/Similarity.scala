@@ -493,11 +493,17 @@ object Similarity {
   def quantized(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e6, 0).cast("long"))
 
-  /** Exact integer dot product of two quantized arrays: a single-pass
-    * codegen'd higher-order function — no 64-way explode, no shuffle. The
-    * long sums are associative and engine-exact (dims · (1e6)² ≪ 2^63).
+  /** Exact integer dot product of two quantized arrays — the
+    * [[graft.functions.DotLongs]] kernel: one JIT-compiled primitive
+    * loop per pair, no 64-way explode, no shuffle, and none of the
+    * per-element lambda-interpreter cost of the previous
+    * `aggregate(zip_with(...))` form (higher-order functions are
+    * CodegenFallback; the swap measured e10 2.95 → 0.94 s at sf0.1 with
+    * bit-identical output — LongArrayMath's scaladoc has the full
+    * equivalence contract). The long sums are associative and
+    * engine-exact (dims · (1e6)² ≪ 2^63).
     */
   def dotq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("dot_longs", a, b)
 
 }
