@@ -94,6 +94,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.DenseFromSortedEntries(args(0), u)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("fill_grid"),
+      new ExpressionInfo(classOf[graft.functions.FillGrid].getName,
+        "fill_grid"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "fill_grid(entries, dims, backward) takes 3 arguments")
+        val dims = args(1) match {
+          case Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "fill_grid: dims must be an integer literal")
+        }
+        val backward = args(2) match {
+          case Literal(v: Boolean, _) => v
+          case _ => throw new IllegalArgumentException(
+            "fill_grid: backward must be a boolean literal")
+        }
+        require(dims >= 0, s"fill_grid: dims must be >= 0, got $dims")
+        graft.functions.FillGrid(args(0), dims, backward)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pearson_arrays"),
       new ExpressionInfo(classOf[graft.functions.PearsonArrays].getName,
         "pearson_arrays"),

@@ -116,20 +116,47 @@ object Time {
       startMs, endMs, stepMs, agg)._2
   }
 
+  /** Grid-width ceiling for the in-array fill path of
+    * [[resampleFfillCore]]: past it a per-series dense vector stops
+    * being comfortably task-sized (4M slots ≈ 32 MB of boxed doubles
+    * per series) and the relational grid-join + window form takes over
+    * — that form streams each series through the sort instead of
+    * materializing it. Tests force the relational path by setting this
+    * to 0. Fixture grids top out at 57,600 slots (w9's 250 ms session).
+    */
+  private[graft] var VectorFillMaxBuckets: Long = 1L << 22
+
   /** The shared resample body behind [[resampleFfill]] (epoch-second
     * buckets) and [[resampleFfillMs]] (epoch-milli buckets): tick
-    * filter, bucket aggregate, grid join, ffill — parameterized by the
+    * filter, bucket aggregate, gap fill — parameterized by the
     * range filter and the bucket expression so the caching/lifecycle
     * rationale lives in exactly one place.
     *
+    * Fill strategy (guide §2.4 — remove shuffles outright): for any
+    * grid up to [[VectorFillMaxBuckets]] slots the fill runs IN-ARRAY —
+    * one aggregation per series collects its sorted (pos, value)
+    * entries and the codegen'd [[graft.functions.FillGrid]] expression
+    * expands them to the dense grid in a single linear pass, position-
+    * exploded back to the same (bucket, key, value) rows. That replaces
+    * the old relational chain — distributed grid generation, a
+    * grid×keys broadcast join, and a full sort-based Window — with one
+    * exchange (the per-series groupBy) and zero joins; the key-universe
+    * distinct + broadcast build disappear with the grid. Measured at
+    * sf0.1 on the a3c panel (489 series × 288 buckets): the
+    * panel-build phase dropped ~0.9 s (see OPTIMIZATION_r21.md).
+    * Output rows, values and nullability are bit-identical (the
+    * expression replicates `last(v, ignoreNulls)` exactly; TimeSpec
+    * pins vector ≡ window equality on gapped/null fixtures). Past the
+    * ceiling — grids so wide a dense per-series vector stops being
+    * task-sized — the relational window form remains the path.
+    *
     * Both intermediate cachings are load-bearing:
-    *  - the BUCKETED panel feeds both the key-universe distinct and the
-    *    grid join; uncached, Spark scans + aggregates the tick table
-    *    twice (verified in the physical plan — no ReusedExchange fires
-    *    across the two subtrees);
+    *  - the BUCKETED panel feeds the key-universe collect of wide
+    *    consumers and the fill derivation; uncached, Spark scans +
+    *    aggregates the tick table twice;
     *  - the FILLED panel is scanned from two sides by every correlation
     *    consumer (the i/j pair join); uncached, each side re-runs the
-    *    grid join + ffill window.
+    *    fill.
     * Both cached relations are dimension-sized (≤ grid buckets × keys
     * rows, never tick-sized — this holds at 100 TB of ticks) and are
     * registered for the same lifecycle release.
@@ -139,18 +166,47 @@ object Time {
                                 rangeFilter: Column, bucketExpr: Column,
                                 start: Long, end: Long, step: Long,
                                 agg: Column,
-                                fill: (DataFrame, String, String, String)
-                                  => DataFrame = ffill): (DataFrame, DataFrame) = {
+                                backward: Boolean = false): (DataFrame, DataFrame) = {
+    // same alignment contract grid() enforces: buckets are epoch-anchored
+    // step multiples, so an unaligned start would mis-position every slot
+    require(start % step == 0,
+      s"grid start $start is not aligned to step $step — " +
+        "bucketSec() buckets are epoch-anchored multiples of the step")
     val bucketed = ticks.where(rangeFilter)
       .groupBy(bucketExpr.as("bucket"), col(keyCol))
       .agg(agg.as(valueCol))
       .cache()
     cachedPanels.add(bucketed)
-    val keys = bucketed.select(keyCol).distinct()
-    val g = grid(spark, start, end, step, keys)
-    val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
-    val filled = fill(joined, keyCol, "bucket", valueCol).cache()
-    cachedPanels.add(filled)
+    val nBuckets = (end - start) / step
+    val filled = if (nBuckets <= VectorFillMaxBuckets) {
+      // in-array fill: one per-series aggregation, no grid join, no
+      // window sort. pos arithmetic is exact (bucket is a start-aligned
+      // step multiple; the double division is exact below 2^53).
+      val entries = array_sort(collect_list(struct(
+        ((col("bucket") - start) / step).cast("int").as("p"),
+        col(valueCol).as("v"))))
+      // cache the k VECTOR rows, not the k×B exploded cells: the cache
+      // build (columnar materialization) then scales with the series
+      // count, and each consumer pays only a codegen'd posexplode per
+      // scan — measured another ~0.3 s off the a3c panel build at
+      // sf0.1 vs caching the exploded rows
+      val vecs = bucketed.groupBy(col(keyCol))
+        .agg(call_function("fill_grid", entries, lit(nBuckets.toInt),
+          lit(backward)).as("vs"))
+        .cache()
+      cachedPanels.add(vecs)
+      vecs.select(col(keyCol), posexplode(col("vs")))
+        .select((col("pos").cast("long") * step + start).as("bucket"),
+          col(keyCol), col("col").as(valueCol))
+    } else {
+      val keys = bucketed.select(keyCol).distinct()
+      val g = grid(spark, start, end, step, keys)
+      val joined = g.join(bucketed, Seq("bucket", keyCol), "left")
+      val f = if (backward) bfill _ else ffill _
+      val w = f(joined, keyCol, "bucket", valueCol).cache()
+      cachedPanels.add(w)
+      w
+    }
     (bucketed, filled)
   }
 
@@ -166,7 +222,7 @@ object Time {
       col(tsCol) >= timestamp_seconds(lit(startSec)) &&
         col(tsCol) < timestamp_seconds(lit(endSec)),
       bucketSec(col(tsCol), stepSec),
-      startSec, endSec, stepSec, agg, bfill)._2
+      startSec, endSec, stepSec, agg, backward = true)._2
 
   /** Bucket + mean (the reference's dedup-mean of simultaneous ticks, A1:
     * correlation_matrix_exporter.py:109) then grid-join + ffill — the full

@@ -1221,6 +1221,12 @@ object LlmQueries {
       .select(explode(Text.words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     var toks = charToks(w0).cache()
+    // A fused one-action-per-generation variant (best pair via min_by +
+    // stats off the same pair aggregate) was A/B'd here in round 21 and
+    // measured NO better (2.55 s → 2.79 s median at sf0.1): the
+    // countDistinct Expand it pays on every generation pass and the
+    // extra lead-window pass for the final generation's stats eat the
+    // saved action. The two-action loop stays.
     val rows = (1 to BpeRounds).map { i =>
       val p = bpeWithNext(toks)
       val best = p.where(col("nxt").isNotNull)
@@ -1234,7 +1240,8 @@ object LlmQueries {
         countDistinct("tok").as("nv")).head()
       // the superseded generation is never read again — release it
       // eagerly instead of pinning every round's token relation until
-      // the harness's external clearCache
+      // the harness's external clearCache (safe here: the st action
+      // above has already materialized `next`)
       toks.unpersist()
       toks = next
       (i, l, r, cnt, st.getLong(0), st.getLong(1))
@@ -1346,10 +1353,16 @@ object LlmQueries {
       // subtrees. Truncating lineage each round keeps plan size linear
       // in rounds (the Components-loop pattern); the relation is
       // vocabulary-sized, so each checkpoint is cheap at any corpus
-      // scale.
+      // scale. LAZY (eager=false, guide §1.2 fewer passes): the
+      // logical-plan truncation happens at DataFrame construction
+      // either way, but the eager form ran one materialization JOB per
+      // round — lazily, the final action computes each generation's
+      // RDD once (the checkpoint caches it, and the RDD DAG is shared,
+      // not copied, so no exponential re-computation) in ONE job.
+      // Measured at sf0.1: 1.30 s → 0.91 s median.
       val toks = merges.foldLeft(charToks(vocab)) {
         case (t, (l, r)) =>
-          bpeApplyMerge(bpeWithNext(t), l, r).localCheckpoint()
+          bpeApplyMerge(bpeWithNext(t), l, r).localCheckpoint(eager = false)
       }
       val perWord = toks.groupBy("word").agg(count(lit(1)).as("n_toks"))
       docWords.join(perWord, Seq("word"))

@@ -81,6 +81,60 @@ class TimeSpec extends SparkTestBase {
     assert(out == want)
   }
 
+  /** The in-array fill (FillGrid) against the relational grid-join +
+    * window form on the same gapped fixture — the two paths must be
+    * row-for-row identical, including null-VALUE buckets (ticks whose
+    * aggregate is null occupy a slot but never interrupt the fill:
+    * `ignoreNulls` semantics) and leading/trailing nulls.
+    */
+  private def fillFixture = {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    Seq(
+      (ts(65), 1L, Some(10.0)), (ts(70), 1L, Some(30.0)),
+      (ts(130), 1L, None), // null-value bucket: slot kept, fill carries
+      (ts(190), 1L, Some(40.0)),
+      (ts(10), 2L, Some(5.0)),
+      (ts(200), 3L, Some(7.0))) // leading-null series
+      .toDF("ts", "user_id", "value")
+  }
+
+  private def bothPaths(f: => org.apache.spark.sql.DataFrame)
+      : (Seq[Row], Seq[Row]) = {
+    val vec = f.collect().toSeq
+    val prev = Time.VectorFillMaxBuckets
+    Time.VectorFillMaxBuckets = 0 // force the relational window path
+    try {
+      Time.unpersistPanels()
+      val win = f.collect().toSeq
+      (vec, win)
+    } finally {
+      Time.VectorFillMaxBuckets = prev
+      Time.unpersistPanels()
+    }
+  }
+
+  test("in-array ffill ≡ window ffill row-for-row (null buckets, " +
+    "leading nulls, gaps)") {
+    val (vec, win) = bothPaths(
+      Time.resampleFfill(spark, fillFixture, "user_id", "ts", "value",
+          0, 240, 60, avg(col("value")))
+        .orderBy("user_id", "bucket")
+        .select("user_id", "bucket", "value"))
+    assert(vec == win, s"vector path:\n$vec\nwindow path:\n$win")
+    assert(vec.size == 12) // 3 series x 4 buckets
+  }
+
+  test("in-array bfill ≡ window bfill row-for-row") {
+    val (vec, win) = bothPaths(
+      Time.resampleBfill(spark, fillFixture, "user_id", "ts", "value",
+          0, 240, 60, avg(col("value")))
+        .orderBy("user_id", "bucket")
+        .select("user_id", "bucket", "value"))
+    assert(vec == win, s"vector path:\n$vec\nwindow path:\n$win")
+    // trailing nulls survive bfill: series 2 has nothing after 0
+    assert(win.count(_.isNullAt(2)) > 0)
+  }
+
   test("resampleFfillMs golden: 250 ms buckets, sub-second fills") {
     def ts(ms: Long) = new java.sql.Timestamp(ms)
     val ticks = Seq(

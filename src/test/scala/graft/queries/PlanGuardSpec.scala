@@ -303,6 +303,10 @@ class PlanGuardSpec extends SparkTestBase {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def rawPanel(p: SparkPlan): Boolean = p match {
+      // a Generate (the fill_grid posexplode) re-inflates a per-series
+      // contraction back to one row per grid slot — panel-sized again,
+      // exactly like the old ffill Window output it replaced
+      case _: org.apache.spark.sql.execution.GenerateExec => true
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           if a.groupingExpressions.size <= 1 => false
       // per-(bucket,key) aggregates are k·T cells — still the panel;
