@@ -220,11 +220,21 @@ object CoverageQueries {
     // pairs is REGISTER-IDENTICAL to HLL over the raw stream (duplicate
     // values touch the same register), so n_approx is unchanged.
     // Measured at sf0.1 (32 threads): 2.6 s → 1.4 s median.
+    // DataSketches HLL (lgK=14, ~0.8% standard error — the same
+    // accuracy class as the previous approx_count_distinct rsd=0.01)
+    // instead of HLL++: the HLL++ aggregate's fixed per-sketch cost at
+    // p=14 measured ~0.5 s at sf0.1 INDEPENDENT of row count, where
+    // the DataSketches aggregate is ~0.2 s for the whole query
+    // (Scratch A/B, OPTIMIZATION_r21.md). Same determinism argument:
+    // register-max merges are order-independent, so within_2pct stays
+    // a stable fact (estimates are exactly 1500/150/15 on the
+    // fixtures, far inside the pinned 2%).
     (s, d) => T(s, d, "events")
       .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_exact"),
-        approx_count_distinct(col("user_id"), rsd = 0.01).as("n_approx"))
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+          .as("n_approx"))
       .select(col("event_type"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")) * 50 <= col("n_exact"))
           .cast("int").as("within_2pct"))

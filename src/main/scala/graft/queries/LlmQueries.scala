@@ -562,8 +562,28 @@ object LlmQueries {
   private val qD7 = Q("d7_decontaminate",
     (s, d) => {
       val docs = T(s, d, "documents")
-      def grams(df: DataFrame) = df.select(col("doc_id"),
-        explode(Text.shingles(col("text"), 3)).as("gram"))
+      // trigram HASHES, never the strings (d4's idiom): the join only
+      // needs identity — the oracle counts raw gram strings, and a
+      // cross-gram 64-bit collision is the same accepted 2^-64 class
+      // d4 documents — so each doc's distinct trigram set is built in
+      // hash space with three O(1) element_at probes per position (no
+      // per-position slice + array_join string allocation), and the
+      // shared-gram join keys on an 8-byte long instead of a ~20-byte
+      // string. Measured at sf0.1: 1.55 → 1.18 s median.
+      def grams(df: DataFrame) = {
+        // the words array is BOUND to a column first: a lambda that
+        // referenced the split(...) expression directly re-evaluated
+        // the whole split per element_at probe (O(len²) per doc —
+        // measured 3× the query)
+        val w = col("w")
+        df.select(col("doc_id"), Text.words(col("text")).as("w"))
+          .select(col("doc_id"), explode(array_distinct(
+            when(size(w) >= 3,
+              transform(sequence(lit(0), size(w) - 3),
+                i => xxhash64(element_at(w, i + 1), element_at(w, i + 2),
+                  element_at(w, i + 3))))
+              .otherwise(array().cast("array<bigint>")))).as("gram"))
+      }
       val bench = grams(docs.where(col("doc_id") < 20))
         .withColumnRenamed("doc_id", "bench_id")
       val train = grams(docs.where(col("doc_id") >= 20))

@@ -343,6 +343,11 @@ object Profile {
     val rest = args.drop(1).toSeq
     val spark = Sessions.build("profile")
     rest match {
+      // generic stage-attribution: --phases ab:<query> runs the 8-run
+      // one-JVM listener protocol on ANY named query (the a3dab/a3fab
+      // sets are the pre-wired instances)
+      case Seq("--phases", set) if set.startsWith("ab:") =>
+        abProtocol(set.stripPrefix("ab:"))(spark, sfDir)
       case Seq("--phases", set) =>
         phaseSets.getOrElse(set,
           sys.error(s"unknown phase set '$set' " +
