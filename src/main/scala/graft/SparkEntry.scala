@@ -513,7 +513,7 @@ object SparkEntry {
     Time.resampleFfillParts(s,
       T(s, d, "events").where(col("user_id") < nUsers),
       "user_id", "ts", "value", a, b, step,
-      davg(col("value")))
+      davg(col("value")), keysHint = nUsers)
 
   // W1: resample to a 1-minute grid with forward fill (flagship #2 —
   // correlation_matrix_exporter.py:111-116)
@@ -528,7 +528,8 @@ object SparkEntry {
   private val qW2 = Q("w2_resample_bfill",
     (s, d) => Time.resampleBfill(s,
         T(s, d, "events").where(col("user_id") < 5),
-        "user_id", "ts", "value", jan2, jan3, 60, davg(col("value")))
+        "user_id", "ts", "value", jan2, jan3, 60, davg(col("value")),
+        keysHint = 5)
       .select(col("bucket"), col("user_id"), col("value").as("next_price"))
       .orderBy("user_id", "bucket"),
     Some(s"""WITH b AS (
@@ -927,7 +928,7 @@ object SparkEntry {
       Time.resampleFfillMs(s,
           T(s, d, "events").where(col("user_id") < 5),
           "user_id", "ts", "value", startMs, endMs, 250L,
-          davg(col("value")))
+          davg(col("value")), keysHint = 5)
         .select(col("bucket"), col("user_id"), col("value").as("price"))
         .orderBy("user_id", "bucket")
     },

@@ -63,11 +63,21 @@ object Images {
 
   /** Generate the per-document PNG column: (doc_id) → (doc_id, png).
     * Distributed map — each task encodes its own partition's images.
+    *
+    * The id stream is round-robin spread to core-count partitions
+    * first: codec work per row dwarfs row bytes, so the upstream
+    * scan's byte-sized partitioning (the 5k-doc fixture reads as 1-2
+    * splits) would funnel every render through one or two tasks —
+    * the guide §2.5 "CPU fan-out off a byte-small input" shape. The
+    * repartition moves only 8-byte ids. Measured at sf0.1: the m8
+    * render stage went from 2 tasks × ~0.6 s to core-wide.
     */
   def synthesize(spark: SparkSession, docIds: DataFrame,
                  w: Int, h: Int): DataFrame = {
     import spark.implicits._
-    docIds.select("doc_id").as[Long].mapPartitions { it =>
+    docIds.select("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { id =>
         val bos = new ByteArrayOutputStream()

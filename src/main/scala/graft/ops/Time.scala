@@ -107,13 +107,13 @@ object Time {
   def resampleFfillMs(spark: SparkSession, ticks: DataFrame, keyCol: String,
                       tsCol: String, valueCol: String,
                       startMs: Long, endMs: Long, stepMs: Long,
-                      agg: Column): DataFrame = {
+                      agg: Column, keysHint: Long = 0L): DataFrame = {
     val ems = unix_millis(col(tsCol))
     resampleFfillCore(spark, ticks, keyCol, valueCol,
       col(tsCol) >= timestamp_millis(lit(startMs)) &&
         col(tsCol) < timestamp_millis(lit(endMs)),
       ems - pmod(ems, lit(stepMs)),
-      startMs, endMs, stepMs, agg)._2
+      startMs, endMs, stepMs, agg, keysHint = keysHint)._2
   }
 
   /** Grid-width ceiling for the in-array fill path of
@@ -166,18 +166,37 @@ object Time {
                                 rangeFilter: Column, bucketExpr: Column,
                                 start: Long, end: Long, step: Long,
                                 agg: Column,
-                                backward: Boolean = false): (DataFrame, DataFrame) = {
+                                backward: Boolean = false,
+                                keysHint: Long = 0L): (DataFrame, DataFrame) = {
     // same alignment contract grid() enforces: buckets are epoch-anchored
     // step multiples, so an unaligned start would mis-position every slot
     require(start % step == 0,
       s"grid start $start is not aligned to step $step — " +
         "bucketSec() buckets are epoch-anchored multiples of the step")
-    val bucketed = ticks.where(rangeFilter)
+    val nBuckets = (end - start) / step
+    // Cache partition sizing off the panel's own geometry (guide §2.2:
+    // partition counts follow data size, here known a priori). Both
+    // cached relations are dimension-sized; left on the static shuffle
+    // partition count, their columnar cache build ran 32 per-partition
+    // builder sets for a few thousand rows — measured as the dominant
+    // panel cost at bench scale — while at cluster width a fixed 32 is
+    // just as wrong the other way. With a caller-supplied series bound
+    // the counts derive from grid cells (~8 B each): ~200k cells per
+    // bucketed partition, ~4M per vector partition (vector rows are
+    // dense B-slot arrays). coalesce sits ABOVE each aggregation's
+    // exchange, so the map side keeps its scan parallelism and only
+    // the post-shuffle finalize+cache-build collapses. keysHint 0
+    // (callers that cannot bound the series count) keeps the static
+    // layout.
+    val cells = nBuckets * keysHint
+    def sized(df: DataFrame, target: Long): DataFrame =
+      if (keysHint > 0) df.coalesce(Relational.boundedPartitions(cells, target))
+      else df
+    val bucketed = sized(ticks.where(rangeFilter)
       .groupBy(bucketExpr.as("bucket"), col(keyCol))
-      .agg(agg.as(valueCol))
+      .agg(agg.as(valueCol)), 200000L)
       .cache()
     cachedPanels.add(bucketed)
-    val nBuckets = (end - start) / step
     val filled = if (nBuckets <= VectorFillMaxBuckets) {
       // in-array fill: one per-series aggregation, no grid join, no
       // window sort. pos arithmetic is exact (bucket is a start-aligned
@@ -190,9 +209,9 @@ object Time {
       // count, and each consumer pays only a codegen'd posexplode per
       // scan — measured another ~0.3 s off the a3c panel build at
       // sf0.1 vs caching the exploded rows
-      val vecs = bucketed.groupBy(col(keyCol))
+      val vecs = sized(bucketed.groupBy(col(keyCol))
         .agg(call_function("fill_grid", entries, lit(nBuckets.toInt),
-          lit(backward)).as("vs"))
+          lit(backward)).as("vs")), 4000000L)
         .cache()
       cachedPanels.add(vecs)
       vecs.select(col(keyCol), posexplode(col("vs")))
@@ -217,12 +236,13 @@ object Time {
   def resampleBfill(spark: SparkSession, ticks: DataFrame, keyCol: String,
                     tsCol: String, valueCol: String,
                     startSec: Long, endSec: Long, stepSec: Long,
-                    agg: Column): DataFrame =
+                    agg: Column, keysHint: Long = 0L): DataFrame =
     resampleFfillCore(spark, ticks, keyCol, valueCol,
       col(tsCol) >= timestamp_seconds(lit(startSec)) &&
         col(tsCol) < timestamp_seconds(lit(endSec)),
       bucketSec(col(tsCol), stepSec),
-      startSec, endSec, stepSec, agg, backward = true)._2
+      startSec, endSec, stepSec, agg, backward = true,
+      keysHint = keysHint)._2
 
   /** Bucket + mean (the reference's dedup-mean of simultaneous ticks, A1:
     * correlation_matrix_exporter.py:109) then grid-join + ffill — the full
@@ -234,9 +254,9 @@ object Time {
   def resampleFfill(spark: SparkSession, ticks: DataFrame, keyCol: String,
                     tsCol: String, valueCol: String,
                     startSec: Long, endSec: Long, stepSec: Long,
-                    agg: Column): DataFrame =
+                    agg: Column, keysHint: Long = 0L): DataFrame =
     resampleFfillParts(spark, ticks, keyCol, tsCol, valueCol,
-      startSec, endSec, stepSec, agg)._2
+      startSec, endSec, stepSec, agg, keysHint)._2
 
   /** [[resampleFfill]] exposing BOTH cached stages as
     * `(bucketed, filled)`. The bucketed panel is the cheap prefix (tick
@@ -249,10 +269,11 @@ object Time {
   def resampleFfillParts(spark: SparkSession, ticks: DataFrame,
                          keyCol: String, tsCol: String, valueCol: String,
                          startSec: Long, endSec: Long, stepSec: Long,
-                         agg: Column): (DataFrame, DataFrame) =
+                         agg: Column,
+                         keysHint: Long = 0L): (DataFrame, DataFrame) =
     resampleFfillCore(spark, ticks, keyCol, valueCol,
       col(tsCol) >= timestamp_seconds(lit(startSec)) &&
         col(tsCol) < timestamp_seconds(lit(endSec)),
       bucketSec(col(tsCol), stepSec),
-      startSec, endSec, stepSec, agg)
+      startSec, endSec, stepSec, agg, keysHint = keysHint)
 }

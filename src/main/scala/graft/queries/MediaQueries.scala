@@ -103,10 +103,15 @@ object MediaQueries {
   // mis-decoded the good ones (checksum) all fail the hash.
   private val qM8 = Q("m8_decode_tolerance",
     (s, d) => {
-      val imgs = Images.synthesize(s, T(s, d, "documents"), W, H)
-        .withColumn("png",
-          when(col("doc_id") % 50 === 0,
-            expr("substring(png, 1, 7)")).otherwise(col("png")))
+      // cached: BOTH outcome partitions (decodeMeta + decodeFailures)
+      // consume the encoded payloads — uncached, every PNG is rendered
+      // and encoded twice (the codec is the whole cost of this query)
+      val imgs = graft.ops.Time.registerCached(
+        Images.synthesize(s, T(s, d, "documents"), W, H)
+          .withColumn("png",
+            when(col("doc_id") % 50 === 0,
+              expr("substring(png, 1, 7)")).otherwise(col("png")))
+          .cache())
       Images.decodeMeta(s, imgs)
         .withColumn("decoded", lit(1))
         .unionByName(Images.decodeFailures(s, imgs)

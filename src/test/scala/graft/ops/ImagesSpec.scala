@@ -109,9 +109,20 @@ class ImagesSpec extends SparkTestBase {
       "documents")
     val imgs = Images.synthesize(spark, docs, w, h)
     assert(imgs.schema.fieldNames.toSeq == Seq("doc_id", "png"))
-    // the plan under the typed map must scan only doc_id
-    val scan = imgs.queryExecution.executedPlan.collectLeaves().head
-    assert(scan.schema.fieldNames.toSeq == Seq("doc_id"),
-      s"expected a doc_id-only scan, got ${scan.schema.fieldNames.toSeq}")
+    // the plan under the typed map must scan only doc_id — found via a
+    // walk that descends the AQE wrapper the id-spreading repartition
+    // introduced (a naive collectLeaves().head would read the adaptive
+    // root's own output schema)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.initialPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val sc = scans(imgs.queryExecution.executedPlan)
+    assert(sc.nonEmpty, "no file scan found under synthesize")
+    assert(sc.head.schema.fieldNames.toSeq == Seq("doc_id"),
+      s"expected a doc_id-only scan, got ${sc.head.schema.fieldNames.toSeq}")
   }
 }
