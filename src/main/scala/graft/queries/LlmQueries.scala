@@ -1373,16 +1373,17 @@ object LlmQueries {
       // subtrees. Truncating lineage each round keeps plan size linear
       // in rounds (the Components-loop pattern); the relation is
       // vocabulary-sized, so each checkpoint is cheap at any corpus
-      // scale. LAZY (eager=false, guide §1.2 fewer passes): the
-      // logical-plan truncation happens at DataFrame construction
-      // either way, but the eager form ran one materialization JOB per
-      // round — lazily, the final action computes each generation's
-      // RDD once (the checkpoint caches it, and the RDD DAG is shared,
-      // not copied, so no exponential re-computation) in ONE job.
-      // Measured at sf0.1: 1.30 s → 0.91 s median.
+      // scale. EAGER on purpose (round-21 A/B): the lazy form
+      // (eager=false) saves one materialization job per round but
+      // defers every generation's computation into the final action,
+      // where the two same-stage references each apply round makes to
+      // its parent re-compute the unmaterialized chain — measured
+      // 4.0 s vs 1.5 s min in isolation (and +0.4 s era-normalized in
+      // two full bench sweeps, which is what overruled an
+      // earlier warm-context A/B that had read lazy as faster).
       val toks = merges.foldLeft(charToks(vocab)) {
         case (t, (l, r)) =>
-          bpeApplyMerge(bpeWithNext(t), l, r).localCheckpoint(eager = false)
+          bpeApplyMerge(bpeWithNext(t), l, r).localCheckpoint()
       }
       val perWord = toks.groupBy("word").agg(count(lit(1)).as("n_toks"))
       docWords.join(perWord, Seq("word"))
