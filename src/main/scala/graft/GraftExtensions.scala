@@ -114,6 +114,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.FillGrid(args(0), dims, backward)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[graft.functions.BpeTokens].getName,
+        "bpe_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bpe_tokens(word, merges) takes 2 arguments")
+        require(args(1).foldable,
+          "bpe_tokens: merges must be a literal array<array<string>> " +
+            "of [l, r] pairs")
+        val ad = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val merges = (0 until ad.numElements()).map { i =>
+          val p = ad.getArray(i)
+          require(p != null && p.numElements() == 2,
+            "bpe_tokens: each merge must be a 2-element [l, r] array")
+          require(!p.isNullAt(0) && !p.isNullAt(1),
+            "bpe_tokens: merge halves must be non-null")
+          Array(p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        }.toArray
+        graft.functions.BpeTokens(args(0), merges)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pearson_arrays"),
       new ExpressionInfo(classOf[graft.functions.PearsonArrays].getName,
         "pearson_arrays"),

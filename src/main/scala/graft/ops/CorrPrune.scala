@@ -49,8 +49,6 @@ object CorrPrune {
     val ex = panel.select(col(keyCol), col(posCol).as("pos"),
         round(col(valueCol) * 1e6, 0).cast("long").as("xq"))
       .where(col("xq").isNotNull)
-    val stats = ex.groupBy(keyCol)
-      .agg(sum("xq").as("sx"), count(lit(1)).as("nx"))
     // the plane table is bands·bits·dims rows — broadcast it only while
     // that is genuinely dimension-small (a few MB: 8×5 planes at 10⁴
     // positions is 400k rows). At very wide grids (dims ≳ 10⁵) the
@@ -62,24 +60,56 @@ object CorrPrune {
     val planes =
       if (bands.toLong * bits * dims <= 4000000L) broadcast(planesRaw)
       else planesRaw
+    // per-series stats FUSED into the projection aggregate (r22, guide
+    // §2.4): within a (key, band) group every observed position appears
+    // exactly once per bit, so the bit-0 slice already carries Σxq and
+    // the position count — the former separate per-key stats aggregate
+    // (one more exchange over the panel) and its broadcast join are
+    // gone, and the values are bit-identical long sums
     val projAggs = (0 until bits).flatMap(b => Seq(
       sum(when(col("bit") === b, col("s") * col("xq")).otherwise(0L))
         .as(s"p$b"),
-      sum(when(col("bit") === b, col("s")).otherwise(0L)).as(s"q$b")))
+      sum(when(col("bit") === b, col("s")).otherwise(0L)).as(s"q$b"))) ++
+      Seq(sum(when(col("bit") === 0, col("xq")).otherwise(0L)).as("sx"),
+        sum(when(col("bit") === 0, lit(1L)).otherwise(0L)).as("nx"))
     val bk = ex.join(planes, Seq("pos"))
       .groupBy(col(keyCol), col("band"))
       .agg(projAggs.head, projAggs.tail: _*)
-      .join(broadcast(stats), Seq(keyCol))
       .select(col(keyCol), col("band"),
         (0 until bits).map(b =>
           when(col("nx") * col(s"p$b") - col("sx") * col(s"q$b") > 0,
             lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("bucket"))
-    bk.select(col("band"), col("bucket"), col(keyCol).as("i"))
-      .join(bk.select(col("band"), col("bucket"), col(keyCol).as("j")),
-        Seq("band", "bucket"))
-      .where(col("i") < col("j"))
-      .select("i", "j").distinct()
+    // bucket members grouped per (band, bucket) and expanded to ordered
+    // pairs in-array (r22, guide §2.4): the former bk self-join re-ran
+    // the entire bucketing subtree once per side and shuffled both; this
+    // computes it once and shuffles the k·bands bucket rows once. A key
+    // appears at most once per (band, bucket) (bk is one row per
+    // (key, band)), and sort_array makes position order the key order,
+    // so pairing each member with its strict successors yields exactly
+    // the i < j pairs of the self-join. The per-bucket expansion stays
+    // pair-bounded exactly as before (same candidate multiset pre-
+    // distinct); two Generate operators, no lambda interpreter.
+    val members = bk.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(keyCol))).as("ks"))
+      .where(size(col("ks")) > 1)
+    // the candidate relation is byte-TINY (two ids per row) but every
+    // downstream verify amplifies each row ~2·dims× through the pearson
+    // machinery — exactly the compute-amplifying-consumer class AQE's
+    // bytes-based coalescing mis-sizes (it read this exchange as ONE
+    // partition and serialized the whole verify into one task: wall
+    // 1.1 → 2.3 s measured at a3d's geometry). The explicit
+    // repartition pins core-count partitions (work follows cores, not
+    // bytes — the candidate-sized exchange itself is trivial at any
+    // scale), and distinct() reuses the pinned hash partitioning, so
+    // this costs no extra exchange over the bare distinct.
+    val parts = panel.sparkSession.sparkContext.defaultParallelism
+    members
+      .select(col("ks"), posexplode(col("ks")).as(Seq("pi", "i")))
+      .select(col("i"), explode(slice(col("ks"), col("pi") + lit(2),
+        size(col("ks")))).as("j"))
+      .repartition(parts, col("i"), col("j"))
+      .distinct()
   }
 
   /** Exact Pearson (via [[Stats.pearson]], pairwise-complete) for every

@@ -61,22 +61,35 @@ object Images {
     img
   }
 
+  /** Docs per codec task: enough render+encode work (~tens of ms at
+    * fixture geometry) that a task is not mostly scheduling overhead,
+    * small enough that 100k+ docs still fan far wider than any core
+    * count. Replaces the unconditional core-count fan-out (r22): at
+    * 5k fixture docs `defaultParallelism` made 32 near-empty tasks —
+    * the 8-core sweep beat the 32-core one on m7/m8 purely on task
+    * dispatch.
+    */
+  private val SynthDocsPerTask = 512L
+
   /** Generate the per-document PNG column: (doc_id) → (doc_id, png).
     * Distributed map — each task encodes its own partition's images.
     *
-    * The id stream is round-robin spread to core-count partitions
-    * first: codec work per row dwarfs row bytes, so the upstream
-    * scan's byte-sized partitioning (the 5k-doc fixture reads as 1-2
-    * splits) would funnel every render through one or two tasks —
-    * the guide §2.5 "CPU fan-out off a byte-small input" shape. The
-    * repartition moves only 8-byte ids. Measured at sf0.1: the m8
-    * render stage went from 2 tasks × ~0.6 s to core-wide.
+    * The id stream is round-robin spread first: codec work per row
+    * dwarfs row bytes, so the upstream scan's byte-sized partitioning
+    * (the 5k-doc fixture reads as 1-2 splits) would funnel every render
+    * through one or two tasks — the guide §2.5 "CPU fan-out off a
+    * byte-small input" shape. The repartition moves only 8-byte ids,
+    * and the count is split-metadata-cheap (the lshBuckets idiom). The
+    * partition count follows the WORK (docs to encode, see
+    * [[SynthDocsPerTask]]), not the core count — a local[32] constant
+    * would both over-split small fixtures and under-split a corpus.
     */
   def synthesize(spark: SparkSession, docIds: DataFrame,
                  w: Int, h: Int): DataFrame = {
     import spark.implicits._
-    docIds.select("doc_id")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val ids = docIds.select("doc_id")
+    val parts = Relational.boundedPartitions(ids.count(), SynthDocsPerTask)
+    ids.repartition(parts)
       .as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false)
       it.map { id =>

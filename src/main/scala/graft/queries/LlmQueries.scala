@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Catalog
@@ -449,7 +449,9 @@ object LlmQueries {
     * space. The hash only COLLATES (the oracle counts over raw shingle
     * strings, so hash values never cross engines — unlike d2, where
     * the md5 value feeds the minhash signature itself); a cross-bigram
-    * collision inside one pair is ~2^-64 and the oracle would flag it.
+    * collision inside one pair is ~2^-64 and the oracle would flag it
+    * (union bound priced once in SCALE.md, "The 2⁻⁶⁴ hash-gram
+    * collision class").
     * lang is folded INTO the hash: the posting self-join then keys on
     * one 8-byte long instead of (string, long), and the language
     * blocking holds because two different langs agreeing on
@@ -511,13 +513,36 @@ object LlmQueries {
       // pairs — measured 4.9 s vs 2.0 s for this count-join core at
       // sf0.1. Prefix filtering pays at the t ≥ 0.5 thresholds d5's
       // near-dup tiers serve, not at a 0.10 similarity sweep.
+      // The posting self-join became a group-then-pair-in-array (r22,
+      // guide §2.4): the SMJ form shuffled the exploded posting relation
+      // TWICE (one exchange + sort per side); grouping by hash shuffles
+      // it once into a sorted member list (≤ MaxDf structs — the df cut
+      // bounds every group) and expands each member against its strict
+      // successors with two Generate operators — the identical i < j
+      // pair multiset, straight into the same partial-aggregated count.
       val post = setsF.select(col("doc_id"), col("szf"),
         explode(col("hsf")).as("h"))
-      val inter = post
-        .select(col("doc_id").as("i"), col("szf").as("sa"), col("h"))
-        .join(post.select(col("doc_id").as("j"), col("szf").as("sb"),
-          col("h")), Seq("h"))
-        .where(col("i") < col("j"))
+      // the posting exchange is byte-small but its consumer amplifies
+      // (pair explosion + count partials), so AQE's bytes-based
+      // coalescing serialized it into one task (the r21 cached-plan
+      // class; one 2 s task measured). The explicit repartition pins
+      // core-count partitions and the groupBy reuses them — no extra
+      // exchange, the pair fan-out runs core-wide at any scale.
+      val byHash = post
+        .repartition(post.sparkSession.sparkContext.defaultParallelism,
+          col("h"))
+        .groupBy(col("h"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("szf"))))
+          .as("ds"))
+        .where(size(col("ds")) > 1)
+      val pairs = byHash
+        .select(col("ds"), posexplode(col("ds")).as(Seq("pi", "a")))
+        .select(col("a.doc_id").as("i"), col("a.szf").as("sa"),
+          explode(slice(col("ds"), col("pi") + lit(2),
+            size(col("ds")))).as("b"))
+        .select(col("i"), col("sa"), col("b.doc_id").as("j"),
+          col("b.szf").as("sb"))
+      val inter = pairs
         .groupBy("i", "j", "sa", "sb").agg(count(lit(1)).as("inter"))
       inter
         .withColumn("jac", round(col("inter") /
@@ -565,7 +590,8 @@ object LlmQueries {
       // trigram HASHES, never the strings (d4's idiom): the join only
       // needs identity — the oracle counts raw gram strings, and a
       // cross-gram 64-bit collision is the same accepted 2^-64 class
-      // d4 documents — so each doc's distinct trigram set is built in
+      // d4 documents (union bound priced once in SCALE.md, "The 2⁻⁶⁴
+      // hash-gram collision class") — so each doc's trigram set is in
       // hash space with three O(1) element_at probes per position (no
       // per-position slice + array_join string allocation), and the
       // shared-gram join keys on an 8-byte long instead of a ~20-byte
@@ -1189,7 +1215,7 @@ object LlmQueries {
     * [0, -1] (two bogus rows) where the oracle's `range(strlen)` has
     * zero — the same hazard [[graft.ops.Text.shingles]] guards.
     */
-  private def charToks(wc: DataFrame): DataFrame =
+  private[graft] def charToks(wc: DataFrame): DataFrame =
     wc.select(col("word"), col("freq"),
         explode(when(length(col("word")) > 0,
             sequence(lit(0), length(col("word")) - 1))
@@ -1201,7 +1227,7 @@ object LlmQueries {
     * per round and shared with the learn loop's best-pair search so
     * the lead window is never computed twice over the same generation.
     */
-  private def bpeWithNext(toks: DataFrame): DataFrame =
+  private[graft] def bpeWithNext(toks: DataFrame): DataFrame =
     toks.withColumn("nxt",
       lead(col("tok"), 1).over(Window.partitionBy("word").orderBy("pos")))
 
@@ -1209,11 +1235,14 @@ object LlmQueries {
     * greedy left-to-right overlap rule (in "aaa", merge "a a" once, at
     * the left), relationally: within each run of consecutive matching
     * positions keep the even-indexed ones, drop each merge's right
-    * half, renumber. Shared by the learn loop (t9) and the
-    * apply-to-corpus tokenizer (t10) so the two can never drift.
+    * half, renumber. Since round 22 the shipped t9/t10 paths tokenize
+    * through the [[graft.functions.BpeTokens]] expression; this
+    * relational form is retained as the independent reference
+    * implementation BpeSpec pins the expression against, so the merge
+    * rule can never silently drift.
     */
-  private def bpeApplyMerge(p: DataFrame, l: String,
-                            r: String): DataFrame = {
+  private[graft] def bpeApplyMerge(p: DataFrame, l: String,
+                                   r: String): DataFrame = {
     val w = Window.partitionBy("word").orderBy("pos")
     val mm = p.where(col("tok") === l && col("nxt") === r)
       .select(col("word"), col("pos"))
@@ -1231,42 +1260,83 @@ object LlmQueries {
       .withColumn("pos", row_number().over(w) - 1)
   }
 
+  /** [[graft.functions.BpeTokens]] as a column: the word's token array
+    * after applying `merges` in order (merge table rides as a literal).
+    */
+  private def bpeTokensCol(word: Column,
+                           merges: Seq[(String, String)]): Column =
+    call_function("bpe_tokens", word,
+      typedLit(merges.map(m => Seq(m._1, m._2))))
+
+  /** Engine string order (UTF8 binary = code-point order) for the
+    * driver-side best-pair tie-break — Java's compareTo is UTF-16
+    * code-unit order, which differs above the BMP.
+    */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   /** The BPE learn loop over the `doc_id < BpeSample` sample: one row
     * per round — (round, merged_l, merged_r, pair_count,
     * n_tokens_after, n_vocab_after).
+    *
+    * Round-22 shape (guide §1.2 step 1 — fewer jobs, no per-round
+    * window/cache chain): each generation's token stream is re-derived
+    * from the cached sample vocabulary by the [[bpeTokensCol]]
+    * expression (one linear scan per word per merge), and ONE
+    * aggregation job per generation produces the (tok, nxt, cnt)
+    * pair-type counts with nxt NULL on each word's last token — so the
+    * same grouped rows carry this generation's stats (n_tokens = Σcnt,
+    * n_vocab = distinct tok) AND the next merge's best-pair candidates
+    * (nxt non-null). 1 + rounds jobs total, where the relational loop
+    * paid 2 actions plus two window passes and a cache per round. The
+    * grouped relation is pair-type-bounded on the FIXED learn sample
+    * (the dimension-bounded metadata class — the sortedUsers idiom), so
+    * the driver reduction stays KB-sized at any corpus scale. A round-21
+    * fused variant over the RELATIONAL chain measured no better; this
+    * one removes the chain itself (A/B'd: 2.0 → 0.6 s median at sf0.1).
     */
   private[graft] def bpeLearn(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long, Long, Long)] = {
     val w0 = T(s, d, "documents").where(col("doc_id") < BpeSample)
       .select(explode(Text.words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var toks = charToks(w0).cache()
-    // A fused one-action-per-generation variant (best pair via min_by +
-    // stats off the same pair aggregate) was A/B'd here in round 21 and
-    // measured NO better (2.55 s → 2.79 s median at sf0.1): the
-    // countDistinct Expand it pays on every generation pass and the
-    // extra lead-window pass for the final generation's stats eat the
-    // saved action. The two-action loop stays.
+      .cache()
+    // (tok, nxt, cnt) pair-type counts of the token stream after `ms`
+    // merges; the expression output is BOUND to a column first so the
+    // collapsed projection evaluates it once, not once per reference
+    // (the d7 split() trap)
+    def pairStats(ms: Seq[(String, String)]): Array[(String, String, Long)] =
+      w0.select(col("freq"), bpeTokensCol(col("word"), ms).as("a"))
+        .select(col("freq"), explode(zip_with(col("a"),
+          slice(col("a"), lit(2), size(col("a"))),
+          (x, y) => struct(x.as("tok"), y.as("nxt")))).as("pr"))
+        .groupBy(col("pr.tok").as("tok"), col("pr.nxt").as("nxt"))
+        .agg(sum("freq").as("cnt"))
+        .collect()
+        .map(r => (r.getString(0),
+          if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+    var merges = Vector.empty[(String, String)]
+    var grouped = pairStats(Nil)
     val rows = (1 to BpeRounds).map { i =>
-      val p = bpeWithNext(toks)
-      val best = p.where(col("nxt").isNotNull)
-        .groupBy("tok", "nxt").agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("tok"), col("nxt"))
-        .limit(1).head()
-      val (l, r, cnt) =
-        (best.getString(0), best.getString(1), best.getLong(2))
-      val next = bpeApplyMerge(p, l, r).cache()
-      val st = next.agg(sum("freq").as("nt"),
-        countDistinct("tok").as("nv")).head()
-      // the superseded generation is never read again — release it
-      // eagerly instead of pinning every round's token relation until
-      // the harness's external clearCache (safe here: the st action
-      // above has already materialized `next`)
-      toks.unpersist()
-      toks = next
-      (i, l, r, cnt, st.getLong(0), st.getLong(1))
+      // best pair of THIS generation: max cnt, ties broken ascending on
+      // (tok, nxt) in engine (UTF8 binary) order — the orderBy(cnt desc,
+      // tok, nxt).limit(1) the relational loop ran
+      val cands = grouped.filter(_._2 != null)
+      val (l, r, cnt) = cands.reduceLeft { (p, q) =>
+        if (q._3 > p._3) q
+        else if (q._3 < p._3) p
+        else if (utf8Lt(q._1, p._1)) q
+        else if (utf8Lt(p._1, q._1)) p
+        else if (utf8Lt(q._2, p._2)) q else p
+      }
+      merges = merges :+ ((l, r))
+      grouped = pairStats(merges)
+      val nt = grouped.map(_._3).sum
+      val nv = grouped.map(_._1).distinct.length.toLong
+      (i, l, r, cnt, nt, nv)
     }
-    toks.unpersist() // the rounds are eager; the last generation too
+    w0.unpersist()
     rows
   }
 
@@ -1366,26 +1436,22 @@ object LlmQueries {
           .select(col("doc_id"), explode(Text.words(col("text")))
             .as("word"))
           .cache())
-      val vocab = docWords.groupBy("word").agg(count(lit(1)).as("freq"))
-      // localCheckpoint per round: bpeApplyMerge reads its input twice
-      // (the match positions and the merge projection), so an unbroken
-      // fold doubles the logical plan per round — 2^rounds charToks
-      // subtrees. Truncating lineage each round keeps plan size linear
-      // in rounds (the Components-loop pattern); the relation is
-      // vocabulary-sized, so each checkpoint is cheap at any corpus
-      // scale. EAGER on purpose (round-21 A/B): the lazy form
-      // (eager=false) saves one materialization job per round but
-      // defers every generation's computation into the final action,
-      // where the two same-stage references each apply round makes to
-      // its parent re-compute the unmaterialized chain — measured
-      // 4.0 s vs 1.5 s min in isolation (and +0.4 s era-normalized in
-      // two full bench sweeps, which is what overruled an
-      // earlier warm-context A/B that had read lazy as faster).
-      val toks = merges.foldLeft(charToks(vocab)) {
-        case (t, (l, r)) =>
-          bpeApplyMerge(bpeWithNext(t), l, r).localCheckpoint()
-      }
-      val perWord = toks.groupBy("word").agg(count(lit(1)).as("n_toks"))
+      // Token count per DISTINCT word straight from the bpe_tokens
+      // expression (r22, guide §1.2 step 1): the per-round
+      // window + join + eager-localCheckpoint merge chain (one
+      // materialization job and two window passes per round — the
+      // round-21 lazy-checkpoint A/B only ever traded WHERE those jobs
+      // ran) is replaced by one projection over the corpus vocabulary
+      // that applies every merge in a linear per-word scan, proven
+      // identical to the relational fold in BpeSpec. The n_toks > 0
+      // guard keeps the join semantics of the token-relation form: an
+      // empty word produced no token rows there, so its occurrences
+      // never joined — bpe_tokens maps it to an empty array and only
+      // the empty word can be empty-tokened.
+      val perWord = docWords.select("word").distinct()
+        .select(col("word"),
+          size(bpeTokensCol(col("word"), merges)).as("n_toks"))
+        .where(col("n_toks") > 0)
       docWords.join(perWord, Seq("word"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
@@ -2377,16 +2443,20 @@ object LlmQueries {
     * rows per probe, dimension metadata broadcast into the scoring
     * join. Shared by e9 (exhaustive ADC) and e11 (IVF-PQ).
     */
-  private def pqLut(s: SparkSession, d: String): DataFrame = {
-    val probes = (0 until PqM).map { m =>
-      pqSubVec(embQ(s, d).where(col("vec_id") < 5), m)
-        .select(col("vec_id").as("qid"), lit(m).as("sub"),
-          col("q").as("qs"))
-    }.reduce(_.union(_))
-    probes.join(broadcast(pqCentroidsT(s, d)), Seq("sub"))
+  private def pqLut(s: SparkSession, d: String): DataFrame =
+    // ONE scan of the probe vectors against the broadcast codebook
+    // relation (r22, guide §1.2): the former PqM-branch union sliced
+    // the probe scan once per subspace (PqM cache scans + a union in
+    // every LUT broadcast build of e9/e11/e11b); the sub index now
+    // rides the broadcast side and slice() selects the probe
+    // sub-vector at join time — identical dotq arithmetic per
+    // (qid, sub, code)
+    embQ(s, d).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q"))
+      .crossJoin(broadcast(pqCentroidsT(s, d)))
       .select(col("qid"), col("sub"), col("code"),
-        Similarity.dotq(col("qs"), col("cq")).as("pdot"), col("csq"))
-  }
+        Similarity.dotq(slice(col("q"), col("sub") * PqSub + 1,
+          lit(PqSub)), col("cq")).as("pdot"), col("csq"))
 
   /** ADC rerank: rank candidates by the approximate cosine assembled
     * from summed LUT partials, keep the top [[PqRerank]] per probe —
