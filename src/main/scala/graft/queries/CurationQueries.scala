@@ -195,17 +195,29 @@ object CurationQueries {
   // triangular offsets, never a single-partition ORDER BY window. Two
   // epochs are emitted to show the permutations are independent;
   // re-running the job can never reorder an epoch.
+  //
+  // r22: BOTH epochs ride ONE globalRowIds pass — the order key gets an
+  // epoch-dominant prefix (epoch·10¹⁵ clears the ≤ ~10¹⁴ per-epoch key
+  // space), so the union's global ids assign epoch e the contiguous
+  // rank block [e·N, (e+1)·N) in per-epoch order, and pos = gpos − e·N
+  // exactly. Halves the range-sampling jobs, caches, triangular joins
+  // and rank windows (one over 2N rows instead of two over N —
+  // 1.39 → 1.04 s min measured at sf0.1); N is a parquet-count driver
+  // scalar (the d8 watermark class).
   private val qC7 = Q("c7_epoch_shuffle",
     (s, d) => {
       val docs = T(s, d, "documents").select("doc_id")
-      val epochs = Seq(0, 1).map { e =>
-        val keyed = docs.withColumn("ordkey",
-          Sample.hashBucket(s"epoch$e", col("doc_id"), 10000)
-            .cast("decimal(38,0)") * 10000000000L + col("doc_id"))
-        graft.ops.Relational.globalRowIds(keyed, "ordkey", "pos")
-          .select(col("doc_id"), lit(e).as("epoch"), col("pos"))
-      }
-      epochs.reduce(_.unionByName(_))
+      val n = docs.count()
+      val keyed = Seq(0, 1).map { e =>
+        docs.withColumn("epoch", lit(e))
+          .withColumn("ordkey",
+            lit(e).cast("decimal(38,0)") * 1000000000000000L +
+              Sample.hashBucket(s"epoch$e", col("doc_id"), 10000)
+                .cast("decimal(38,0)") * 10000000000L + col("doc_id"))
+      }.reduce(_.unionByName(_))
+      graft.ops.Relational.globalRowIds(keyed, "ordkey", "gpos")
+        .select(col("doc_id"), col("epoch"),
+          (col("gpos") - col("epoch") * n).as("pos"))
         .transform(Q.sortedSmall(_, "epoch", "pos"))
     },
     Some(s"""SELECT doc_id, 0 AS epoch,

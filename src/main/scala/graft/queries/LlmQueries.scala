@@ -833,21 +833,30 @@ object LlmQueries {
   private val qD9 = Q("d9_bloom_decontaminate",
     (s, d) => {
       graft.Catalog.registerAll(s, d)
+      // r22: grams live in xxhash64 space end to end (d7's idiom — the
+      // join and the bloom only need IDENTITY; the oracle counts raw
+      // strings and the 2^-64 cross-gram collision class is priced once
+      // in SCALE.md, "The 2⁻⁶⁴ hash-gram collision class"): no
+      // per-position slice + concat_ws string materialization on the
+      // corpus side, the sketch takes the 8-byte gram id directly, and
+      // the exact verify joins on a long instead of a ~20-byte string.
+      // `w` stays a CTE-bound COLUMN so the split is evaluated once per
+      // row, not once per element_at probe (the d7 lambda trap).
       s.sql(s"""
         WITH w AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         g AS (
           SELECT doc_id, explode(array_distinct(transform(
             sequence(1, size(w) - 2),
-            i -> concat_ws(' ', slice(w, i, 3))))) AS gram
+            i -> xxhash64(element_at(w, i), element_at(w, i + 1),
+                          element_at(w, i + 2))))) AS gram
           FROM w WHERE size(w) >= 3),
         bloom AS (
-          SELECT bloom_build(xxhash64(gram), 8192L, 131072L) AS bf
+          SELECT bloom_build(gram, 8192L, 131072L) AS bf
           FROM (SELECT DISTINCT gram FROM g WHERE doc_id < 20)),
         cand AS (
           SELECT doc_id, gram FROM g
           WHERE doc_id >= 20
-            AND bloom_might_contain((SELECT bf FROM bloom),
-                                    xxhash64(gram))),
+            AND bloom_might_contain((SELECT bf FROM bloom), gram)),
         bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
         SELECT doc_id, count(*) AS n_hit
         FROM cand JOIN bg USING (gram)
